@@ -1,0 +1,617 @@
+"""Suite validation engine — compile once, stream once (twice for two-phase).
+
+The reference resolves a per-suite metric dependency graph at runtime
+(``validator/validation_graph.py:214-322``).  Our kernel set is static, so the
+graph collapses at compile time into at most three physical phases:
+
+- **Phase S** (free): schema/table rules from ``Dataset.schema()``.
+- **Phase 1** (one streaming pass): ONE fused ``map_batches`` over zero-copy
+  Arrow blocks evaluates ALL map conditions and updates ALL aggregate /
+  value-count partials, emitting one small pickled partial per block; partials
+  merge associatively on the driver (no shuffle — the Ray analog of GX's
+  aggregate bundling, ``sparkdf_execution_engine.py:843-915``).
+- **Phase W** (only if the suite asks): wide metrics that genuinely need a
+  shuffle (global uniqueness, high-cardinality distinct) run as
+  per-batch value-counts -> ``groupby(value).sum(count)`` — map-side
+  pre-aggregation before the exchange.
+- **Phase 2** (only if the suite asks): z-score-style two-phase map rules
+  re-stream with the phase-1 aggregates injected
+  (``column_values_z_score.py:124-144``).
+
+Scale notes: phase-1 partials are O(blocks × rules) bytes, independent of row
+count.  Value-count states cap at 100k distinct keys; overflow falls back to
+the phase-W shuffle path.
+"""
+
+from __future__ import annotations
+
+import pickle
+import traceback
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from great_expectations_ray.core.results import (
+    MAX_RESULT_RECORDS,
+    PARTIAL_UNEXPECTED_COUNT_DEFAULT,
+    ExpectationValidationResult,
+    MapPartialState,
+    SuiteValidationResult,
+    calc_validation_statistics,
+    format_map_result,
+    mostly_success,
+)
+from great_expectations_ray.core.row_conditions import compile_row_condition
+from great_expectations_ray.core.suite import ExpectationConfiguration, ExpectationSuite
+from great_expectations_ray.functions.aggregates import (
+    AGG_EXPECTATIONS,
+    NumericAggState,
+    ValueCountsState,
+    validate_metric_value_between,
+)
+from great_expectations_ray.functions.column_map import CONDITION_KERNELS, KernelResult
+from great_expectations_ray.functions.table import TABLE_RULES
+
+TWO_PHASE_TYPES = {"expect_column_value_z_scores_to_be_less_than"}
+
+#: map-style rules whose condition is a GLOBAL property -> phase W
+UNIQUE_TYPES = {
+    "expect_column_values_to_be_unique",
+    "expect_compound_columns_to_be_unique",
+}
+
+#: aggregate rules backed by exact value counts
+VALUE_COUNT_TYPES = {
+    "expect_column_distinct_values_to_be_in_set",
+    "expect_column_distinct_values_to_contain_set",
+    "expect_column_distinct_values_to_equal_set",
+    "expect_column_unique_value_count_to_be_between",
+    "expect_column_proportion_of_unique_values_to_be_between",
+    "expect_column_most_common_value_to_be_in_set",
+    "expect_column_median_to_be_between",
+    "expect_column_quantile_values_to_be_between",
+}
+
+# per-block cap on distinct unexpected values tracked for value_counts output
+_BLOCK_VC_CAP = 1000
+
+
+# --------------------------------------------------------------------------- #
+# compilation
+# --------------------------------------------------------------------------- #
+
+
+@dataclass
+class _CompiledSuite:
+    table_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    map_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    two_phase_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    unique_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    vc_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    agg_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    agg_columns: set = field(default_factory=set)       # numeric agg partials
+    count_columns: set = field(default_factory=set)     # (total, nonnull) counters
+    vc_columns: set = field(default_factory=set)        # exact value-count partials
+    errors: list[tuple[int, ExpectationConfiguration, str]] = field(default_factory=list)
+
+
+def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
+    plan = _CompiledSuite()
+    for idx, cfg in enumerate(suite.resolved_expectations()):
+        t = cfg.expectation_type
+        try:
+            if t in TABLE_RULES:
+                plan.table_rules.append((idx, cfg))
+            elif t in TWO_PHASE_TYPES:
+                plan.two_phase_rules.append((idx, cfg))
+                plan.agg_columns.add(cfg.kwargs["column"])
+            elif t in UNIQUE_TYPES:
+                plan.unique_rules.append((idx, cfg))
+                for c in _unique_columns(cfg):
+                    plan.count_columns.add(c)
+            elif t in VALUE_COUNT_TYPES:
+                plan.vc_rules.append((idx, cfg))
+                plan.vc_columns.add(cfg.kwargs["column"])
+                plan.count_columns.add(cfg.kwargs["column"])
+            elif t in AGG_EXPECTATIONS:
+                plan.agg_rules.append((idx, cfg))
+                plan.agg_columns.add(cfg.kwargs["column"])
+            elif t in CONDITION_KERNELS:
+                plan.map_rules.append((idx, cfg))
+            else:
+                raise NotImplementedError(f"unknown expectation_type {t!r}")
+        except Exception as exc:  # compile-time config errors -> failed EVR
+            plan.errors.append((idx, cfg, f"{type(exc).__name__}: {exc}"))
+    return plan
+
+
+def _unique_columns(cfg: ExpectationConfiguration) -> list[str]:
+    if cfg.expectation_type == "expect_column_values_to_be_unique":
+        return [cfg.kwargs["column"]]
+    return list(cfg.kwargs["column_list"])
+
+
+# --------------------------------------------------------------------------- #
+# phase 1: fused partial evaluator
+# --------------------------------------------------------------------------- #
+
+
+class _PartialEvaluator:
+    """The single fused per-block pass.  Stateless; passed as a callable to
+    ``map_batches(batch_format="pyarrow", zero_copy_batch=True)``."""
+
+    def __init__(
+        self,
+        map_rules: list[tuple[int, ExpectationConfiguration]],
+        agg_columns: set,
+        count_columns: set,
+        vc_columns: set,
+        index_cols: Optional[list[str]],
+    ):
+        self.map_rules = []
+        for idx, cfg in map_rules:
+            cond = cfg.kwargs.get("row_condition")
+            mask_fn = compile_row_condition(cond) if cond else None
+            self.map_rules.append((idx, cfg, CONDITION_KERNELS[cfg.expectation_type], mask_fn))
+        self.agg_columns = sorted(agg_columns)
+        self.count_columns = sorted(count_columns)
+        self.vc_columns = sorted(vc_columns)
+        self.index_cols = index_cols
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        state: dict[Any, Any] = {"row_count": tbl.num_rows, "maps": {}, "aggs": {},
+                                 "counts": {}, "vcs": {}, "errors": {}}
+        for idx, cfg, kernel, mask_fn in self.map_rules:
+            try:
+                sub = tbl
+                if mask_fn is not None:
+                    sub = tbl.filter(pa.array(mask_fn(tbl)))
+                state["maps"][idx] = self._eval_map(sub, cfg, kernel)
+            except Exception:
+                state["errors"][idx] = traceback.format_exc(limit=3)
+        for c in self.agg_columns:
+            st = NumericAggState()
+            st.update(tbl.column(c))
+            state["aggs"][c] = st
+        for c in self.count_columns:
+            col = tbl.column(c)
+            state["counts"][c] = (len(col), len(col) - col.null_count)
+        for c in self.vc_columns:
+            st = ValueCountsState()
+            st.update(tbl.column(c))
+            state["vcs"][c] = st
+        return pa.table({"partial": pa.array([pickle.dumps(state)], type=pa.large_binary())})
+
+    def _eval_map(
+        self, tbl: pa.Table, cfg: ExpectationConfiguration, kernel
+    ) -> MapPartialState:
+        res: KernelResult = kernel(tbl, cfg.kwargs)
+        unexpected = res.considered & ~res.meets
+        ps = MapPartialState(
+            element_count=tbl.num_rows,
+            null_count=res.null_count,
+            unexpected_count=int(unexpected.sum()),
+        )
+        if ps.unexpected_count:
+            pos = np.nonzero(unexpected)[0]
+            sample_pos = pos[:MAX_RESULT_RECORDS]
+            vals = res.values.take(pa.array(sample_pos))
+            ps.unexpected_values = vals.to_pylist()
+            # value counts over the whole block's unexpected values, capped per
+            # block at _BLOCK_VC_CAP distinct keys (documented deviation: GX
+            # counts the full set; the top-k by count is unaffected unless
+            # cardinality of unexpected values exceeds the cap)
+            vc = pc.value_counts(res.values.take(pa.array(pos[:100_000])))
+            ctr = Counter()
+            for item in vc:
+                if len(ctr) >= _BLOCK_VC_CAP:
+                    break
+                ctr[item["values"].as_py()] = item["counts"].as_py()
+            ps.unexpected_value_counts = ctr
+            if self.index_cols:
+                key_tbl = tbl.select(self.index_cols)
+                keys = key_tbl.take(pa.array(sample_pos))
+                ps.unexpected_keys = [
+                    tuple(keys.column(c)[i].as_py() for c in self.index_cols)
+                    for i in range(keys.num_rows)
+                ]
+        return ps
+
+
+def _merge_partials(raw_partials: list[bytes]) -> dict:
+    merged: dict[Any, Any] = {"row_count": 0, "maps": {}, "aggs": {}, "counts": {},
+                              "vcs": {}, "errors": {}}
+    for raw in raw_partials:
+        st = pickle.loads(raw)
+        merged["row_count"] += st["row_count"]
+        for idx, ps in st["maps"].items():
+            if idx in merged["maps"]:
+                merged["maps"][idx].merge(ps)
+            else:
+                merged["maps"][idx] = ps
+        for c, ag in st["aggs"].items():
+            if c in merged["aggs"]:
+                merged["aggs"][c].merge(ag)
+            else:
+                merged["aggs"][c] = ag
+        for c, (tot, nn) in st["counts"].items():
+            t0, n0 = merged["counts"].get(c, (0, 0))
+            merged["counts"][c] = (t0 + tot, n0 + nn)
+        for c, vc in st["vcs"].items():
+            if c in merged["vcs"]:
+                merged["vcs"][c].merge(vc)
+            else:
+                merged["vcs"][c] = vc
+        for idx, err in st["errors"].items():
+            merged["errors"].setdefault(idx, err)
+    return merged
+
+
+# --------------------------------------------------------------------------- #
+# phase W: shuffle-backed metrics
+# --------------------------------------------------------------------------- #
+
+
+def _grouped_value_counts(ds, columns: list[str]):
+    """Exact value counts of a (composite) key via map-side pre-aggregation:
+    per-batch ``pc.value_counts`` -> tiny rows -> ``groupby.sum`` (the only
+    all-to-all exchange in the engine).  Composite keys are joined into one
+    string key per row (null-safe) before counting."""
+
+    def vc_batch(tbl: pa.Table) -> pa.Table:
+        if len(columns) == 1:
+            key = tbl.column(columns[0]).combine_chunks()
+            valid = pc.is_valid(key)
+            key = pc.cast(key.filter(valid), pa.string())
+        else:
+            parts = [pc.cast(tbl.column(c).combine_chunks(), pa.string()) for c in columns]
+            key = pc.binary_join_element_wise(
+                *parts, "\x1f", null_handling="replace", null_replacement="\x00"
+            )
+        vc = pc.value_counts(key)
+        return pa.table(
+            {"value": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    grouped = (
+        ds.select_columns(list(columns))
+        .map_batches(vc_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .sum("cnt")
+    )
+    return grouped  # Dataset[value, sum(cnt)]
+
+
+def _dup_stats(vc_ds) -> tuple[int, list]:
+    """From a value-counts dataset: (#rows whose key occurs >1 time, sample
+    duplicated keys)."""
+
+    def dup_partial(tbl: pa.Table) -> pa.Table:
+        cnt = tbl.column("sum(cnt)")
+        dup_mask = pc.greater(cnt, 1)
+        dup_rows = tbl.filter(dup_mask)
+        total = pc.sum(dup_rows.column("sum(cnt)")).as_py() or 0
+        samples = dup_rows.column("value").slice(0, MAX_RESULT_RECORDS).to_pylist()
+        return pa.table(
+            {"partial": pa.array([pickle.dumps((int(total), samples))], type=pa.large_binary())}
+        )
+
+    total, samples = 0, []
+    for row in vc_ds.map_batches(dup_partial, batch_format="pyarrow").take_all():
+        t, s = pickle.loads(row["partial"])
+        total += t
+        if len(samples) < MAX_RESULT_RECORDS:
+            samples.extend(s[: MAX_RESULT_RECORDS - len(samples)])
+    return total, samples
+
+
+# --------------------------------------------------------------------------- #
+# quantiles from exact value counts
+# --------------------------------------------------------------------------- #
+
+
+def _quantile_from_value_counts(vc: ValueCountsState, quantiles: list[float]) -> list:
+    """Exact quantiles with pandas ``interpolation='nearest'`` semantics
+    (``column_quantile_values.py:34-39``): index = round-half-even(q*(n-1))."""
+    items = sorted(vc.counts.items())
+    n = vc.nonnull
+    if n == 0:
+        return [None] * len(quantiles)
+    cum = np.cumsum([c for _, c in items])
+    out = []
+    for q in quantiles:
+        target = int(np.round(q * (n - 1)))  # numpy round = half-to-even
+        pos = int(np.searchsorted(cum, target + 1))
+        out.append(items[min(pos, len(items) - 1)][0])
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# main entry
+# --------------------------------------------------------------------------- #
+
+
+def _dataset_arrow_schema(ds) -> pa.Schema:
+    sch = ds.schema(fetch_if_missing=True)
+    if sch is None:  # empty dataset with no schema information
+        return pa.schema([])
+    try:
+        return pa.schema(zip(sch.names, sch.types))
+    except Exception:
+        return sch.base_schema  # older wrapper
+
+
+def validate(
+    ds,
+    suite: ExpectationSuite,
+    *,
+    result_format: str = "SUMMARY",
+    partial_unexpected_count: int = PARTIAL_UNEXPECTED_COUNT_DEFAULT,
+    unexpected_index_column_names: Optional[list[str]] = None,
+    catch_exceptions: bool = True,
+) -> SuiteValidationResult:
+    """Validate a ``ray.data.Dataset`` against a suite; returns the
+    GX-shaped suite result (SURVEY.md §3 lifecycle, recast for Ray Data)."""
+    plan = compile_suite(suite)
+    configs = suite.resolved_expectations()
+    evrs: dict[int, ExpectationValidationResult] = {}
+
+    def fail_evr(idx: int, cfg: ExpectationConfiguration, msg: str) -> None:
+        if not catch_exceptions:
+            raise RuntimeError(msg)
+        evrs[idx] = ExpectationValidationResult(
+            success=False,
+            expectation_config=cfg.to_json_dict(),
+            exception_info={"raised_exception": True, "exception_message": msg},
+        )
+
+    for idx, cfg, msg in plan.errors:
+        fail_evr(idx, cfg, msg)
+
+    # ---- phase 1: one fused streaming pass -------------------------------- #
+    merged: Optional[dict] = None
+    need_pass1 = bool(
+        plan.map_rules or plan.agg_rules or plan.two_phase_rules or plan.vc_rules
+        or plan.unique_rules or plan.table_rules
+    )
+    if need_pass1:
+        evaluator = _PartialEvaluator(
+            plan.map_rules,
+            plan.agg_columns,
+            plan.count_columns,
+            plan.vc_columns,
+            unexpected_index_column_names,
+        )
+        partial_rows = ds.map_batches(
+            evaluator, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        merged = _merge_partials([r["partial"] for r in partial_rows])
+
+    row_count = merged["row_count"] if merged else 0
+    schema = _dataset_arrow_schema(ds)
+
+    # ---- schema/table rules ------------------------------------------------ #
+    for idx, cfg in plan.table_rules:
+        try:
+            ok, result = TABLE_RULES[cfg.expectation_type](schema, row_count, cfg.kwargs)
+            evrs[idx] = ExpectationValidationResult(
+                success=ok, expectation_config=cfg.to_json_dict(), result=result
+            )
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- map rules --------------------------------------------------------- #
+    def finish_map(idx: int, cfg: ExpectationConfiguration, ps: MapPartialState,
+                   include_nonnull: bool = True) -> None:
+        nonnull = ps.element_count - ps.null_count
+        if ps.element_count == 0 or nonnull == 0:
+            success = True  # vacuous (expectation.py:2027-2040)
+        else:
+            success = mostly_success(nonnull, ps.unexpected_count, cfg.kwargs.get("mostly", 1.0))
+        evrs[idx] = ExpectationValidationResult(
+            success=success,
+            expectation_config=cfg.to_json_dict(),
+            result=format_map_result(
+                result_format=result_format,
+                partial_unexpected_count=partial_unexpected_count,
+                success=success,
+                state=ps,
+                include_nonnull=include_nonnull,
+            ),
+        )
+
+    for idx, cfg in plan.map_rules:
+        if merged and idx in merged["errors"]:
+            fail_evr(idx, cfg, merged["errors"][idx])
+            continue
+        ps = merged["maps"].get(idx, MapPartialState()) if merged else MapPartialState()
+        finish_map(idx, cfg, ps)
+
+    # ---- aggregate rules --------------------------------------------------- #
+    for idx, cfg in plan.agg_rules:
+        try:
+            metric = AGG_EXPECTATIONS[cfg.expectation_type]
+            value = merged["aggs"][cfg.kwargs["column"]].metric(metric)
+            ok = validate_metric_value_between(
+                value,
+                cfg.kwargs.get("min_value"),
+                cfg.kwargs.get("max_value"),
+                cfg.kwargs.get("strict_min", False),
+                cfg.kwargs.get("strict_max", False),
+            )
+            evrs[idx] = ExpectationValidationResult(
+                success=ok,
+                expectation_config=cfg.to_json_dict(),
+                result={"observed_value": value},
+            )
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- two-phase rules (z-score) ----------------------------------------- #
+    if plan.two_phase_rules:
+        phase2_rules = []
+        for idx, cfg in plan.two_phase_rules:
+            ag = merged["aggs"][cfg.kwargs["column"]]
+            k = dict(cfg.kwargs)
+            k["_mean"] = ag.metric("column.mean")
+            k["_std"] = ag.metric("column.standard_deviation")
+            phase2_rules.append((idx, ExpectationConfiguration(cfg.expectation_type, k, cfg.meta)))
+        evaluator2 = _PartialEvaluator(
+            phase2_rules, set(), set(), set(), unexpected_index_column_names
+        )
+        partial_rows = ds.map_batches(
+            evaluator2, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        merged2 = _merge_partials([r["partial"] for r in partial_rows])
+        for idx, cfg in plan.two_phase_rules:
+            if idx in merged2["errors"]:
+                fail_evr(idx, cfg, merged2["errors"][idx])
+                continue
+            finish_map(idx, cfg, merged2["maps"].get(idx, MapPartialState()))
+
+    # ---- value-count rules -------------------------------------------------- #
+    for idx, cfg in plan.vc_rules:
+        try:
+            evrs[idx] = _finish_vc_rule(ds, cfg, merged)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- global-uniqueness rules (shuffle) ---------------------------------- #
+    for idx, cfg in plan.unique_rules:
+        try:
+            cols = _unique_columns(cfg)
+            vc_ds = _grouped_value_counts(ds, cols)
+            dup_count, samples = _dup_stats(vc_ds)
+            if cfg.expectation_type == "expect_column_values_to_be_unique":
+                total, nonnull = merged["counts"][cols[0]]
+                nulls = total - nonnull
+            else:
+                total, _ = merged["counts"][cols[0]]
+                nonnull, nulls = total, 0
+            ps = MapPartialState(
+                element_count=total,
+                null_count=nulls,
+                unexpected_count=dup_count,
+                unexpected_values=samples[:MAX_RESULT_RECORDS],
+            )
+            finish_map(idx, cfg, ps)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    results = [evrs[i] for i in sorted(evrs)] if evrs else []
+    stats = calc_validation_statistics(results)
+    return SuiteValidationResult(
+        success=stats["success"],
+        results=results,
+        statistics=stats,
+        suite_name=suite.name,
+        meta={"result_format": result_format, "row_count": row_count},
+    )
+
+
+def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> ExpectationValidationResult:
+    t = cfg.expectation_type
+    col = cfg.kwargs["column"]
+    vc: ValueCountsState = merged["vcs"][col]
+    if vc.overflow:
+        # high-cardinality: recompute exactly via the shuffle path
+        vc = _rebuild_vc_from_shuffle(ds, col)
+    total, nonnull = merged["counts"][col]
+
+    def evr(ok: bool, result: dict) -> ExpectationValidationResult:
+        return ExpectationValidationResult(
+            success=ok, expectation_config=cfg.to_json_dict(), result=result
+        )
+
+    if t == "expect_column_distinct_values_to_be_in_set":
+        observed = set(vc.counts)
+        ok = observed.issubset(set(cfg.kwargs["value_set"]))
+        return evr(ok, {"observed_value": sorted(observed, key=str)})
+    if t == "expect_column_distinct_values_to_contain_set":
+        observed = set(vc.counts)
+        ok = set(cfg.kwargs["value_set"]).issubset(observed)
+        return evr(ok, {"observed_value": sorted(observed, key=str)})
+    if t == "expect_column_distinct_values_to_equal_set":
+        observed = set(vc.counts)
+        ok = observed == set(cfg.kwargs["value_set"])
+        return evr(ok, {"observed_value": sorted(observed, key=str)})
+    if t == "expect_column_unique_value_count_to_be_between":
+        n = len(vc.counts)
+        ok = validate_metric_value_between(
+            n, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        return evr(ok, {"observed_value": n})
+    if t == "expect_column_proportion_of_unique_values_to_be_between":
+        prop = (len(vc.counts) / nonnull) if nonnull else None
+        ok = validate_metric_value_between(
+            prop, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        return evr(ok, {"observed_value": prop})
+    if t == "expect_column_most_common_value_to_be_in_set":
+        if not vc.counts:
+            return evr(True, {"observed_value": []})
+        top = max(vc.counts.values())
+        modes = sorted([v for v, c in vc.counts.items() if c == top], key=str)
+        # ties -> list (column_most_common_value.py:26); success iff every
+        # tied mode is in the allowed set
+        ok = all(m in set(cfg.kwargs["value_set"]) for m in modes)
+        ties_okay = cfg.kwargs.get("ties_okay", False)
+        if ties_okay and len(modes) > 1:
+            ok = any(m in set(cfg.kwargs["value_set"]) for m in modes)
+        return evr(ok, {"observed_value": modes})
+    if t == "expect_column_median_to_be_between":
+        median = _median_from_vc(vc)
+        ok = validate_metric_value_between(
+            median, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        return evr(ok, {"observed_value": median})
+    if t == "expect_column_quantile_values_to_be_between":
+        qr = cfg.kwargs["quantile_ranges"]
+        quantiles = qr["quantiles"]
+        ranges = qr["value_ranges"]
+        values = _quantile_from_value_counts(vc, quantiles)
+        oks = [
+            validate_metric_value_between(v, lo, hi)
+            for v, (lo, hi) in zip(values, ranges)
+        ]
+        return evr(all(oks), {
+            "observed_value": {"quantiles": quantiles, "values": values},
+            "details": {"success_details": oks},
+        })
+    raise NotImplementedError(t)
+
+
+def _median_from_vc(vc: ValueCountsState) -> Optional[float]:
+    """Exact median matching pandas ``Series.median()`` (mean of the two
+    middle order statistics for even n)."""
+    n = vc.nonnull
+    if n == 0:
+        return None
+    items = sorted(vc.counts.items())
+    cum = np.cumsum([c for _, c in items])
+    lo_i = (n - 1) // 2
+    hi_i = n // 2
+    lo = items[int(np.searchsorted(cum, lo_i + 1))][0]
+    hi = items[int(np.searchsorted(cum, hi_i + 1))][0]
+    return (float(lo) + float(hi)) / 2.0
+
+
+def _rebuild_vc_from_shuffle(ds, col: str) -> ValueCountsState:
+    """High-cardinality fallback: exact value counts via groupby.  The result
+    still has to fit on the driver for distinct-set style judging; rules that
+    can overflow this are better expressed as unique_value_count (which we
+    compute from the grouped dataset size without collecting)."""
+    vc_ds = _grouped_value_counts(ds, [col])
+    st = ValueCountsState()
+    st.CAP = 10_000_000
+    for row in vc_ds.iter_rows():
+        st.counts[row["value"]] = row["sum(cnt)"]
+        st.nonnull += row["sum(cnt)"]
+    return st
