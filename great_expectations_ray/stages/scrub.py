@@ -1,0 +1,81 @@
+"""PII / secret scrubbing — compiled-regex in-batch content rewrite.
+
+The north rule's scrub stage: rewrite ``content`` in-batch with RE2 kernels
+(``pc.replace_substring_regex`` replaces ALL non-overlapping matches), and
+emit sha256 lineage before/after.  Patterns are applied in a FIXED order so
+scrubbed output is byte-deterministic (the sha256-parity invariant).
+
+This generalizes the reference's regex map metrics
+(``column_values_match_regex.py``) from *detect* to *rewrite*; GX itself never
+mutates data, so the rewrite semantics (ordered, global, non-overlapping) are
+our contract, pinned by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: (name, RE2 pattern, replacement) — ORDER MATTERS and is part of the contract
+DEFAULT_SCRUB_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    ("bearer_token", r"Bearer [A-Za-z0-9._~+/-]{16,}", "Bearer <TOKEN>"),
+    (
+        "private_key",
+        r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+        "<PRIVATE_KEY_HEADER>",
+    ),
+]
+
+
+def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """sha256 hex of each string value (empty-string hash for nulls).
+
+    Per-row hashlib calls: each digest is C code over the (potentially large)
+    content buffer, so the Python loop overhead is amortized by payload size —
+    this is the standard shape for content hashing in data pipelines.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = [
+        hashlib.sha256((v.as_py() if v.is_valid else "").encode("utf-8", "surrogatepass")).hexdigest()
+        for v in col
+    ]
+    return pa.array(out, pa.string())
+
+
+@dataclass
+class Scrubber:
+    """Vectorized scrub kernel; usable standalone or fused into the
+    quality-filter pass."""
+
+    rules: list[tuple[str, str, str]] = field(default_factory=lambda: list(DEFAULT_SCRUB_RULES))
+
+    def scrub_array(self, content: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+        """Returns (scrubbed, hit_mask) where hit_mask marks rows changed."""
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        scrubbed = content
+        hit = np.zeros(len(content), dtype=bool)
+        for _name, pattern, repl in self.rules:
+            matched = pc.match_substring_regex(scrubbed, pattern)
+            hit |= np.asarray(pc.fill_null(matched, False), dtype=bool)
+            scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern, replacement=repl)
+        return scrubbed, hit
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        """map_batches form: rewrites ``content``, adds sha256 lineage."""
+        content = tbl.column("content")
+        pre = sha256_column(content)
+        scrubbed, hit = self.scrub_array(content)
+        post = sha256_column(scrubbed)
+        tbl = tbl.set_column(tbl.column_names.index("content"), "content", scrubbed)
+        tbl = tbl.append_column("content_sha256", pre)
+        tbl = tbl.append_column("scrubbed_sha256", post)
+        tbl = tbl.append_column("scrub_hit", pa.array(hit))
+        return tbl
