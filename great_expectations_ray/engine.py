@@ -314,9 +314,14 @@ def _dup_stats(vc_ds) -> tuple[int, list]:
 # --------------------------------------------------------------------------- #
 
 
-def _quantile_from_value_counts(vc: ValueCountsState, quantiles: list[float]) -> list:
-    """Exact quantiles with pandas ``interpolation='nearest'`` semantics
-    (``column_quantile_values.py:34-39``): index = round-half-even(q*(n-1))."""
+def _quantile_from_value_counts(
+    vc: ValueCountsState, quantiles: list[float], interpolation: str = "nearest"
+) -> list:
+    """Exact quantiles from merged value counts.  ``nearest`` mirrors pandas
+    ``interpolation='nearest'`` (``column_quantile_values.py:34-39``): index =
+    round-half-even(q*(n-1)).  ``lower``/``higher`` take floor/ceil — exactly
+    SQL-expressible (ORDER BY ... OFFSET floor(q*(n-1))), used by oracle
+    parity queries."""
     items = sorted(vc.counts.items())
     n = vc.nonnull
     if n == 0:
@@ -324,7 +329,13 @@ def _quantile_from_value_counts(vc: ValueCountsState, quantiles: list[float]) ->
     cum = np.cumsum([c for _, c in items])
     out = []
     for q in quantiles:
-        target = int(np.round(q * (n - 1)))  # numpy round = half-to-even
+        x = q * (n - 1)
+        if interpolation == "lower":
+            target = int(np.floor(x))
+        elif interpolation == "higher":
+            target = int(np.ceil(x))
+        else:
+            target = int(np.round(x))  # numpy round = half-to-even
         pos = int(np.searchsorted(cum, target + 1))
         out.append(items[min(pos, len(items) - 1)][0])
     return out
@@ -576,7 +587,9 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
         qr = cfg.kwargs["quantile_ranges"]
         quantiles = qr["quantiles"]
         ranges = qr["value_ranges"]
-        values = _quantile_from_value_counts(vc, quantiles)
+        values = _quantile_from_value_counts(
+            vc, quantiles, cfg.kwargs.get("interpolation", "nearest")
+        )
         oks = [
             validate_metric_value_between(v, lo, hi)
             for v, (lo, hi) in zip(values, ranges)

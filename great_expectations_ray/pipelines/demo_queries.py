@@ -1,0 +1,790 @@
+"""Driver-facing query catalog: one entry per operator family from
+SURVEY.md §2, each a Ray pipeline over the testdata tables with (where
+SQL-expressible) a DuckDB oracle that must hash-match.
+
+Column names, rounding and types are part of the contract: every aggregate is
+aliased identically in the Ray output and the SQL; count-sums are CAST to
+BIGINT (DuckDB sums integers into HUGEINT); floats that accumulate in
+different orders are rounded to 6 (or 2 for large sums) decimals on BOTH
+sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from great_expectations_ray.core.row_conditions import compile_row_condition
+from great_expectations_ray.core.suite import ExpectationSuite
+from great_expectations_ray.engine import validate
+from great_expectations_ray.pipelines.quality_filter import RuleEvalScrub
+from great_expectations_ray.stages.ann import brute_force_topk
+from great_expectations_ray.stages.dedup import (
+    dedup_exact,
+    sample_using_hash,
+    sample_using_mod,
+)
+from great_expectations_ray.stages.scrub import DEFAULT_SCRUB_RULES
+from great_expectations_ray.stages.text_stats import TextStats
+from great_expectations_ray.functions.ordered import grouped_monotonic
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------- #
+# expectation-engine queries (SURVEY §2.1 families)
+# --------------------------------------------------------------------------- #
+
+
+def q_table_row_counts(sf_dir: str) -> pd.DataFrame:
+    """Batch expectations #51/#52: table.row_count bounds on three tables."""
+    specs = [("region", 1, 10), ("nation", 20, 30), ("orders", 1000, None)]
+    rows = []
+    for tbl, lo, hi in specs:
+        ds = _read(sf_dir, tbl)
+        res = validate(
+            ds,
+            ExpectationSuite(f"rc_{tbl}").add(
+                "expect_table_row_count_to_be_between", min_value=lo, max_value=hi
+            ),
+        )
+        r = res.results[0]
+        rows.append({"tbl": tbl, "row_count": r.result["observed_value"],
+                     "success": bool(r.success)})
+    return pd.DataFrame(rows)
+
+
+SQL_TABLE_ROW_COUNTS = """
+SELECT 'region' AS tbl, count(*) AS row_count, count(*) BETWEEN 1 AND 10 AS success FROM region
+UNION ALL SELECT 'nation', count(*), count(*) BETWEEN 20 AND 30 FROM nation
+UNION ALL SELECT 'orders', count(*), count(*) >= 1000 FROM orders
+"""
+
+
+def q_agg_quantity(sf_dir: str) -> pd.DataFrame:
+    """ColumnAggregate #33/#36/#37/#38/#35 bundled into one pass."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    suite = (
+        ExpectationSuite("agg")
+        .add("expect_column_mean_to_be_between", column="l_quantity")
+        .add("expect_column_sum_to_be_between", column="l_quantity")
+        .add("expect_column_min_to_be_between", column="l_quantity")
+        .add("expect_column_max_to_be_between", column="l_quantity")
+        .add("expect_column_stdev_to_be_between", column="l_quantity")
+    )
+    res = validate(ds, suite)
+    ov = [r.result["observed_value"] for r in res.results]
+    return pd.DataFrame([{
+        "mean_qty": round(ov[0], 6),
+        "sum_qty": ov[1],
+        "min_qty": ov[2],
+        "max_qty": ov[3],
+        "std_qty": round(ov[4], 6),
+        "n_rows": res.meta["row_count"],
+    }])
+
+
+SQL_AGG_QUANTITY = """
+SELECT round(avg(l_quantity), 6) AS mean_qty, sum(l_quantity) AS sum_qty,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty, count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def q_value_counts_returnflag(sf_dir: str) -> pd.DataFrame:
+    """column.value_counts (#41-44 backing metric) via map-side pre-agg +
+    groupby."""
+    from great_expectations_ray.engine import _grouped_value_counts
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag"])
+    rows = _grouped_value_counts(ds, ["l_returnflag"]).take_all()
+    df = pd.DataFrame([{"value": r["value"], "cnt": r["sum(cnt)"]} for r in rows])
+    return df.sort_values("value").reset_index(drop=True)
+
+
+SQL_VALUE_COUNTS_RETURNFLAG = """
+SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_distinct_mktsegment(sf_dir: str) -> pd.DataFrame:
+    """#39/#40: unique count + proportion."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    suite = (
+        ExpectationSuite("d")
+        .add("expect_column_unique_value_count_to_be_between", column="c_mktsegment", min_value=1)
+        .add("expect_column_proportion_of_unique_values_to_be_between", column="c_mktsegment", min_value=0)
+    )
+    res = validate(ds, suite)
+    return pd.DataFrame([{
+        "distinct_cnt": res.results[0].result["observed_value"],
+        "uniq_prop": round(res.results[1].result["observed_value"], 9),
+    }])
+
+
+SQL_DISTINCT_MKTSEGMENT = """
+SELECT count(DISTINCT c_mktsegment) AS distinct_cnt,
+       round(count(DISTINCT c_mktsegment) / count(c_mktsegment), 9) AS uniq_prop
+FROM customer
+"""
+
+
+def q_between_quantity(sf_dir: str) -> pd.DataFrame:
+    """#5 with mostly: EVR counts for l_quantity ∈ [10,40], mostly=0.95."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    res = validate(ds, ExpectationSuite("b").add(
+        "expect_column_values_to_be_between",
+        column="l_quantity", min_value=10, max_value=40, mostly=0.95,
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+        "success": bool(r.success),
+    }])
+
+
+SQL_BETWEEN_QUANTITY = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT (l_quantity >= 10 AND l_quantity <= 40) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count,
+       ((count(*) - sum(CASE WHEN NOT (l_quantity >= 10 AND l_quantity <= 40) THEN 1 ELSE 0 END)) / count(*)) >= 0.95 AS success
+FROM lineitem
+"""
+
+
+def q_regex_docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    """#6 + row_condition domains: one fused pass, five per-lang domains."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    langs = ["de", "en", "es", "fr", "zh"]
+    suite = ExpectationSuite("rx")
+    for lg in langs:
+        suite.add("expect_column_values_to_match_regex", column="text",
+                  regex="data", row_condition=f'col("lang") == "{lg}"')
+    res = validate(ds, suite)
+    return pd.DataFrame([
+        {"lang": lg,
+         "element_count": r.result["element_count"],
+         "unexpected_count": r.result["unexpected_count"]}
+        for lg, r in zip(langs, res.results)
+    ])
+
+
+SQL_REGEX_DOCS_BY_LANG = """
+SELECT lang, count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT regexp_matches(text, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_value_lengths_docs(sf_dir: str) -> pd.DataFrame:
+    """#14: value_length bounds."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    res = validate(ds, ExpectationSuite("len").add(
+        "expect_column_value_lengths_to_be_between",
+        column="text", min_value=100, max_value=400,
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_VALUE_LENGTHS_DOCS = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT (length(text) >= 100 AND length(text) <= 400) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+FROM documents
+"""
+
+
+def q_set_orders(sf_dir: str) -> pd.DataFrame:
+    """#3: in_set membership on o_orderpriority."""
+    value_set = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority"])
+    res = validate(ds, ExpectationSuite("s").add(
+        "expect_column_values_to_be_in_set", column="o_orderpriority",
+        value_set=value_set,
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_SET_ORDERS = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM') THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+FROM orders
+"""
+
+
+def q_pair_orders(sf_dir: str) -> pd.DataFrame:
+    """#27: A > B pair condition."""
+    ds = _read(sf_dir, "orders", columns=["o_totalprice", "o_custkey"])
+    res = validate(ds, ExpectationSuite("p").add(
+        "expect_column_pair_values_a_to_be_greater_than_b",
+        column_A="o_totalprice", column_B="o_custkey",
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_PAIR_ORDERS = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT (o_totalprice > o_custkey) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------- #
+# dedup / uniqueness / sampling / ordered (SURVEY §2.4, §2.6 + scale ops)
+# --------------------------------------------------------------------------- #
+
+
+def q_dedup_docs_prefix(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup keep-first: hash-partition on a 30-char prefix key."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_prefix(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "prefix", pc.utf8_slice_codeunits(tbl.column("text").combine_chunks(), 0, 30)
+        )
+
+    keyed = ds.map_batches(add_prefix, batch_format="pyarrow", zero_copy_batch=True)
+    kept = dedup_exact(keyed, ["prefix"], order_by="doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pd.DataFrame({"doc_id": ids})
+
+
+SQL_DEDUP_DOCS_PREFIX = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY substr(text, 1, 30) ORDER BY doc_id
+"""
+
+
+def q_unique_prefix_violations(sf_dir: str) -> pd.DataFrame:
+    """#20: column_values.unique on the derived prefix key (global)."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def add_prefix(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "prefix", pc.utf8_slice_codeunits(tbl.column("text").combine_chunks(), 0, 30)
+        )
+
+    keyed = ds.map_batches(add_prefix, batch_format="pyarrow", zero_copy_batch=True)
+    res = validate(keyed, ExpectationSuite("u").add(
+        "expect_column_values_to_be_unique", column="prefix"
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_UNIQUE_PREFIX_VIOLATIONS = """
+WITH c AS (SELECT substr(text,1,30) AS k, count(*) AS cnt FROM documents GROUP BY 1)
+SELECT (SELECT count(*) FROM documents) AS element_count,
+       CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS unexpected_count
+FROM c
+"""
+
+
+def q_compound_unique_orders(sf_dir: str) -> pd.DataFrame:
+    """#29: compound uniqueness on (o_custkey, o_orderstatus)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    res = validate(ds, ExpectationSuite("cu").add(
+        "expect_compound_columns_to_be_unique",
+        column_list=["o_custkey", "o_orderstatus"],
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_COMPOUND_UNIQUE_ORDERS = """
+WITH c AS (SELECT o_custkey, o_orderstatus, count(*) AS cnt FROM orders GROUP BY 1, 2)
+SELECT (SELECT count(*) FROM orders) AS element_count,
+       CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS unexpected_count
+FROM c
+"""
+
+
+def q_most_common_returnflag(sf_dir: str) -> pd.DataFrame:
+    """#44: mode with ties."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag"])
+    res = validate(ds, ExpectationSuite("mc").add(
+        "expect_column_most_common_value_to_be_in_set",
+        column="l_returnflag", value_set=["A", "N", "R"],
+    ))
+    modes = res.results[0].result["observed_value"]
+    return pd.DataFrame({"value": sorted(modes)})
+
+
+SQL_MOST_COMMON_RETURNFLAG = """
+WITH c AS (SELECT l_returnflag AS value, count(*) AS cnt FROM lineitem GROUP BY 1)
+SELECT value FROM c WHERE cnt = (SELECT max(cnt) FROM c) ORDER BY value
+"""
+
+
+def q_mod_sample_events(sf_dir: str) -> pd.DataFrame:
+    """GX sampler ``sample_using_mod`` (pandas_data_sampler.py:64)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    s = sample_using_mod(ds, "event_id", 10, 7)
+    from ray.data.aggregate import Count, Sum
+
+    agg = s.aggregate(Count(), Sum("value", alias_name="sv"))
+    return pd.DataFrame([{
+        "n": agg["count()"],
+        "sum_value": round(agg["sv"], 2),
+    }])
+
+
+SQL_MOD_SAMPLE_EVENTS = """
+SELECT count(*) AS n, round(sum(value), 2) AS sum_value FROM events WHERE event_id % 10 = 7
+"""
+
+
+def q_hash_sample_events(sf_dir: str) -> pd.DataFrame:
+    """GX sampler ``sample_using_hash`` (md5 suffix match,
+    pandas_data_sampler.py:117)."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    s = sample_using_hash(ds, "event_id", matches="0", digits=1)
+    from ray.data.aggregate import Count, Max, Min
+
+    agg = s.aggregate(Count(), Min("event_id"), Max("event_id"))
+    return pd.DataFrame([{
+        "n": agg["count()"],
+        "min_id": agg["min(event_id)"],
+        "max_id": agg["max(event_id)"],
+    }])
+
+
+SQL_HASH_SAMPLE_EVENTS = """
+SELECT count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+FROM events WHERE substr(md5(CAST(event_id AS VARCHAR)), 32, 1) = '0'
+"""
+
+
+def q_row_condition_lineitem(sf_dir: str) -> pd.DataFrame:
+    """§2.5 row-condition DSL compiled to an Arrow mask."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_returnflag", "l_extendedprice"])
+    mask_fn = compile_row_condition('col("l_quantity") > 45 and col("l_returnflag") == "A"')
+
+    def f(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pa.array(mask_fn(tbl)))
+
+    filtered = ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Count, Sum
+
+    agg = filtered.aggregate(Count(), Sum("l_extendedprice", alias_name="sp"))
+    return pd.DataFrame([{
+        "n": agg["count()"],
+        "sum_price": round(agg["sp"], 2),
+    }])
+
+
+SQL_ROW_CONDITION_LINEITEM = """
+SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'A'
+"""
+
+
+def q_quantiles_price(sf_dir: str) -> pd.DataFrame:
+    """#45 with SQL-exact 'lower' interpolation (floor(q*(n-1)) rank)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    res = validate(ds, ExpectationSuite("q").add(
+        "expect_column_quantile_values_to_be_between",
+        column="l_extendedprice",
+        quantile_ranges={"quantiles": [0.25, 0.5, 0.75],
+                         "value_ranges": [[None, None]] * 3},
+        interpolation="lower",
+    ))
+    v = res.results[0].result["observed_value"]["values"]
+    return pd.DataFrame([{"q25": v[0], "q50": v[1], "q75": v[2]}])
+
+
+SQL_QUANTILES_PRICE = """
+WITH s AS (SELECT l_extendedprice AS v,
+                  row_number() OVER (ORDER BY l_extendedprice) - 1 AS rn
+           FROM lineitem),
+     n AS (SELECT count(*) AS c FROM s)
+SELECT
+  max(CASE WHEN rn = CAST(floor(0.25 * (c - 1)) AS BIGINT) THEN v END) AS q25,
+  max(CASE WHEN rn = CAST(floor(0.50 * (c - 1)) AS BIGINT) THEN v END) AS q50,
+  max(CASE WHEN rn = CAST(floor(0.75 * (c - 1)) AS BIGINT) THEN v END) AS q75
+FROM s, n
+"""
+
+
+def q_events_increasing(sf_dir: str) -> pd.DataFrame:
+    """#21 recast with explicit partition/order keys (groupby.map_groups)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    out = grouped_monotonic(ds, "value", "user_id", ["ts", "event_id"])
+    df = pd.DataFrame(out.take_all())
+    return df.sort_values("user_id").reset_index(drop=True)[
+        ["user_id", "n_rows", "n_violations", "monotonic"]
+    ]
+
+
+SQL_EVENTS_INCREASING = """
+WITH o AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT user_id, count(*) AS n_rows,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       sum(CASE WHEN prev IS NOT NULL AND value < prev THEN 1 ELSE 0 END) = 0 AS monotonic
+FROM o GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------- #
+# text analysis / similarity (training-data ops)
+# --------------------------------------------------------------------------- #
+
+
+def q_token_stats_docs(sf_dir: str) -> pd.DataFrame:
+    """Token counting + alnum counting, per-lang rollup (vectorized RE2)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        text = tbl.column("text").combine_chunks()
+        toks = pc.count_substring_regex(text, r"\S+")
+        alnum = pc.count_substring_regex(text, "[A-Za-z0-9]")
+        t = pa.table({
+            "lang": tbl.column("lang"),
+            "tokens": pc.cast(toks, pa.int64()),
+            "alnum_chars": pc.cast(alnum, pa.int64()),
+        })
+        return t.group_by(["lang"]).aggregate([("tokens", "sum"), ("alnum_chars", "sum")])
+
+    grouped = (
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .sum(["tokens_sum", "alnum_chars_sum"])
+    )
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "lang": r["lang"], "tokens": r["sum(tokens_sum)"],
+        "alnum_chars": r["sum(alnum_chars_sum)"],
+    } for r in rows])
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+SQL_TOKEN_STATS_DOCS = r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]'))) AS BIGINT) AS alnum_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 embedding (broadcast query,
+    per-block local top-k, driver merge)."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_row = [r for r in ds.filter(expr="vec_id == 0").take(1)][0]
+    query = np.asarray(q_row["embedding"], dtype=np.float64)
+    top = brute_force_topk(ds, query, k=10)
+    return pd.DataFrame([{"vec_id": vid, "sim": round(s, 6)} for vid, s in top]) \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    round(
+      list_sum(list_transform(list_zip(e.embedding, q.qe), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))
+       * sqrt(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))))), 6) AS sim
+  FROM embeddings e, q)
+SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------- #
+# flagship derived-corpus queries (north-rule shape, fully SQL-mirrored)
+# --------------------------------------------------------------------------- #
+
+_CORPUS_SUITE = (
+    ExpectationSuite("derived_corpus_quality")
+    .add("expect_column_value_lengths_to_be_between",
+         column="content", min_value=120, max_value=420)
+    .add("expect_column_values_to_match_regex", column="content", regex="data")
+    .add("expect_column_values_to_be_between", column="token_cnt", min_value=25)
+)
+
+
+def _derived_corpus(sf_dir: str):
+    """documents -> north-rule corpus shape via a deterministic,
+    SQL-expressible transform (so DuckDB can re-derive it exactly)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = pc.cast(doc_id, pa.string())
+        mod7 = pc.cast(
+            pc.subtract(doc_id, pc.multiply(pc.divide(doc_id, 7), 7)), pa.string()
+        )
+        repo = pc.binary_join_element_wise(pa.array(["repo_"] * len(ids)), mod7, "")
+        path = pc.binary_join_element_wise(
+            pa.array(["src/doc_"] * len(ids)), ids, pa.array([".txt"] * len(ids)), ""
+        )
+        commit = pa.array(
+            [hashlib.md5(f"c{i}".encode()).hexdigest() for i in doc_id.to_pylist()],
+            pa.string(),
+        )
+        content = pc.binary_join_element_wise(
+            tbl.column("text").combine_chunks(),
+            pa.array([" contact: user"] * len(ids)),
+            ids,
+            pa.array(["@example.com"] * len(ids)),
+            "",
+        )
+        return pa.table({
+            "doc_id": doc_id, "repo": repo, "path": path, "commit": commit,
+            "lang": tbl.column("lang").combine_chunks(),
+            "content": pc.cast(content, pa.large_string()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id,
+         'repo_' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+         'src/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         md5('c' || CAST(doc_id AS VARCHAR)) AS commit,
+         lang,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com' AS content
+  FROM documents),
+scored AS (
+  SELECT *,
+    length(content) AS n_chars,
+    len(regexp_extract_all(content, '\\S+')) AS token_cnt,
+    (length(content) BETWEEN 120 AND 420) AND regexp_matches(content, 'data')
+      AND (len(regexp_extract_all(content, '\\S+')) >= 25) AS keep
+  FROM corpus)
+"""
+
+
+def _corpus_pipeline(sf_dir: str):
+    ds = _derived_corpus(sf_dir)
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True)
+
+    def token_cnt(tbl: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(tbl.column("content").combine_chunks(), r"\S+")
+        return tbl.append_column("token_cnt", pc.cast(toks, pa.int64()))
+
+    ds = ds.map_batches(token_cnt, batch_format="pyarrow", zero_copy_batch=True)
+    stage = RuleEvalScrub(_CORPUS_SUITE.resolved_expectations(), list(DEFAULT_SCRUB_RULES))
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_qf_corpus_keep(sf_dir: str) -> pd.DataFrame:
+    """Flagship keep/drop verdicts on the derived corpus (full GX map-rule
+    semantics in the fused RuleEvalScrub pass)."""
+    scored = _corpus_pipeline(sf_dir)
+    rows = scored.select_columns(["doc_id", "keep"]).take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QF_CORPUS_KEEP = f"""
+WITH {_SQL_CORPUS_CTE}
+SELECT doc_id, keep FROM scored ORDER BY doc_id
+"""
+
+
+def q_qf_corpus_scrub(sf_dir: str) -> pd.DataFrame:
+    """Scrub parity: md5 of the scrubbed content, row-for-row."""
+    scored = _corpus_pipeline(sf_dir)
+
+    def h(tbl: pa.Table) -> pa.Table:
+        md5s = pa.array(
+            [hashlib.md5(v.as_py().encode()).hexdigest()
+             for v in tbl.column("content").combine_chunks()],
+            pa.string(),
+        )
+        return pa.table({"doc_id": tbl.column("doc_id"), "scrub_md5": md5s})
+
+    rows = scored.map_batches(h, batch_format="pyarrow").take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_QF_CORPUS_SCRUB = f"""
+WITH {_SQL_CORPUS_CTE}
+SELECT doc_id,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(content,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      'AKIA[0-9A-Z]{{16}}', '<AWS_KEY>', 'g'),
+      'Bearer [A-Za-z0-9._~+/-]{{16,}}', 'Bearer <TOKEN>', 'g'),
+      '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATE_KEY_HEADER>', 'g')) AS scrub_md5
+FROM scored ORDER BY doc_id
+"""
+
+
+def q_qf_corpus_rollup(sf_dir: str) -> pd.DataFrame:
+    """Per-(repo,lang) GX-style rollup with mostly=0.9 success judgments."""
+    from great_expectations_ray.pipelines.quality_filter import rollup
+
+    suite = ExpectationSuite("roll")
+    for cfg in _CORPUS_SUITE.resolved_expectations():
+        k = dict(cfg.kwargs)
+        k["mostly"] = 0.9
+        suite.add(cfg.expectation_type, **k)
+    scored = _corpus_pipeline(sf_dir)
+    # re-evaluate bitmap under the same rules (bitmap already matches; mostly
+    # only affects the success judgment in rollup)
+    report = rollup(scored, suite, keys=("repo", "lang"))
+    rows = []
+    for r in report:
+        rows.append({
+            "repo": r["repo"], "lang": r["lang"],
+            "row_count": r["row_count"], "keep_count": r["keep_count"],
+            "viol_len": r["results"][0]["unexpected_count"],
+            "viol_regex": r["results"][1]["unexpected_count"],
+            "viol_tokens": r["results"][2]["unexpected_count"],
+            "success_len": r["results"][0]["success"],
+            "success_regex": r["results"][1]["success"],
+            "success_tokens": r["results"][2]["success"],
+        })
+    return pd.DataFrame(rows).sort_values(["repo", "lang"]).reset_index(drop=True)
+
+
+SQL_QF_CORPUS_ROLLUP = f"""
+WITH {_SQL_CORPUS_CTE}
+SELECT repo, lang,
+  count(*) AS row_count,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keep_count,
+  CAST(sum(CASE WHEN NOT (n_chars BETWEEN 120 AND 420) THEN 1 ELSE 0 END) AS BIGINT) AS viol_len,
+  CAST(sum(CASE WHEN NOT regexp_matches(content, 'data') THEN 1 ELSE 0 END) AS BIGINT) AS viol_regex,
+  CAST(sum(CASE WHEN NOT (token_cnt >= 25) THEN 1 ELSE 0 END) AS BIGINT) AS viol_tokens,
+  ((count(*) - sum(CASE WHEN NOT (n_chars BETWEEN 120 AND 420) THEN 1 ELSE 0 END)) / count(*)) >= 0.9 AS success_len,
+  ((count(*) - sum(CASE WHEN NOT regexp_matches(content, 'data') THEN 1 ELSE 0 END)) / count(*)) >= 0.9 AS success_regex,
+  ((count(*) - sum(CASE WHEN NOT (token_cnt >= 25) THEN 1 ELSE 0 END)) / count(*)) >= 0.9 AS success_tokens
+FROM scored GROUP BY repo, lang ORDER BY repo, lang
+"""
+
+
+# --------------------------------------------------------------------------- #
+# rows-only queries (model-based — not SQL-expressible; driver records a
+# weaker rows-only check, SURVEY §3 note)
+# --------------------------------------------------------------------------- #
+
+
+def q_langid_docs(sf_dir: str) -> pd.DataFrame:
+    """Language-ID actor stage over documents (deterministic classifier)."""
+    from great_expectations_ray.stages.langid import LangIdScorer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(
+        LangIdScorer,
+        fn_constructor_kwargs={"column": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    rows = scored.select_columns(["doc_id", "lang_pred"]).take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def q_perplexity_docs(sf_dir: str) -> pd.DataFrame:
+    """Perplexity actor stage (broadcast LM) over documents."""
+    import ray
+
+    from great_expectations_ray.stages.perplexity import (
+        PerplexityScorer,
+        build_reference_model,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = build_reference_model(ds, sample_rows=200, column="text")
+    ref = ray.put(model)
+    scored = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"model_ref": ref, "column": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    rows = scored.select_columns(["doc_id", "perplexity"]).take_all()
+    df = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    df["perplexity"] = df["perplexity"].round(6)
+    return df
+
+
+# --------------------------------------------------------------------------- #
+# registry
+# --------------------------------------------------------------------------- #
+
+QUERIES = {
+    "table_row_counts": q_table_row_counts,
+    "agg_quantity": q_agg_quantity,
+    "value_counts_returnflag": q_value_counts_returnflag,
+    "distinct_mktsegment": q_distinct_mktsegment,
+    "between_quantity": q_between_quantity,
+    "regex_docs_by_lang": q_regex_docs_by_lang,
+    "value_lengths_docs": q_value_lengths_docs,
+    "set_orders": q_set_orders,
+    "pair_orders": q_pair_orders,
+    "dedup_docs_prefix": q_dedup_docs_prefix,
+    "unique_prefix_violations": q_unique_prefix_violations,
+    "compound_unique_orders": q_compound_unique_orders,
+    "most_common_returnflag": q_most_common_returnflag,
+    "mod_sample_events": q_mod_sample_events,
+    "hash_sample_events": q_hash_sample_events,
+    "row_condition_lineitem": q_row_condition_lineitem,
+    "quantiles_price": q_quantiles_price,
+    "events_increasing": q_events_increasing,
+    "token_stats_docs": q_token_stats_docs,
+    "ann_topk": q_ann_topk,
+    "qf_corpus_keep": q_qf_corpus_keep,
+    "qf_corpus_scrub": q_qf_corpus_scrub,
+    "qf_corpus_rollup": q_qf_corpus_rollup,
+    # rows-only (no SQL oracle):
+    "langid_docs": q_langid_docs,
+    "perplexity_docs": q_perplexity_docs,
+}
+
+ORACLE_SQL = {
+    "table_row_counts": SQL_TABLE_ROW_COUNTS,
+    "agg_quantity": SQL_AGG_QUANTITY,
+    "value_counts_returnflag": SQL_VALUE_COUNTS_RETURNFLAG,
+    "distinct_mktsegment": SQL_DISTINCT_MKTSEGMENT,
+    "between_quantity": SQL_BETWEEN_QUANTITY,
+    "regex_docs_by_lang": SQL_REGEX_DOCS_BY_LANG,
+    "value_lengths_docs": SQL_VALUE_LENGTHS_DOCS,
+    "set_orders": SQL_SET_ORDERS,
+    "pair_orders": SQL_PAIR_ORDERS,
+    "dedup_docs_prefix": SQL_DEDUP_DOCS_PREFIX,
+    "unique_prefix_violations": SQL_UNIQUE_PREFIX_VIOLATIONS,
+    "compound_unique_orders": SQL_COMPOUND_UNIQUE_ORDERS,
+    "most_common_returnflag": SQL_MOST_COMMON_RETURNFLAG,
+    "mod_sample_events": SQL_MOD_SAMPLE_EVENTS,
+    "hash_sample_events": SQL_HASH_SAMPLE_EVENTS,
+    "row_condition_lineitem": SQL_ROW_CONDITION_LINEITEM,
+    "quantiles_price": SQL_QUANTILES_PRICE,
+    "events_increasing": SQL_EVENTS_INCREASING,
+    "token_stats_docs": SQL_TOKEN_STATS_DOCS,
+    "ann_topk": SQL_ANN_TOPK,
+    "qf_corpus_keep": SQL_QF_CORPUS_KEEP,
+    "qf_corpus_scrub": SQL_QF_CORPUS_SCRUB,
+    "qf_corpus_rollup": SQL_QF_CORPUS_ROLLUP,
+}

@@ -155,17 +155,11 @@ LINEAGE_COLS = [
 ]
 
 
-def rollup(scored_ds, suite: ExpectationSuite, keys=("repo", "lang")) -> list[dict[str, Any]]:
-    """Per-(repo,lang) suite results, GX ValidationResult-rollup shaped.
-
-    Per-batch partial: an in-batch Arrow group_by producing one row per key
-    per rule-count — tiny — then a single small ``groupby(keys).sum`` shuffle
-    merges partials (map-side pre-aggregation, SURVEY §4 skew note: partial
-    rows are bounded by |keys|, so mega-repos cannot skew this exchange).
-    """
-    rule_configs = suite.resolved_expectations()
-    n_rules = len(rule_configs)
-    key_list = list(keys)
+def rollup_partial_fn(key_list: list[str], n_rules: int):
+    """Per-batch rollup partial: an in-batch Arrow group_by producing one row
+    per key — tiny — for a later ``groupby(keys).sum`` merge (map-side
+    pre-aggregation; partial rows are bounded by |keys| per batch, so
+    mega-repos cannot skew the exchange — SURVEY §4)."""
 
     def partial(tbl: pa.Table) -> pa.Table:
         cols = {k: tbl.column(k) for k in key_list}
@@ -181,13 +175,15 @@ def rollup(scored_ds, suite: ExpectationSuite, keys=("repo", "lang")) -> list[di
         aggs = [("rows", "sum"), ("kept", "sum")] + [(f"viol_{i}", "sum") for i in range(n_rules)]
         return t.group_by(key_list).aggregate(aggs)
 
+    return partial
+
+
+def _rollup_from_partials(partials_ds, suite: ExpectationSuite, keys) -> list[dict[str, Any]]:
+    rule_configs = suite.resolved_expectations()
+    n_rules = len(rule_configs)
+    key_list = list(keys)
     agg_cols = ["rows_sum", "kept_sum"] + [f"viol_{i}_sum" for i in range(n_rules)]
-    grouped = (
-        scored_ds.select_columns(key_list + ["rule_bitmap", "keep"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(key_list)
-        .sum(agg_cols)
-    )
+    grouped = partials_ds.groupby(key_list).sum(agg_cols)
     out = []
     for row in grouped.take_all():
         rows = row[f"sum({agg_cols[0]})"]
@@ -220,19 +216,64 @@ def rollup(scored_ds, suite: ExpectationSuite, keys=("repo", "lang")) -> list[di
     return out
 
 
+def rollup(scored_ds, suite: ExpectationSuite, keys=("repo", "lang")) -> list[dict[str, Any]]:
+    """Per-(repo,lang) suite results, GX ValidationResult-rollup shaped."""
+    key_list = list(keys)
+    n_rules = len(suite.resolved_expectations())
+    partials = (
+        scored_ds.select_columns(key_list + ["rule_bitmap", "keep"])
+        .map_batches(rollup_partial_fn(key_list, n_rules),
+                     batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return _rollup_from_partials(partials, suite, keys)
+
+
+class SinkStage:
+    """Terminal fused stage for write-mode runs: per batch, writes the kept
+    rows (scrubbed content) to ``data/`` and the content-free lineage of ALL
+    rows to ``lineage/``, then emits only the tiny rollup partial — so the
+    whole pipeline is ONE streaming pass with no re-execution and nothing
+    large ever returns to the driver."""
+
+    def __init__(self, data_dir: str, lineage_dir: str, key_list: list[str], n_rules: int,
+                 prefix: str = "part"):
+        self.data_dir = data_dir
+        self.lineage_dir = lineage_dir
+        self.partial = rollup_partial_fn(key_list, n_rules)
+        self.prefix = prefix
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        if tbl.num_rows:
+            os.makedirs(self.data_dir, exist_ok=True)
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            name = f"{self.prefix}-{uuid.uuid4().hex}.parquet"
+            kept_tbl = tbl.filter(np.asarray(tbl.column("keep"), dtype=bool))
+            if kept_tbl.num_rows:
+                pq.write_table(kept_tbl, os.path.join(self.data_dir, name))
+            pq.write_table(tbl.select(LINEAGE_COLS), os.path.join(self.lineage_dir, name))
+        return self.partial(tbl)
+
+
 def run_quality_filter(
     ds,
     config: Optional[QualityFilterConfig] = None,
     *,
     output_dir: Optional[str] = None,
 ):
-    """End-to-end run.  With ``output_dir``: writes kept rows (scrubbed
-    content) under ``data/`` and full lineage (content-free) under
-    ``lineage/``, then computes the rollup from the written lineage (so the
-    expensive scoring pass runs exactly ONCE).  Without: returns the lazy
-    scored dataset + rollup (test scale)."""
+    """End-to-end run.  With ``output_dir``: ONE streaming pass writes kept
+    rows (scrubbed content) under ``data/`` and full lineage (content-free)
+    under ``lineage/`` from inside the terminal stage, and the rollup is
+    computed from the in-flight partials.  Without: returns the materialized
+    scored dataset + rollup (test scale only)."""
     config = config or QualityFilterConfig()
     scored = build_pipeline(ds, config)
+    n_rules = len(config.suite.resolved_expectations())
+    key_list = list(config.rollup_keys)
 
     if output_dir is None:
         scored = scored.materialize()  # test scale only
@@ -244,13 +285,7 @@ def run_quality_filter(
 
     data_dir = os.path.join(output_dir, "data")
     lineage_dir = os.path.join(output_dir, "lineage")
-    # one streaming execution, forked consumption via lineage columns:
-    # write lineage for ALL rows (audit trail), then kept data rows
-    scored.select_columns(LINEAGE_COLS).write_parquet(lineage_dir)
-    import ray.data as rd
-
-    scored2 = build_pipeline(ds, config)  # re-stream for the data sink
-    scored2.filter(expr="keep == True").write_parquet(data_dir)
-    lineage_ds = rd.read_parquet(lineage_dir)
-    report = rollup(lineage_ds, config.suite, config.rollup_keys)
+    sink = SinkStage(data_dir, lineage_dir, key_list, n_rules)
+    partials = scored.map_batches(sink, batch_format="pyarrow", zero_copy_batch=True)
+    report = _rollup_from_partials(partials, config.suite, config.rollup_keys)
     return {"data_dir": data_dir, "lineage_dir": lineage_dir, "rollup": report}

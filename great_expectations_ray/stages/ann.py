@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k.  The query matrix is broadcast
+  once (``ray.put``); every batch computes a vectorized matmul and emits only
+  its LOCAL top-k rows, so the driver merge handles #blocks × k rows — never
+  the full corpus.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane LSH buckets
+  (seeded, deterministic); candidates are searched only within the query's
+  bucket(s).  Recall/cost trade-off documented; exact variant remains the
+  correctness baseline.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = np.asarray(col.values, dtype=np.float64)
+    n = len(col)
+    return values.reshape(n, -1) if n else values.reshape(0, 0)
+
+
+def brute_force_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Exact cosine top-k: returns [(id, cosine)] sorted by (-cos, id)."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def local_topk(tbl: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        M = _emb_matrix(tbl.column(emb_col))
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        norms = np.linalg.norm(M, axis=1)
+        sims = (M @ qv) / np.maximum(norms, 1e-30)
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        take = min(k, len(sims))
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({id_col: pa.array(ids[part]), "cosine": pa.array(sims[part])})
+
+    rows = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r["cosine"], r[id_col]))
+    return [(int(r[id_col]), float(r["cosine"])) for r in best]
+
+
+def lsh_bucket_assignments(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Bucket id per row: sign pattern over ``planes`` hyperplanes."""
+    bits = (M @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return bits.astype(np.int64) @ weights
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate top-k: only rows in the query's LSH bucket are scored.
+    At corpus scale, bucket assignment becomes a stored partition column and
+    the read prunes to one bucket directory."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, q.shape[0]))
+    q_bucket = int(lsh_bucket_assignments(q[None, :], planes)[0])
+    qn = q / np.linalg.norm(q)
+    ref = ray.put((qn, planes, q_bucket))
+
+    def local(tbl: pa.Table) -> pa.Table:
+        qv, pl, qb = ray.get(ref)
+        M = _emb_matrix(tbl.column(emb_col))
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        buckets = lsh_bucket_assignments(M, pl)
+        mask = buckets == qb
+        M = M[mask]
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)[mask]
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = (M @ qv) / np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+        take = min(k, len(sims))
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({id_col: pa.array(ids[part]), "cosine": pa.array(sims[part])})
+
+    rows = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r["cosine"], r[id_col]))
+    return [(int(r[id_col]), float(r["cosine"])) for r in best]

