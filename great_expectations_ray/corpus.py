@@ -96,7 +96,12 @@ def make_row(idx: int) -> tuple[str, str, str, str, str]:
         h = hashlib.sha256(str(idx).encode()).hexdigest()
         content = "!@#$%^&*()" * 30 + h + ";;;" * 50 + "\n"
     else:
-        content = _SNIPPET[lang].format(n=idx % 1000)
+        # realistic file sizes (~0.3–3 KB): repeat the module body a
+        # deterministic number of times with distinct identifiers
+        rep = 1 + (idx * 31) % 6
+        content = "".join(
+            _SNIPPET[lang].format(n=(idx + 97 * j) % 1000) for j in range(rep)
+        )
         if idx % 13 == 0:
             content += f"# contact: user{idx % 500}@example.com\n"
         if idx % 29 == 0:

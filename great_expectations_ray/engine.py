@@ -58,6 +58,31 @@ from great_expectations_ray.functions.table import TABLE_RULES
 
 TWO_PHASE_TYPES = {"expect_column_value_z_scores_to_be_less_than"}
 
+#: order-sensitive map rules (#21/#22) — require explicit partition_by /
+#: order_by kwargs (documented deviation: Ray blocks are unordered, same move
+#: GX makes for SQL backends; SURVEY §7)
+ORDERED_TYPES = {
+    "expect_column_values_to_be_increasing",
+    "expect_column_values_to_be_decreasing",
+}
+
+#: distributional rules backed by value-counts / histogram partials
+DIST_TYPES = {
+    "expect_column_kl_divergence_to_be_less_than",
+    "expect_column_chisquare_test_p_value_to_be_greater_than",
+}
+
+CRAMERS_TYPES = {"expect_column_pair_cramers_phi_value_to_be_less_than"}
+
+CROSS_TABLE_TYPES = {"expect_table_row_count_to_equal_other_table"}
+
+#: stubs in the reference snapshot as well (27-33 LoC class shells — see
+#: SURVEY §2.1 #47/#49); they fail with a clear message, matching status
+STUB_TYPES = {
+    "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+}
+
 #: map-style rules whose condition is a GLOBAL property -> phase W
 UNIQUE_TYPES = {
     "expect_column_values_to_be_unique",
@@ -93,9 +118,14 @@ class _CompiledSuite:
     unique_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     vc_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     agg_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    ordered_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    dist_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    cramers_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    cross_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     agg_columns: set = field(default_factory=set)       # numeric agg partials
     count_columns: set = field(default_factory=set)     # (total, nonnull) counters
     vc_columns: set = field(default_factory=set)        # exact value-count partials
+    hist_specs: list[tuple[int, str, list]] = field(default_factory=list)  # histogram partials
     errors: list[tuple[int, ExpectationConfiguration, str]] = field(default_factory=list)
 
 
@@ -120,6 +150,30 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
             elif t in AGG_EXPECTATIONS:
                 plan.agg_rules.append((idx, cfg))
                 plan.agg_columns.add(cfg.kwargs["column"])
+            elif t in ORDERED_TYPES:
+                if "partition_by" not in cfg.kwargs or "order_by" not in cfg.kwargs:
+                    raise ValueError(
+                        f"{t} on Ray requires explicit partition_by/order_by kwargs "
+                        "(blocks are unordered; see SURVEY §7)"
+                    )
+                plan.ordered_rules.append((idx, cfg))
+            elif t in DIST_TYPES:
+                plan.dist_rules.append((idx, cfg))
+                po = cfg.kwargs.get("partition_object") or {}
+                if "bins" in po:
+                    plan.hist_specs.append((idx, cfg.kwargs["column"], list(po["bins"])))
+                else:
+                    plan.vc_columns.add(cfg.kwargs["column"])
+                plan.count_columns.add(cfg.kwargs["column"])
+            elif t in CRAMERS_TYPES:
+                plan.cramers_rules.append((idx, cfg))
+            elif t in CROSS_TABLE_TYPES:
+                plan.cross_rules.append((idx, cfg))
+            elif t in STUB_TYPES:
+                raise NotImplementedError(
+                    f"{t} is a stub in the reference (scipy-based, semi-deprecated) "
+                    "and not implemented here either"
+                )
             elif t in CONDITION_KERNELS:
                 plan.map_rules.append((idx, cfg))
             else:
@@ -151,6 +205,7 @@ class _PartialEvaluator:
         count_columns: set,
         vc_columns: set,
         index_cols: Optional[list[str]],
+        hist_specs: Optional[list[tuple[int, str, list]]] = None,
     ):
         self.map_rules = []
         for idx, cfg in map_rules:
@@ -161,6 +216,7 @@ class _PartialEvaluator:
         self.count_columns = sorted(count_columns)
         self.vc_columns = sorted(vc_columns)
         self.index_cols = index_cols
+        self.hist_specs = hist_specs or []
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         state: dict[Any, Any] = {"row_count": tbl.num_rows, "maps": {}, "aggs": {},
@@ -184,6 +240,17 @@ class _PartialEvaluator:
             st = ValueCountsState()
             st.update(tbl.column(c))
             state["vcs"][c] = st
+        if self.hist_specs:
+            state["hists"] = {}
+            for idx, col, bins in self.hist_specs:
+                vals = np.asarray(
+                    pc.drop_null(pc.cast(tbl.column(col), pa.float64())).combine_chunks()
+                )
+                edges = np.asarray(bins, dtype=np.float64)
+                counts, _ = np.histogram(vals, bins=edges)
+                below = int((vals < edges[0]).sum())
+                above = int((vals > edges[-1]).sum())
+                state["hists"][idx] = (counts.astype(np.int64), below, above, len(vals))
         return pa.table({"partial": pa.array([pickle.dumps(state)], type=pa.large_binary())})
 
     def _eval_map(
@@ -248,6 +315,13 @@ def _merge_partials(raw_partials: list[bytes]) -> dict:
                 merged["vcs"][c] = vc
         for idx, err in st["errors"].items():
             merged["errors"].setdefault(idx, err)
+        for idx, (counts, below, above, n) in st.get("hists", {}).items():
+            if idx in merged.setdefault("hists", {}):
+                c0, b0, a0, n0 = merged["hists"][idx]
+                merged["hists"][idx] = (c0 + counts, b0 + below, a0 + above, n0 + n)
+            else:
+                merged["hists"][idx] = (counts, below, above, n)
+    merged.setdefault("hists", {})
     return merged
 
 
@@ -364,6 +438,7 @@ def validate(
     partial_unexpected_count: int = PARTIAL_UNEXPECTED_COUNT_DEFAULT,
     unexpected_index_column_names: Optional[list[str]] = None,
     catch_exceptions: bool = True,
+    other_tables: Optional[dict[str, Any]] = None,
 ) -> SuiteValidationResult:
     """Validate a ``ray.data.Dataset`` against a suite; returns the
     GX-shaped suite result (SURVEY.md §3 lifecycle, recast for Ray Data)."""
@@ -387,7 +462,7 @@ def validate(
     merged: Optional[dict] = None
     need_pass1 = bool(
         plan.map_rules or plan.agg_rules or plan.two_phase_rules or plan.vc_rules
-        or plan.unique_rules or plan.table_rules
+        or plan.unique_rules or plan.table_rules or plan.dist_rules
     )
     if need_pass1:
         evaluator = _PartialEvaluator(
@@ -396,13 +471,19 @@ def validate(
             plan.count_columns,
             plan.vc_columns,
             unexpected_index_column_names,
+            plan.hist_specs,
         )
         partial_rows = ds.map_batches(
             evaluator, batch_format="pyarrow", zero_copy_batch=True
         ).take_all()
         merged = _merge_partials([r["partial"] for r in partial_rows])
 
-    row_count = merged["row_count"] if merged else 0
+    if merged:
+        row_count = merged["row_count"]
+    elif plan.cross_rules:
+        row_count = ds.count()  # no fused pass ran; count directly
+    else:
+        row_count = 0
     schema = _dataset_arrow_schema(ds)
 
     # ---- schema/table rules ------------------------------------------------ #
@@ -513,6 +594,68 @@ def validate(
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 
+    # ---- ordered rules (#21/#22): one shuffle on partition_by ------------- #
+    for idx, cfg in plan.ordered_rules:
+        try:
+            from great_expectations_ray.functions.ordered import grouped_monotonic
+
+            out = grouped_monotonic(
+                ds,
+                cfg.kwargs["column"],
+                cfg.kwargs["partition_by"],
+                cfg.kwargs["order_by"],
+                strictly=cfg.kwargs.get("strictly", False),
+                decreasing=cfg.expectation_type.endswith("decreasing"),
+            )
+            total = viol = 0
+            for row in out.take_all():
+                total += row["n_rows"]
+                viol += row["n_violations"]
+            ps = MapPartialState(element_count=total, null_count=0, unexpected_count=viol)
+            finish_map(idx, cfg, ps)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- distributional rules (#46 KL, #48 chi-square) -------------------- #
+    for idx, cfg in plan.dist_rules:
+        try:
+            po = cfg.kwargs.get("partition_object") or {}
+            if (
+                cfg.expectation_type == "expect_column_kl_divergence_to_be_less_than"
+                and "bins" in po
+            ):
+                evrs[idx] = _finish_continuous_kl(cfg, merged["hists"][idx])
+            else:
+                evrs[idx] = _finish_dist_rule(cfg, merged)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- Cramér's phi (#50): joint value counts -> driver math ------------ #
+    for idx, cfg in plan.cramers_rules:
+        try:
+            evrs[idx] = _finish_cramers_rule(ds, cfg)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- cross-table row count (#53) -------------------------------------- #
+    for idx, cfg in plan.cross_rules:
+        try:
+            name = cfg.kwargs.get("other_table_name", "other")
+            if not other_tables or name not in other_tables:
+                raise KeyError(
+                    f"other_tables[{name!r}] must be passed to validate() for "
+                    f"{cfg.expectation_type}"
+                )
+            other_n = other_tables[name].count()
+            ok = row_count == other_n
+            evrs[idx] = ExpectationValidationResult(
+                success=ok,
+                expectation_config=cfg.to_json_dict(),
+                result={"observed_value": {"self": row_count, "other": other_n}},
+            )
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
     results = [evrs[i] for i in sorted(evrs)] if evrs else []
     stats = calc_validation_statistics(results)
     return SuiteValidationResult(
@@ -614,6 +757,138 @@ def _median_from_vc(vc: ValueCountsState) -> Optional[float]:
     lo = items[int(np.searchsorted(cum, lo_i + 1))][0]
     hi = items[int(np.searchsorted(cum, hi_i + 1))][0]
     return (float(lo) + float(hi)) / 2.0
+
+
+def _finish_dist_rule(cfg: ExpectationConfiguration, merged: dict) -> ExpectationValidationResult:
+    """#46 KL divergence / #48 chi-square from value-count or histogram
+    partials (KL math mirrors the reference's discrete/continuous split,
+    ``expect_column_kl_divergence_to_be_less_than.py``; chi-square p-value via
+    pure-python regularized incomplete gamma)."""
+    import math
+
+    from great_expectations_ray.functions.stats_math import (
+        chisquare_test,
+        kl_divergence_discrete,
+    )
+
+    t = cfg.expectation_type
+    po = cfg.kwargs.get("partition_object") or {}
+    col = cfg.kwargs["column"]
+    vc: ValueCountsState = merged["vcs"][col]
+    total = vc.nonnull
+    obs_counts = dict(vc.counts)
+
+    if t == "expect_column_kl_divergence_to_be_less_than":
+        values = list(po.get("values", []))
+        weights = list(po.get("weights", []))
+        p_exp = dict(zip(values, weights))
+        p_obs = {v: c / total for v, c in obs_counts.items()} if total else {}
+        kl = kl_divergence_discrete(p_obs, p_exp)
+        threshold = cfg.kwargs.get("threshold")
+        ok = threshold is not None and kl < threshold and not math.isinf(kl)
+        return ExpectationValidationResult(
+            success=ok,
+            expectation_config=cfg.to_json_dict(),
+            result={"observed_value": None if math.isinf(kl) else kl,
+                    "details": {"observed_partition": {
+                        "values": sorted(p_obs, key=str),
+                        "weights": [p_obs[v] for v in sorted(p_obs, key=str)]}}},
+        )
+
+    # chi-square: observed vs expected counts over the expected support
+    values = list(po.get("values", []))
+    weights = list(po.get("weights", []))
+    observed = [obs_counts.get(v, 0) for v in values]
+    extra = total - sum(observed)  # observed mass outside expected support
+    expected = [w * total for w in weights]
+    if extra:
+        observed.append(extra)
+        expected.append(0.0)
+    stat, p = chisquare_test(observed, expected)
+    threshold = cfg.kwargs.get("p", 0.05)
+    return ExpectationValidationResult(
+        success=p > threshold,
+        expectation_config=cfg.to_json_dict(),
+        result={"observed_value": p, "details": {"chi_squared": stat}},
+    )
+
+
+def _finish_continuous_kl(
+    cfg: ExpectationConfiguration, hist_entry: tuple
+) -> ExpectationValidationResult:
+    """Continuous KL: observed histogram weights vs expected bin weights.
+    Mass outside the expected bins -> inf KL unless the partition provides
+    ``tail_weights`` (reference tail handling, simplified: two tail buckets)."""
+    import math
+
+    counts, below, above, n = hist_entry
+    po = cfg.kwargs["partition_object"]
+    weights = list(po["weights"])
+    tail = po.get("tail_weights")
+    kl = 0.0
+    if n == 0:
+        kl = math.inf
+    else:
+        obs = [c / n for c in counts]
+        exp = list(weights)
+        if tail:
+            obs = [below / n] + obs + [above / n]
+            exp = [tail[0]] + exp + [tail[1]]
+        elif below or above:
+            kl = math.inf
+        if not math.isinf(kl):
+            for o, e in zip(obs, exp):
+                if o <= 0:
+                    continue
+                if e <= 0:
+                    kl = math.inf
+                    break
+                kl += o * math.log(o / e)
+    threshold = cfg.kwargs.get("threshold")
+    ok = threshold is not None and not math.isinf(kl) and kl < threshold
+    return ExpectationValidationResult(
+        success=ok,
+        expectation_config=cfg.to_json_dict(),
+        result={"observed_value": None if math.isinf(kl) else kl},
+    )
+
+
+def _finish_cramers_rule(ds, cfg: ExpectationConfiguration) -> ExpectationValidationResult:
+    """#50: contingency table via one joint value-count shuffle, Cramér's φ
+    on the driver."""
+    import math
+
+    from great_expectations_ray.functions.stats_math import chi2_sf
+
+    a_col, b_col = cfg.kwargs["column_A"], cfg.kwargs["column_B"]
+    vc_ds = _grouped_value_counts(ds, [a_col, b_col])
+    cells: dict[tuple[str, str], int] = {}
+    for row in vc_ds.take_all():
+        a, b = row["value"].split("\x1f", 1)
+        cells[(a, b)] = row["sum(cnt)"]
+    n = sum(cells.values())
+    rows = sorted({k[0] for k in cells})
+    cols = sorted({k[1] for k in cells})
+    if n == 0 or len(rows) < 2 or len(cols) < 2:
+        phi = 0.0
+    else:
+        row_tot = {r: sum(c for (rr, _), c in cells.items() if rr == r) for r in rows}
+        col_tot = {c: sum(v for (_, cc), v in cells.items() if cc == c) for c in cols}
+        chi2 = 0.0
+        for r in rows:
+            for c in cols:
+                e = row_tot[r] * col_tot[c] / n
+                o = cells.get((r, c), 0)
+                if e > 0:
+                    chi2 += (o - e) ** 2 / e
+        phi = math.sqrt(chi2 / (n * min(len(rows) - 1, len(cols) - 1)))
+    threshold = cfg.kwargs.get("threshold", 0.1)
+    return ExpectationValidationResult(
+        success=phi < threshold,
+        expectation_config=cfg.to_json_dict(),
+        result={"observed_value": phi,
+                "details": {"n": n, "rows": len(rows), "cols": len(cols)}},
+    )
 
 
 def _rebuild_vc_from_shuffle(ds, col: str) -> ValueCountsState:

@@ -458,3 +458,33 @@ def _unique_within_record(tbl: pa.Table, kwargs: dict) -> KernelResult:
 
 # deprecated alias (reference expect_multicolumn_values_to_be_unique.py:31)
 CONDITION_KERNELS["expect_multicolumn_values_to_be_unique"] = _unique_within_record
+
+
+# --------------------------------------------------------------------------- #
+# UDF predicate hook — Ray-native analog of UnexpectedRowsExpectation (#59,
+# reference ``unexpected_rows_expectation.py:37``: arbitrary SQL returning the
+# unexpected rows; success = 0 rows).  Here the escape hatch is either the
+# row-condition DSL or a picklable callable ``pa.Table -> bool mask`` marking
+# UNEXPECTED rows.
+# --------------------------------------------------------------------------- #
+
+
+@register_condition("unexpected_rows_expectation")
+def _unexpected_rows(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    if "unexpected_condition" in kwargs:
+        from great_expectations_ray.core.row_conditions import compile_row_condition
+
+        unexpected = compile_row_condition(kwargs["unexpected_condition"])(tbl)
+    elif "unexpected_fn" in kwargs:
+        unexpected = np.asarray(kwargs["unexpected_fn"](tbl), dtype=bool)
+    else:
+        raise ValueError(
+            "unexpected_rows_expectation needs 'unexpected_condition' (DSL) "
+            "or 'unexpected_fn' (callable batch -> bool mask)"
+        )
+    n = tbl.num_rows
+    considered = np.ones(n, dtype=bool)
+    values = pa.array([None] * n, pa.string())
+    if kwargs.get("sample_column") and kwargs["sample_column"] in tbl.column_names:
+        values = pc.cast(tbl.column(kwargs["sample_column"]).combine_chunks(), pa.string())
+    return KernelResult(~unexpected, considered, values, 0)

@@ -685,10 +685,106 @@ FROM scored GROUP BY repo, lang ORDER BY repo, lang
 """
 
 
+def q_content_sha_corpus(sf_dir: str) -> pd.DataFrame:
+    """Row-for-row sha256 lineage parity (the north-rule per-row invariant):
+    our vectorizable sha256 column vs DuckDB's sha256()."""
+    from great_expectations_ray.stages.scrub import sha256_column
+
+    ds = _derived_corpus(sf_dir)
+
+    def h(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "content_sha256": sha256_column(tbl.column("content")),
+        })
+
+    rows = ds.map_batches(h, batch_format="pyarrow").take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CONTENT_SHA_CORPUS = f"""
+WITH {_SQL_CORPUS_CTE}
+SELECT doc_id, sha256(content) AS content_sha256 FROM scored ORDER BY doc_id
+"""
+
+
+def q_sha_prefix_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup on sha256(40-char prefix) — hash-key groupby keep-first."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_key(tbl: pa.Table) -> pa.Table:
+        from great_expectations_ray.stages.scrub import sha256_column
+
+        prefix = pc.utf8_slice_codeunits(tbl.column("text").combine_chunks(), 0, 40)
+        return tbl.append_column("key", sha256_column(prefix))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    kept = dedup_exact(keyed, ["key"], order_by="doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pd.DataFrame({"doc_id": ids})
+
+
+SQL_SHA_PREFIX_DEDUP = """
+SELECT min(doc_id) AS doc_id FROM documents
+GROUP BY sha256(substr(text, 1, 40)) ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # rows-only queries (model-based — not SQL-expressible; driver records a
 # weaker rows-only check, SURVEY §3 note)
 # --------------------------------------------------------------------------- #
+
+
+def q_minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup marking over documents (deterministic seeds)."""
+    from great_expectations_ray.stages.neardup import minhash_lsh_mark_duplicates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_mark_duplicates(ds, text_col="text", id_col="doc_id")
+    rows = out.take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "is_neardup": bool(r["max(is_neardup)"])} for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """SimHash hamming-band near-dup marking over documents."""
+    from great_expectations_ray.stages.neardup import simhash_mark_duplicates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = simhash_mark_duplicates(ds, text_col="text", id_col="doc_id")
+    rows = out.take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "is_neardup": bool(r["max(is_neardup)"])} for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup via hyperplane-LSH buckets + exact verify."""
+    from great_expectations_ray.stages.neardup import embedding_mark_duplicates
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_mark_duplicates(ds, id_col="vec_id", cosine_threshold=0.9)
+    rows = out.take_all()
+    df = pd.DataFrame([
+        {"vec_id": r["vec_id"], "is_neardup": bool(r["max(is_neardup)"])} for r in rows
+    ])
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Approximate ANN (LSH-bucketed) — the scale path next to brute force."""
+    from great_expectations_ray.stages.ann import lsh_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_row = [r for r in ds.filter(expr="vec_id == 0").take(1)][0]
+    query = np.asarray(q_row["embedding"], dtype=np.float64)
+    top = lsh_topk(ds, query, k=10)
+    return pd.DataFrame([{"vec_id": vid, "sim": round(s, 6)} for vid, s in top]) \
+        .sort_values("vec_id").reset_index(drop=True)
 
 
 def q_langid_docs(sf_dir: str) -> pd.DataFrame:
@@ -758,9 +854,15 @@ QUERIES = {
     "qf_corpus_keep": q_qf_corpus_keep,
     "qf_corpus_scrub": q_qf_corpus_scrub,
     "qf_corpus_rollup": q_qf_corpus_rollup,
+    "content_sha_corpus": q_content_sha_corpus,
+    "sha_prefix_dedup": q_sha_prefix_dedup,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
+    "minhash_neardup_docs": q_minhash_neardup_docs,
+    "simhash_neardup_docs": q_simhash_neardup_docs,
+    "embedding_neardup": q_embedding_neardup,
+    "lsh_ann_topk": q_lsh_ann_topk,
 }
 
 ORACLE_SQL = {
@@ -787,4 +889,6 @@ ORACLE_SQL = {
     "qf_corpus_keep": SQL_QF_CORPUS_KEEP,
     "qf_corpus_scrub": SQL_QF_CORPUS_SCRUB,
     "qf_corpus_rollup": SQL_QF_CORPUS_ROLLUP,
+    "content_sha_corpus": SQL_CONTENT_SHA_CORPUS,
+    "sha_prefix_dedup": SQL_SHA_PREFIX_DEDUP,
 }

@@ -63,9 +63,21 @@ class QualityFilterConfig:
     use_langid: bool = True
     use_perplexity: bool = True
     perplexity_sample_rows: int = 400
+    #: per-pool actor count.  Size BOTH pools plus task slots into the node:
+    #: fixed pools of ~cpus/4 each leave half the CPUs for the task-based
+    #: read/stats/scrub stages (a pool reserving every CPU starves the rest
+    #: and serializes the stream).
     actor_concurrency: int = 4
-    batch_size: Optional[int] = 1024  # content rows are wide; keep batches modest
+    #: default True: (1,N) autoscaling pools never deadlock when pools+tasks
+    #: oversubscribe a small CPU budget.  Bench/production set False for
+    #: fixed pools (all actors start in parallel; no ramp-up lag) with
+    #: actor_concurrency sized to ~cpus/4 per pool.
+    autoscale_actors: bool = True
+    batch_size: Optional[int] = 2048
     rollup_keys: tuple = ("repo", "lang")
+    #: optional path to a cached LM table (.npy); deterministic per corpus,
+    #: so bench/scaling runs skip the training pass
+    perplexity_model_path: Optional[str] = None
 
 
 class RuleEvalScrub:
@@ -104,6 +116,54 @@ class RuleEvalScrub:
         return tbl
 
 
+class FusedQualityStage:
+    """ONE actor-pool stage running the whole per-row pipeline: text stats ->
+    language-ID -> perplexity -> rule eval -> scrub -> (optional) parquet
+    sinks -> rollup partial.
+
+    Fusing avoids three object-store round-trips of the (wide) content
+    column between operators and lets one pool use every CPU instead of
+    splitting the budget across stages.  The LM table is fetched once per
+    actor from the broadcast ref."""
+
+    def __init__(
+        self,
+        rule_configs,
+        scrub_rules,
+        *,
+        model_ref=None,
+        use_langid: bool = True,
+        key_list=("repo", "lang"),
+        data_dir: str | None = None,
+        lineage_dir: str | None = None,
+    ):
+        self.text_stats = TextStats()
+        self.langid = LangIdScorer() if use_langid else None
+        self.ppl = PerplexityScorer(model_ref) if model_ref is not None else None
+        self.rules = RuleEvalScrub(rule_configs, scrub_rules)
+        self.sink = (
+            SinkStage(data_dir, lineage_dir, list(key_list), len(rule_configs))
+            if data_dir
+            else None
+        )
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        tbl = self.text_stats(tbl)
+        if self.langid is not None:
+            tbl = self.langid(tbl)
+        if self.ppl is not None:
+            col = tbl.column("content")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            tbl = tbl.append_column(
+                "perplexity", pa.array(self.ppl.score_array(col), pa.float64())
+            )
+        tbl = self.rules(tbl)
+        if self.sink is not None:
+            return self.sink(tbl)
+        return tbl
+
+
 def build_pipeline(ds, config: QualityFilterConfig):
     """Compose the streaming stage graph; returns the lazy scored+filtered
     Dataset (consume with write_parquet / iter_batches / rollup).
@@ -114,6 +174,10 @@ def build_pipeline(ds, config: QualityFilterConfig):
     starves the read/generate stages and deadlocks the stream).
     """
     bs = config.batch_size
+    conc = (
+        (1, config.actor_concurrency) if config.autoscale_actors
+        else config.actor_concurrency
+    )
     raw = ds  # LM trains on raw content — don't re-run upstream actor stages
     ds = ds.map_batches(TextStats(), batch_format="pyarrow", batch_size=bs,
                         zero_copy_batch=True)
@@ -122,22 +186,16 @@ def build_pipeline(ds, config: QualityFilterConfig):
             LangIdScorer,
             batch_format="pyarrow",
             batch_size=bs,
-            concurrency=(1, config.actor_concurrency),
+            concurrency=conc,
         )
     if config.use_perplexity:
-        import ray
-
-        # deterministic model from the corpus head; broadcast ONCE
-        model = build_reference_model(
-            raw.select_columns(["content"]), sample_rows=config.perplexity_sample_rows
-        )
-        model_ref = ray.put(model)
+        model_ref = _prepare_model_ref(raw, config)
         ds = ds.map_batches(
             PerplexityScorer,
             fn_constructor_kwargs={"model_ref": model_ref},
             batch_format="pyarrow",
             batch_size=bs,
-            concurrency=(1, config.actor_concurrency),
+            concurrency=conc,
         )
     rule_configs = config.suite.resolved_expectations()
     ds = ds.map_batches(
@@ -179,18 +237,30 @@ def rollup_partial_fn(key_list: list[str], n_rules: int):
 
 
 def _rollup_from_partials(partials_ds, suite: ExpectationSuite, keys) -> list[dict[str, Any]]:
+    """Merge per-batch rollup partials into final per-key suite results.
+
+    Partials are already pre-aggregated per batch (≤ |keys| rows each), so
+    the merge is a driver-side pandas groupby over #batches × |keys| rows —
+    no Ray shuffle (a Ray groupby on this tiny table costs seconds of fixed
+    overhead).  At extreme batch counts, insert one ``partials_ds.repartition
+    (k).map_batches(local_sum)`` tree level before collecting."""
+    import pandas as pd
+
     rule_configs = suite.resolved_expectations()
     n_rules = len(rule_configs)
     key_list = list(keys)
     agg_cols = ["rows_sum", "kept_sum"] + [f"viol_{i}_sum" for i in range(n_rules)]
-    grouped = partials_ds.groupby(key_list).sum(agg_cols)
+    df = pd.DataFrame(partials_ds.take_all())
+    if len(df) == 0:
+        return []
+    grouped = df.groupby(key_list, as_index=False)[agg_cols].sum()
     out = []
-    for row in grouped.take_all():
-        rows = row[f"sum({agg_cols[0]})"]
-        kept = row[f"sum({agg_cols[1]})"]
+    for _, row in grouped.iterrows():
+        rows = int(row[agg_cols[0]])
+        kept = int(row[agg_cols[1]])
         results = []
         for i, cfg in enumerate(rule_configs):
-            viol = row[f"sum(viol_{i}_sum)"]
+            viol = int(row[f"viol_{i}_sum"])
             success = True if rows == 0 else mostly_success(
                 rows, viol, cfg.kwargs.get("mostly", 1.0)
             )
@@ -253,10 +323,35 @@ class SinkStage:
             os.makedirs(self.lineage_dir, exist_ok=True)
             name = f"{self.prefix}-{uuid.uuid4().hex}.parquet"
             kept_tbl = tbl.filter(np.asarray(tbl.column("keep"), dtype=bool))
+            # zstd: ~2-4x smaller than snappy on source code, keeps the sink
+            # off the disk-bandwidth floor
             if kept_tbl.num_rows:
-                pq.write_table(kept_tbl, os.path.join(self.data_dir, name))
-            pq.write_table(tbl.select(LINEAGE_COLS), os.path.join(self.lineage_dir, name))
+                pq.write_table(kept_tbl, os.path.join(self.data_dir, name),
+                               compression="zstd")
+            pq.write_table(tbl.select(LINEAGE_COLS), os.path.join(self.lineage_dir, name),
+                           compression="zstd")
         return self.partial(tbl)
+
+
+def _prepare_model_ref(raw_ds, config: QualityFilterConfig):
+    """Load/train the deterministic LM and broadcast it once."""
+    if not config.use_perplexity:
+        return None
+    import os
+
+    import ray
+
+    model = None
+    if config.perplexity_model_path and os.path.exists(config.perplexity_model_path):
+        model = np.load(config.perplexity_model_path)
+    if model is None:
+        model = build_reference_model(
+            raw_ds.select_columns(["content"]),
+            sample_rows=config.perplexity_sample_rows,
+        )
+        if config.perplexity_model_path:
+            np.save(config.perplexity_model_path, model)
+    return ray.put(model)
 
 
 def run_quality_filter(
@@ -265,27 +360,63 @@ def run_quality_filter(
     *,
     output_dir: Optional[str] = None,
 ):
-    """End-to-end run.  With ``output_dir``: ONE streaming pass writes kept
-    rows (scrubbed content) under ``data/`` and full lineage (content-free)
-    under ``lineage/`` from inside the terminal stage, and the rollup is
-    computed from the in-flight partials.  Without: returns the materialized
+    """End-to-end run through ONE fused actor-pool stage (no content column
+    ever crosses an operator boundary).
+
+    With ``output_dir``: the terminal stage writes kept rows (scrubbed
+    content) under ``data/`` and content-free lineage under ``lineage/`` and
+    only tiny rollup partials flow back.  Without: returns the materialized
     scored dataset + rollup (test scale only)."""
     config = config or QualityFilterConfig()
-    scored = build_pipeline(ds, config)
-    n_rules = len(config.suite.resolved_expectations())
-    key_list = list(config.rollup_keys)
+    model_ref = _prepare_model_ref(ds, config)
+    conc = (
+        (1, config.actor_concurrency) if config.autoscale_actors
+        else config.actor_concurrency
+    )
+    rule_configs = config.suite.resolved_expectations()
+    if not config.use_perplexity:
+        # scorer disabled -> its score column never exists; drop rules on it
+        rule_configs = [
+            c for c in rule_configs if c.kwargs.get("column") != "perplexity"
+        ]
+    if not config.use_langid:
+        rule_configs = [
+            c for c in rule_configs
+            if c.kwargs.get("column") not in ("lang_pred", "langid_score")
+        ]
+    effective_suite = ExpectationSuite(config.suite.name, list(rule_configs))
+    common = dict(
+        rule_configs=rule_configs,
+        scrub_rules=config.scrub_rules,
+        model_ref=model_ref,
+        use_langid=config.use_langid,
+        key_list=list(config.rollup_keys),
+    )
 
     if output_dir is None:
-        scored = scored.materialize()  # test scale only
+        scored = ds.map_batches(
+            FusedQualityStage,
+            fn_constructor_kwargs=common,
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=conc,
+            zero_copy_batch=True,
+        ).materialize()  # test scale only
         kept = scored.filter(expr="keep == True")
-        report = rollup(scored, config.suite, config.rollup_keys)
+        report = rollup(scored, effective_suite, config.rollup_keys)
         return {"scored": scored, "kept": kept, "rollup": report}
 
     import os
 
     data_dir = os.path.join(output_dir, "data")
     lineage_dir = os.path.join(output_dir, "lineage")
-    sink = SinkStage(data_dir, lineage_dir, key_list, n_rules)
-    partials = scored.map_batches(sink, batch_format="pyarrow", zero_copy_batch=True)
-    report = _rollup_from_partials(partials, config.suite, config.rollup_keys)
+    partials = ds.map_batches(
+        FusedQualityStage,
+        fn_constructor_kwargs=dict(common, data_dir=data_dir, lineage_dir=lineage_dir),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=conc,
+        zero_copy_batch=True,
+    )
+    report = _rollup_from_partials(partials, effective_suite, config.rollup_keys)
     return {"data_dir": data_dir, "lineage_dir": lineage_dir, "rollup": report}

@@ -80,23 +80,36 @@ class LangIdScorer:
         self.column = column
         self.features = features or LANG_FEATURES
         self.langs = list(self.features)
-        # flat (lang_idx, pattern, weight) spec; patterns stay RE2 strings —
-        # pyarrow compiles and caches them internally per kernel call
-        self.spec = [
-            (li, pat, w)
-            for li, lang in enumerate(self.langs)
-            for pat, w in self.features[lang]
-        ]
+        # fold each language's patterns into TWO alternation scans (weight>=2
+        # group and the rest) — 2 scans/lang instead of one per feature keeps
+        # the stage scan-bound at ~1/3 the memory traffic; counts of an
+        # alternation equal the sum of its branch counts (branches are
+        # non-overlapping keyword shapes)
+        self.spec = []
+        for li, lang in enumerate(self.langs):
+            hi = [p for p, w in self.features[lang] if w >= 2.0]
+            lo = [p for p, w in self.features[lang] if w < 2.0]
+            if hi:
+                self.spec.append((li, "(?:" + "|".join(hi) + ")", 2.5))
+            if lo:
+                self.spec.append((li, "(?:" + "|".join(lo) + ")", 1.2))
+
+    #: only the first PREFIX_CHARS of each file are scanned — language signal
+    #: saturates long before that, and it bounds per-row cost on mega-files
+    PREFIX_CHARS = 2048
 
     def score(self, content: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
+        content = pc.utf8_slice_codeunits(pc.fill_null(content, ""), 0, self.PREFIX_CHARS)
         n = len(content)
         scores = np.zeros((len(self.langs), n), dtype=np.float64)
         for li, pat, w in self.spec:
             cnt = pc.count_substring_regex(content, pat)
+            # cap bounds mega-file dominance without flattening real signal
+            # (a tight cap saturates repetitive files into cross-language ties)
             scores[li] += w * np.minimum(
-                np.asarray(pc.fill_null(cnt, 0), dtype=np.float64), 5.0
+                np.asarray(pc.fill_null(cnt, 0), dtype=np.float64), 25.0
             )
         # length normalization so megafiles don't win on raw counts
         lengths = np.asarray(pc.fill_null(pc.utf8_length(content), 0), dtype=np.float64)

@@ -1,0 +1,329 @@
+"""Near-duplicate detection — MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.  The wide-op family a training-data pipeline needs beyond
+the reference's exact-uniqueness expectations (SURVEY §2.6).
+
+All variants share the scalable shape:
+
+    map_batches (vectorized signature per row)
+      -> explode to (bucket_key, doc_id) rows            [tiny vs content]
+      -> ONE groupby(bucket_key)                         [the only shuffle]
+      -> within-bucket candidate marking / verification  [groups are small]
+
+A document is marked duplicate iff it shares a bucket with a LOWER-keyed
+document (deterministic keep-first).  Bucket-connected marking is the
+standard LSH approximation of connected components; a verification predicate
+(true Jaccard / cosine / hamming) can be applied within buckets before
+marking.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling polynomial hashes of all k-byte shingles, flattened across the
+    batch, plus per-row shingle counts.  Fully vectorized over the
+    concatenated byte stream (row-crossing windows are dropped)."""
+    n = len(offsets) - 1
+    lens = offsets[1:] - offsets[:-1]
+    counts = np.maximum(lens - k + 1, 0)
+    if data.size == 0 or counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    # polynomial rolling hash base 257 mod 2^61-1 over the whole stream via
+    # prefix sums in uint64 with explicit mod (python ints too slow):
+    # H[i] = sum_{j<i} data[j] * B^{i-1-j}.  Window hash derived from two
+    # prefixes needs modpow arrays — simpler: direct k-column sum since k is
+    # small (5-10): hash = sum_j data[i+j] * B^j  (not rolling, k gathers)
+    B = np.uint64(1099511628211)  # FNV prime as mixing base
+    total = int(counts.sum())
+    # window start positions (global stream indices), per row
+    starts_per_row = offsets[:-1]
+    win_starts = np.repeat(starts_per_row, counts) + _concat_aranges(counts)
+    h = np.zeros(total, dtype=np.uint64)
+    mult = np.uint64(1)
+    for j in range(k):
+        h = h * B + data[win_starts + j].astype(np.uint64)
+    return h, counts
+
+
+def _concat_aranges(counts: np.ndarray) -> np.ndarray:
+    """[arange(c) for c in counts] concatenated, vectorized."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    seg_starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg_starts[1:])
+    return np.arange(total, dtype=np.int64) - np.repeat(seg_starts, counts)
+
+
+def minhash_signatures(
+    content: pa.Array | pa.ChunkedArray,
+    *,
+    num_perm: int = 128,
+    shingle_k: int = 8,
+    seed: int = 17,
+) -> np.ndarray:
+    """(n, num_perm) uint64 MinHash signatures, vectorized.
+
+    Permutations are universal hashes a*x+b over the shingle hash set;
+    per-row minima via ``np.minimum.reduceat``.  Rows with no shingles get
+    all-max signatures (never collide)."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    content = pc.fill_null(content, "")
+    if not pa.types.is_large_string(content.type):
+        content = pc.cast(content, pa.large_string())
+    bufs = content.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+        content.offset : content.offset + len(content) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    n = len(content)
+
+    hashes, counts = _shingle_hashes(data, offsets, shingle_k)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if hashes.size:
+        firsts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=firsts[1:])
+        # double chunking bounds the (shingles × perms) temporary to ~64 MiB:
+        # row chunks of <=256k shingles × perm slices of 32
+        row_chunks: list[tuple[int, int]] = []
+        lo = 0
+        acc = 0
+        for i in range(n):
+            acc += counts[i]
+            if acc >= 256_000:
+                row_chunks.append((lo, i + 1))
+                lo, acc = i + 1, 0
+        if lo < n:
+            row_chunks.append((lo, n))
+        for r0, r1 in row_chunks:
+            rows = np.arange(r0, r1)
+            rows = rows[counts[r0:r1] > 0]
+            if not len(rows):
+                continue
+            s0 = firsts[rows[0]]
+            s1 = firsts[rows[-1]] + counts[rows[-1]]
+            hs = hashes[s0:s1]
+            local_firsts = firsts[rows] - s0
+            for p0 in range(0, num_perm, 32):
+                p1 = min(p0 + 32, num_perm)
+                hv = hs[:, None] * a[None, p0:p1] + b[None, p0:p1]  # uint64 wrap mixing
+                mins = np.minimum.reduceat(hv, local_firsts, axis=0)
+                sig[rows, p0:p1] = mins
+    return sig
+
+
+def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 band hashes (rows of each band hashed together)."""
+    n, num_perm = sig.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    B = np.uint64(1099511628211)
+    for bi in range(bands):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(bi * r, (bi + 1) * r):
+            h = h * B + sig[:, j]
+        out[:, bi] = h
+    return out
+
+
+def minhash_lsh_mark_duplicates(
+    ds,
+    *,
+    text_col: str = "content",
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 8,
+    seed: int = 17,
+    jaccard_threshold: float | None = None,
+):
+    """Returns a Dataset of (id_col, is_neardup) — is_neardup True iff the
+    row shares an LSH bucket with a lower id (after optional signature-
+    Jaccard verification within the bucket)."""
+    r = num_perm // bands
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        sig = minhash_signatures(
+            tbl.column(text_col), num_perm=num_perm, shingle_k=shingle_k, seed=seed
+        )
+        bk = band_keys(sig, bands)
+        n = len(sig)
+        ids = np.asarray(tbl.column(id_col))
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        out = {
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(band_id),
+            "bkey": pa.array(bk.reshape(-1)),
+        }
+        if jaccard_threshold is not None:
+            # ship the full signature per (row, band) for in-bucket verify
+            out["sig"] = pa.array(list(np.repeat(sig, bands, axis=0)))
+        return pa.table(out)
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        if jaccard_threshold is None:
+            dup = np.zeros(len(g), dtype=bool)
+            dup[1:] = True  # everyone but the lowest id in the bucket
+        else:
+            sigs = np.stack(g["sig"].to_numpy())
+            dup = np.zeros(len(g), dtype=bool)
+            for i in range(1, len(g)):
+                sim = (sigs[i] == sigs[:i]).mean(axis=1).max()
+                dup[i] = sim >= jaccard_threshold
+        return pd.DataFrame({id_col: ids, "is_neardup": dup})
+
+    marked = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bkey"])
+        .map_groups(mark, batch_format="pandas")
+    )
+    # a doc is near-dup if ANY band marked it
+    return marked.groupby(id_col).max("is_neardup")
+
+
+def simhash64(
+    content: pa.Array | pa.ChunkedArray, *, seed: int = 29
+) -> np.ndarray:
+    """64-bit SimHash per row from whitespace tokens (crc32-hashed, mixed to
+    64 bits).  Token extraction is Arrow; the crc loop is per-token C calls."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    content = pc.fill_null(content, "")
+    tokens = pc.split_pattern_regex(pc.cast(content, pa.string()), r"\s+")
+    flat = tokens.values
+    tok_counts = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
+    mix = np.uint64(0x9E3779B97F4A7C15 + seed)
+    tok_hashes = np.fromiter(
+        (zlib.crc32(t.as_py().encode()) for t in flat),
+        dtype=np.uint64,
+        count=len(flat),
+    )
+    tok_hashes = (tok_hashes * mix) ^ (tok_hashes >> np.uint64(13))
+    tok_hashes *= np.uint64(0xC2B2AE3D27D4EB4F)
+
+    bits = ((tok_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    bits = bits * 2 - 1  # ±1
+    n = len(tok_counts)
+    out = np.zeros(n, dtype=np.uint64)
+    nonzero = tok_counts > 0
+    firsts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tok_counts[:-1], out=firsts[1:])
+    if len(flat):
+        sums = np.add.reduceat(bits, firsts[nonzero], axis=0)
+        sim_bits = (sums > 0).astype(np.uint64)
+        vals = (sim_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonzero] = vals
+    return out
+
+
+def simhash_mark_duplicates(ds, *, text_col: str = "content", id_col: str,
+                            seed: int = 29, n_bands: int = 4):
+    """Hamming-distance blocking: 4 bands of 16 bits; docs sharing any band
+    value with a lower id are near-dup candidates (catches hamming <= 3
+    within 64 bits by pigeonhole when bands are intact)."""
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        h = simhash64(tbl.column(text_col), seed=seed)
+        ids = np.asarray(tbl.column(id_col))
+        parts = []
+        for bi in range(n_bands):
+            band_val = (h >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            parts.append(pa.table({
+                id_col: pa.array(ids),
+                "band": pa.array(np.full(len(ids), bi, dtype=np.int64)),
+                "bkey": pa.array(band_val),
+                "simhash": pa.array(h),
+            }))
+        return pa.concat_tables(parts)
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        dup = np.zeros(len(g), dtype=bool)
+        dup[1:] = True
+        return pd.DataFrame({id_col: ids, "is_neardup": dup})
+
+    marked = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bkey"])
+        .map_groups(mark, batch_format="pandas")
+    )
+    return marked.groupby(id_col).max("is_neardup")
+
+
+def ngram_jaccard(a: str, b: str, k: int = 8) -> float:
+    """Exact k-gram Jaccard — the in-bucket verification predicate."""
+    sa = {a[i : i + k] for i in range(max(len(a) - k + 1, 0))}
+    sb = {b[i : i + k] for i in range(max(len(b) - k + 1, 0))}
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def embedding_mark_duplicates(
+    ds,
+    *,
+    emb_col: str = "embedding",
+    id_col: str,
+    cosine_threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 7,
+):
+    """Embedding near-dup: random-hyperplane LSH buckets, exact cosine verify
+    within buckets against every lower-id member."""
+    from great_expectations_ray.stages.ann import _emb_matrix, lsh_bucket_assignments
+
+    planes_holder = {}
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        M = _emb_matrix(tbl.column(emb_col))
+        if "p" not in planes_holder:
+            rng = np.random.default_rng(seed)
+            planes_holder["p"] = rng.standard_normal((n_planes, M.shape[1] if M.size else 1))
+        buckets = lsh_bucket_assignments(M, planes_holder["p"]) if M.size else np.empty(0, np.int64)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            "bkey": pa.array(buckets),
+            emb_col: tbl.column(emb_col),
+        })
+
+    def mark(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        M = np.stack(g[emb_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        dup = np.zeros(len(g), dtype=bool)
+        for i in range(1, len(g)):
+            sims = (M[:i] @ M[i]) / np.maximum(norms[:i] * norms[i], 1e-30)
+            dup[i] = bool((sims >= cosine_threshold).any())
+        return pd.DataFrame({id_col: ids, "is_neardup": dup})
+
+    marked = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bkey")
+        .map_groups(mark, batch_format="pandas")
+    )
+    return marked.groupby(id_col).max("is_neardup")

@@ -61,11 +61,11 @@ class Scrubber:
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
         scrubbed = content
-        hit = np.zeros(len(content), dtype=bool)
         for _name, pattern, repl in self.rules:
-            matched = pc.match_substring_regex(scrubbed, pattern)
-            hit |= np.asarray(pc.fill_null(matched, False), dtype=bool)
             scrubbed = pc.replace_substring_regex(scrubbed, pattern=pattern, replacement=repl)
+        # hit = content changed (replacements never equal their match, so
+        # inequality is exact and saves one match-scan per rule)
+        hit = ~np.asarray(pc.fill_null(pc.equal(scrubbed, content), True), dtype=bool)
         return scrubbed, hit
 
     def __call__(self, tbl: pa.Table) -> pa.Table:

@@ -1,0 +1,190 @@
+"""Extended engine coverage: ordered, KL, chi-square, Cramér's φ,
+cross-table row count, UDF predicate hook, stubs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray import ExpectationSuite, validate
+from great_expectations_ray.engine import validate as validate_full
+
+
+@pytest.fixture(scope="module")
+def ordered_ds():
+    import ray.data as rd
+
+    # 3 groups: g0 increasing, g1 has 2 violations, g2 single row
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 5 + ["c"],
+        "ts": list(range(5)) + list(range(5)) + [0],
+        "v": [1, 2, 3, 4, 5] + [1, 3, 2, 5, 4] + [9],
+    })
+    return rd.from_arrow(t).repartition(3)
+
+
+def test_increasing_grouped(ordered_ds):
+    suite = ExpectationSuite("o").add(
+        "expect_column_values_to_be_increasing",
+        column="v", partition_by="g", order_by="ts",
+    )
+    r = validate(ordered_ds, suite).results[0]
+    assert r.result["element_count"] == 11
+    assert r.result["unexpected_count"] == 2
+    assert not r.success
+    # strictly decreasing on same data
+    suite2 = ExpectationSuite("o2").add(
+        "expect_column_values_to_be_decreasing",
+        column="v", partition_by="g", order_by="ts", strictly=True,
+    )
+    r2 = validate(ordered_ds, suite2).results[0]
+    assert r2.result["unexpected_count"] == 8 - 2  # non-decreasing steps
+
+
+def test_ordered_requires_keys(ordered_ds):
+    suite = ExpectationSuite("bad").add(
+        "expect_column_values_to_be_increasing", column="v"
+    )
+    r = validate(ordered_ds, suite).results[0]
+    assert not r.success and r.exception_info["raised_exception"]
+
+
+@pytest.fixture(scope="module")
+def dist_ds():
+    import ray.data as rd
+
+    vals = ["x"] * 50 + ["y"] * 30 + ["z"] * 20
+    nums = list(np.random.default_rng(5).uniform(0, 10, 200))
+    return rd.from_arrow(pa.table({
+        "cat": pa.array(vals * 2, pa.string()),
+        "num": pa.array(nums, pa.float64()),
+    })).repartition(4)
+
+
+def test_kl_discrete(dist_ds):
+    suite = ExpectationSuite("kl").add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="cat",
+        partition_object={"values": ["x", "y", "z"], "weights": [0.5, 0.3, 0.2]},
+        threshold=0.05,
+    )
+    r = validate(dist_ds, suite).results[0]
+    assert r.success, r.to_json_dict()
+    assert r.result["observed_value"] == pytest.approx(0.0, abs=1e-6)
+    # unexpected support value -> inf -> failure
+    suite2 = ExpectationSuite("kl2").add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="cat",
+        partition_object={"values": ["x", "y"], "weights": [0.6, 0.4]},
+        threshold=10.0,
+    )
+    r2 = validate(dist_ds, suite2).results[0]
+    assert not r2.success and r2.result["observed_value"] is None
+
+
+def test_kl_continuous(dist_ds):
+    suite = ExpectationSuite("klc").add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="num",
+        partition_object={"bins": [0, 2.5, 5, 7.5, 10], "weights": [0.25] * 4},
+        threshold=0.1,
+    )
+    r = validate(dist_ds, suite).results[0]
+    assert r.success, r.to_json_dict()
+    assert 0 <= r.result["observed_value"] < 0.1
+
+
+def test_chisquare(dist_ds):
+    suite = ExpectationSuite("chi").add(
+        "expect_column_chisquare_test_p_value_to_be_greater_than",
+        column="cat",
+        partition_object={"values": ["x", "y", "z"], "weights": [0.5, 0.3, 0.2]},
+        p=0.05,
+    )
+    r = validate(dist_ds, suite).results[0]
+    assert r.success
+    assert r.result["observed_value"] > 0.9  # exact match distribution
+
+
+def test_chisquare_pvalue_math():
+    from great_expectations_ray.functions.stats_math import chi2_sf, chisquare_test
+
+    # known values: chi2_sf(3.84, 1) ~ 0.05; chi2_sf(5.99, 2) ~ 0.05
+    assert chi2_sf(3.841458820694124, 1) == pytest.approx(0.05, rel=1e-6)
+    assert chi2_sf(5.991464547107979, 2) == pytest.approx(0.05, rel=1e-6)
+    stat, p = chisquare_test([50, 30, 20], [50, 30, 20])
+    assert stat == 0 and p == pytest.approx(1.0)
+
+
+def test_cramers_phi(dist_ds):
+    import ray.data as rd
+
+    # perfectly associated pair -> phi = 1; independent -> ~0
+    t = pa.table({
+        "a": ["p", "q"] * 100,
+        "b_assoc": ["P", "Q"] * 100,
+        "b_indep": ["P"] * 100 + ["Q"] * 100,
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    suite = (
+        ExpectationSuite("cr")
+        .add("expect_column_pair_cramers_phi_value_to_be_less_than",
+             column_A="a", column_B="b_assoc", threshold=0.5)
+        .add("expect_column_pair_cramers_phi_value_to_be_less_than",
+             column_A="a", column_B="b_indep", threshold=0.5)
+    )
+    res = validate(ds, suite)
+    assert not res.results[0].success
+    assert res.results[0].result["observed_value"] == pytest.approx(1.0)
+    assert res.results[1].success
+
+
+def test_cross_table_row_count(fixture_ds):
+    import ray.data as rd
+
+    other = rd.range(100)
+    suite = ExpectationSuite("x").add(
+        "expect_table_row_count_to_equal_other_table", other_table_name="o"
+    )
+    res = validate_full(fixture_ds, suite, other_tables={"o": other})
+    assert res.results[0].success
+    assert res.results[0].result["observed_value"] == {"self": 100, "other": 100}
+
+
+def test_unexpected_rows_dsl(fixture_ds):
+    suite = ExpectationSuite("u").add(
+        "unexpected_rows_expectation",
+        unexpected_condition='col("n_int") > 45',
+        sample_column="n_int",
+    )
+    r = validate(fixture_ds, suite).results[0]
+    import pandas as pd
+
+    assert r.result["unexpected_count"] > 0
+    assert all(int(v) > 45 for v in r.result["partial_unexpected_list"])
+
+
+def test_unexpected_rows_callable(fixture_ds):
+    # lambda -> cloudpickle serializes by VALUE (a module-level function in
+    # tests/ would be pickled by reference and fail to import in workers)
+    suite = ExpectationSuite("u2").add(
+        "unexpected_rows_expectation",
+        unexpected_fn=lambda tbl: __import__("pyarrow").compute.greater(
+            tbl.column("mc_3"), 2
+        ).combine_chunks().to_numpy(zero_copy_only=False),
+    )
+    r = validate(fixture_ds, suite).results[0]
+    assert r.result["unexpected_count"] == 90  # mc_3 == 3 in 90 rows
+
+
+def test_ks_stub_fails_cleanly(fixture_ds):
+    suite = ExpectationSuite("ks").add(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="n_float",
+    )
+    r = validate(fixture_ds, suite).results[0]
+    assert not r.success
+    assert "stub" in r.exception_info["exception_message"]

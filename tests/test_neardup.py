@@ -1,0 +1,105 @@
+"""Near-dup family: MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray.corpus import corpus_batch
+from great_expectations_ray.stages.neardup import (
+    band_keys,
+    embedding_mark_duplicates,
+    minhash_lsh_mark_duplicates,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+    simhash_mark_duplicates,
+)
+
+
+def _corpus_ds(n=1000):
+    import ray.data as rd
+
+    t = corpus_batch(0, n).to_pandas()
+    t["doc_id"] = t.path.str.extract(r"file_(\d+)\.").astype(int)
+    return rd.from_pandas(t), t
+
+
+def test_minhash_estimates_jaccard():
+    a = "def process(data):\n    return sum(x.value for x in data)\n" * 4
+    b = a.replace("process", "handle")
+    true_j = ngram_jaccard(a, b, k=8)
+    sigs = minhash_signatures(pa.array([a, b], pa.large_string()), num_perm=256)
+    est = float((sigs[0] == sigs[1]).mean())
+    assert abs(est - true_j) < 0.12
+
+
+def test_minhash_flags_exact_dup_groups():
+    ds, df = _corpus_ds(1000)
+    out = minhash_lsh_mark_duplicates(ds, text_col="content", id_col="doc_id")
+    marked = pd.DataFrame(out.take_all()).rename(columns={"max(is_neardup)": "is_neardup"})
+    m = df.merge(marked, on="doc_id")
+    # rows sharing identical canonical content: all but the smallest id flagged
+    dup_groups = m[m.content.str.endswith("# canonical\n")].groupby("content")
+    for _, g in dup_groups:
+        if len(g) > 1:
+            flags = g.sort_values("doc_id").is_neardup.tolist()
+            assert flags[1:] == [True] * (len(g) - 1), g[["doc_id", "is_neardup"]]
+
+
+def test_simhash_identical_and_different():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    c = "completely different content about databases and queries " * 5
+    h = simhash64(pa.array([a, a, c], pa.string()))
+    assert h[0] == h[1]
+    assert bin(int(h[0]) ^ int(h[2])).count("1") > 10
+
+
+def test_simhash_flags_exact_dups():
+    ds, df = _corpus_ds(600)
+    out = simhash_mark_duplicates(ds, text_col="content", id_col="doc_id")
+    marked = pd.DataFrame(out.take_all()).rename(columns={"max(is_neardup)": "is_neardup"})
+    m = df.merge(marked, on="doc_id")
+    canon = m[m.content.str.endswith("# canonical\n")]
+    for _, g in canon.groupby("content"):
+        if len(g) > 1:
+            assert g.sort_values("doc_id").is_neardup.tolist()[1:] == [True] * (len(g) - 1)
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdefghij", "abcdefghij") == 1.0
+    assert ngram_jaccard("abcdefghij", "zzzzzzzzzz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdefghijklmno", "abcdefghijklmnX") < 1.0
+
+
+def test_embedding_neardup_planted():
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    planted = base[:10] + rng.standard_normal((10, 16)) * 0.01  # near-copies
+    M = np.vstack([base, planted])
+    t = pa.table({
+        "vec_id": pa.array(np.arange(60), pa.int64()),
+        "embedding": pa.array([list(map(float, row)) for row in M],
+                              pa.list_(pa.float32())),
+    })
+    out = embedding_mark_duplicates(rd.from_arrow(t), id_col="vec_id",
+                                    cosine_threshold=0.98, n_planes=6)
+    marked = pd.DataFrame(out.take_all()).rename(columns={"max(is_neardup)": "is_neardup"})
+    dup_ids = set(marked[marked.is_neardup].vec_id)
+    planted_ids = set(range(50, 60))
+    # LSH bucketing is approximate: most planted copies must be caught,
+    # and no unplanted vector may be falsely flagged
+    assert len(dup_ids & planted_ids) >= 7
+    assert not (dup_ids - planted_ids)
+
+
+def test_band_keys_shape():
+    sigs = minhash_signatures(pa.array(["hello world example text"] * 3, pa.string()),
+                              num_perm=64)
+    bk = band_keys(sigs, bands=8)
+    assert bk.shape == (3, 8)
+    assert (bk[0] == bk[1]).all()
