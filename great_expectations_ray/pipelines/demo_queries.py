@@ -458,6 +458,83 @@ FROM o GROUP BY user_id ORDER BY user_id
 # --------------------------------------------------------------------------- #
 
 
+def q_tumbling_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour windows per user (bucket groupby, no ordering)."""
+    from great_expectations_ray.stages.windows import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, ts_col="ts", key_col="user_id",
+                              value_col="value", width_us=3_600_000_000)
+    rows = out.take_all()
+    df = pd.DataFrame([{
+        "user_id": r["user_id"], "window_start": r["window_start"],
+        "n": r["sum(cnt_sum)"], "sum_value": round(r["sum(val_sum_sum)"], 2),
+    } for r in rows])
+    return df.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+SQL_TUMBLING_EVENTS = """
+SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_session_events(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min gap) per user — ordered map_groups."""
+    from great_expectations_ray.stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = session_windows(ds, ts_col="ts", key_col="user_id", gap_us=1_800_000_000)
+    df = pd.DataFrame(out.take_all())
+    return df.sort_values(["user_id", "session_start"]).reset_index(drop=True)[
+        ["user_id", "session_start", "session_end", "n_events"]
+    ]
+
+
+SQL_SESSION_EVENTS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+o AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
+def q_sliding_events(sf_dir: str) -> pd.DataFrame:
+    """Sliding windows (1h width / 15min slide) per user."""
+    from great_expectations_ray.stages.windows import sliding_window_agg
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = sliding_window_agg(ds, ts_col="ts", key_col="user_id",
+                             value_col="value",
+                             width_us=3_600_000_000, slide_us=900_000_000)
+    rows = out.take_all()
+    df = pd.DataFrame([{
+        "user_id": r["user_id"], "window_start": r["window_start"],
+        "n": r["sum(cnt_sum)"], "sum_value": round(r["sum(val_sum_sum)"], 2),
+    } for r in rows])
+    return df.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+SQL_SLIDING_EVENTS = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+x AS (SELECT user_id,
+             ((t // 900000000) * 900000000) - i * 900000000 AS window_start,
+             value
+      FROM e CROSS JOIN range(4) s(i)
+      WHERE ((t // 900000000) * 900000000) - i * 900000000 > t - 3600000000)
+SELECT user_id, window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_token_stats_docs(sf_dir: str) -> pd.DataFrame:
     """Token counting + alnum counting, per-lang rollup (vectorized RE2)."""
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
@@ -856,6 +933,9 @@ QUERIES = {
     "qf_corpus_rollup": q_qf_corpus_rollup,
     "content_sha_corpus": q_content_sha_corpus,
     "sha_prefix_dedup": q_sha_prefix_dedup,
+    "tumbling_events": q_tumbling_events,
+    "session_events": q_session_events,
+    "sliding_events": q_sliding_events,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -891,4 +971,7 @@ ORACLE_SQL = {
     "qf_corpus_rollup": SQL_QF_CORPUS_ROLLUP,
     "content_sha_corpus": SQL_CONTENT_SHA_CORPUS,
     "sha_prefix_dedup": SQL_SHA_PREFIX_DEDUP,
+    "tumbling_events": SQL_TUMBLING_EVENTS,
+    "session_events": SQL_SESSION_EVENTS,
+    "sliding_events": SQL_SLIDING_EVENTS,
 }

@@ -51,14 +51,20 @@ def dedup_exact(ds, key_columns: list[str], order_by: str):
     size = dup count, which `head(1)` reduces immediately.
     """
 
-    def add_key(tbl: pa.Table) -> pa.Table:
-        return tbl.append_column("__dedup_key", composite_key_column(tbl, key_columns))
+    from great_expectations_ray.stages.skew import local_keep_first
+
+    def add_key_and_prereduce(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.append_column("__dedup_key", composite_key_column(tbl, key_columns))
+        # map-side combine: ≤1 row per key leaves each batch, so a hot key
+        # (mega duplicate class) costs the reducer #batches rows, not its
+        # full group size (skew mitigation, SURVEY §4)
+        return local_keep_first(tbl, "__dedup_key", order_by)
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
         return group.nsmallest(1, order_by)
 
     return (
-        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(add_key_and_prereduce, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__dedup_key")
         .map_groups(keep_first, batch_format="pandas")
         .drop_columns(["__dedup_key"])
