@@ -1,0 +1,106 @@
+"""CLI — `ray job submit -- python -m great_expectations_ray run ...`.
+
+Commands:
+  run       quality-filter checkpoint over parquet input (resumable)
+  validate  apply a suite JSON to one table and print the suite result
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if cpus:
+            kwargs["num_cpus"] = cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args) -> int:
+    from great_expectations_ray.core.suite import ExpectationSuite
+    from great_expectations_ray.pipelines.checkpoint import run_checkpoint
+    from great_expectations_ray.pipelines.data_docs import write_data_docs
+    from great_expectations_ray.pipelines.quality_filter import QualityFilterConfig
+
+    _init_ray(args.cpus)
+    cfg_kwargs = dict(
+        use_langid=not args.no_langid,
+        use_perplexity=not args.no_perplexity,
+        actor_concurrency=args.actors,
+    )
+    if args.suite:
+        with open(args.suite) as f:
+            cfg_kwargs["suite"] = ExpectationSuite.from_json(f.read())
+    config = QualityFilterConfig(**cfg_kwargs)
+    actions = [] if args.no_docs else [lambda r: write_data_docs(args.output, r)]
+    res = run_checkpoint(
+        args.input, args.output, config=config,
+        n_partitions=args.partitions, actions=actions,
+    )
+    print(json.dumps({
+        "partitions_run": res.partitions_run,
+        "partitions_skipped": res.partitions_skipped,
+        **res.combined_counts(),
+    }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from great_expectations_ray.core.suite import ExpectationSuite
+    from great_expectations_ray.engine import validate
+    from great_expectations_ray.sources.readers import read_batch
+
+    _init_ray(args.cpus)
+    with open(args.suite) as f:
+        suite = ExpectationSuite.from_json(f.read())
+    ds = read_batch(args.input)
+    res = validate(ds, suite, result_format=args.result_format)
+    print(json.dumps(res.to_json_dict(), indent=1, default=str))
+    import ray
+
+    ray.shutdown()
+    return 0 if res.success else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="great_expectations_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="quality-filter checkpoint (resumable)")
+    r.add_argument("--input", required=True, help="input parquet glob")
+    r.add_argument("--output", required=True, help="output root directory")
+    r.add_argument("--suite", help="suite JSON path (default: built-in code-quality suite)")
+    r.add_argument("--partitions", type=int, default=8)
+    r.add_argument("--actors", type=int, default=4)
+    r.add_argument("--cpus", type=int, default=None)
+    r.add_argument("--no-langid", action="store_true")
+    r.add_argument("--no-perplexity", action="store_true")
+    r.add_argument("--no-docs", action="store_true")
+    r.set_defaults(fn=cmd_run)
+
+    v = sub.add_parser("validate", help="validate one table against a suite")
+    v.add_argument("--input", required=True)
+    v.add_argument("--suite", required=True)
+    v.add_argument("--result-format", default="SUMMARY",
+                   choices=["BOOLEAN_ONLY", "BASIC", "SUMMARY", "COMPLETE"])
+    v.add_argument("--cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_validate)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,127 @@
+"""Joins — not in the reference (SURVEY §2.6: GX has none), but required for
+real pipelines around it (lineage enrichment, metadata attachment).  Three
+scalable shapes per the Ray guide:
+
+- **broadcast_join**: small side published once via ``ray.put``; every batch
+  does an in-memory pandas merge.  No shuffle.
+- **semi/anti**: broadcast the KEY SET only; filter inside map_batches.
+- **hash_bucket_join**: both sides large — explicit partitioned hash join:
+  bucket on ``hash(key) % B`` both sides, union with a side tag, one
+  ``groupby(bucket)`` exchange, per-bucket pandas merge.  Salt hot keys by
+  raising B; bucket skew equals key skew only for pathological single keys.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, *, on: list[str] | str, how: str = "inner"):
+    """Join a Dataset against a SMALL pandas table (dimension side)."""
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    ref = ray.put(small_df)
+
+    class Joiner:
+        def __init__(self):
+            self.small = ray.get(ref)  # once per actor/task worker
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, on=on, how=how)
+
+    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+
+
+def broadcast_semi_anti(ds, keys, *, on: str, anti: bool = False):
+    """Semi (keep rows whose key IS in the set) / anti (is NOT) via a
+    broadcast key set."""
+    import ray
+
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr)
+
+    def f(tbl: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        m = pc.is_in(tbl.column(on), value_set=ks)
+        if anti:
+            m = pc.invert(m)
+        return tbl.filter(pc.fill_null(m, not anti if anti else False))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_bucket_join(
+    left,
+    right,
+    *,
+    on: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+    left_cols: Optional[list[str]] = None,
+    right_cols: Optional[list[str]] = None,
+):
+    """Partitioned hash join of two Datasets on one key column.
+
+    Both sides get ``bucket = key % n_buckets`` (integer keys; string keys
+    hash first), are tagged and unioned, then ONE groupby(bucket) co-locates
+    matching keys and a per-bucket pandas merge emits the joined rows."""
+    if left_cols:
+        left = left.select_columns(sorted(set(left_cols) | {on}))
+    if right_cols:
+        right = right.select_columns(sorted(set(right_cols) | {on}))
+
+    l_names = [c for c in left.schema().names if c != on]
+    r_names = [c for c in right.schema().names if c != on]
+    overlap = set(l_names) & set(r_names)
+    if overlap:
+        raise ValueError(f"overlapping non-key columns: {sorted(overlap)}")
+
+    def tag(side: str, other_names: list[str]):
+        def f(tbl: pa.Table) -> pa.Table:
+            key = tbl.column(on)
+            if pa.types.is_integer(key.type):
+                k64 = pc.cast(key, pa.int64())
+                bucket = pc.subtract(
+                    k64, pc.multiply(pc.divide(k64, n_buckets), n_buckets)
+                )
+            else:
+                from great_expectations_ray.stages.dedup import md5_column
+
+                h = md5_column(key)
+                tail = pc.utf8_slice_codeunits(h, 24, 32)
+                vals = np.array([int(v.as_py(), 16) for v in tail], dtype=np.int64)
+                bucket = pa.array(vals % n_buckets)
+            tbl = tbl.append_column("__bucket", pc.cast(bucket, pa.int64()))
+            tbl = tbl.append_column("__side", pa.array([side] * tbl.num_rows))
+            # align schema: null columns for the other side's fields
+            for c_name, c_type in other_names:
+                tbl = tbl.append_column(c_name, pa.nulls(tbl.num_rows, c_type))
+            return tbl
+
+        return f
+
+    l_schema = [(f.name, f.type) for f in _arrow_schema(left) if f.name != on]
+    r_schema = [(f.name, f.type) for f in _arrow_schema(right) if f.name != on]
+
+    tagged_l = left.map_batches(tag("l", r_schema), batch_format="pyarrow")
+    tagged_r = right.map_batches(tag("r", l_schema), batch_format="pyarrow")
+    combined = tagged_l.union(tagged_r)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][[on] + [n for n, _ in l_schema]]
+        rg = g[g["__side"] == "r"][[on] + [n for n, _ in r_schema]]
+        out = lg.merge(rg, on=on, how=how)
+        return out
+
+    return combined.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def _arrow_schema(ds):
+    sch = ds.schema()
+    return pa.schema(zip(sch.names, sch.types))

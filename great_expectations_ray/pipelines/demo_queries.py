@@ -762,6 +762,142 @@ FROM scored GROUP BY repo, lang ORDER BY repo, lang
 """
 
 
+def _grouped_sum(ds, keys: list[str], cols: list[str]):
+    """In-batch partial group + one groupby.sum (map-side combine)."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return tbl.select(keys + cols).group_by(keys).aggregate(
+            [(c, "sum") for c in cols]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys)
+        .sum([f"{c}_sum" for c in cols])
+    )
+
+
+def q_join_revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Broadcast joins (orders ⋈ customer ⋈ nation) -> revenue per nation."""
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.functions.joins import broadcast_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey")
+    joined = broadcast_join(joined, nation[["c_nationkey", "n_name"]], on="c_nationkey")
+
+    def add_one(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return tbl.append_column("one", pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
+
+    grouped = _grouped_sum(joined.map_batches(add_one, batch_format="pyarrow"),
+                           ["n_name"], ["one", "o_totalprice"])
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "n_name": r["n_name"], "n_orders": r["sum(one_sum)"],
+        "revenue": round(r["sum(o_totalprice_sum)"], 2),
+    } for r in rows])
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+SQL_JOIN_REVENUE_BY_NATION = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Large×large partitioned hash join (lineitem ⋈ orders on orderkey)."""
+    from great_expectations_ray.functions.joins import hash_bucket_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def rename_key(tbl: pa.Table) -> pa.Table:
+        return tbl.rename_columns(["l_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(rename_key, batch_format="pyarrow")
+    joined = hash_bucket_join(li, orders, on="l_orderkey", n_buckets=16)
+
+    def add_one(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return tbl.append_column("one", pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
+
+    grouped = _grouped_sum(joined.map_batches(add_one, batch_format="pyarrow"),
+                           ["o_orderpriority"], ["one", "l_quantity"])
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "o_orderpriority": r["o_orderpriority"], "n_items": r["sum(one_sum)"],
+        "sum_qty": r["sum(l_quantity_sum)"],
+    } for r in rows])
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_JOIN_LINEITEM_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Anti join via broadcast key set."""
+    from great_expectations_ray.functions.joins import broadcast_semi_anti
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    keys = orders.unique("o_custkey")  # small: distinct custkeys with orders
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    out = broadcast_semi_anti(cust, keys, on="c_custkey", anti=True)
+    ids = sorted(r["c_custkey"] for r in out.take_all())
+    return pd.DataFrame({"c_custkey": ids})
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY 1
+"""
+
+
+def q_orders_by_month(sf_dir: str) -> pd.DataFrame:
+    """Date-part partitioner (#§2.4): orders per (year, month)."""
+    from great_expectations_ray.functions.partitioners import partition_on_date_parts
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+    keyed = partition_on_date_parts(ds, "o_orderdate", ["year", "month"])
+
+    def add_one(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return tbl.append_column("one", pa.array(np.ones(tbl.num_rows, dtype=np.int64)))
+
+    grouped = _grouped_sum(keyed.map_batches(add_one, batch_format="pyarrow"),
+                           ["o_orderdate_year", "o_orderdate_month"], ["one"])
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "y": r["o_orderdate_year"], "m": r["o_orderdate_month"],
+        "n": r["sum(one_sum)"],
+    } for r in rows])
+    return df.sort_values(["y", "m"]).reset_index(drop=True)
+
+
+SQL_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+       count(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_content_sha_corpus(sf_dir: str) -> pd.DataFrame:
     """Row-for-row sha256 lineage parity (the north-rule per-row invariant):
     our vectorizable sha256 column vs DuckDB's sha256()."""
@@ -936,6 +1072,10 @@ QUERIES = {
     "tumbling_events": q_tumbling_events,
     "session_events": q_session_events,
     "sliding_events": q_sliding_events,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "orders_by_month": q_orders_by_month,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -974,4 +1114,8 @@ ORACLE_SQL = {
     "tumbling_events": SQL_TUMBLING_EVENTS,
     "session_events": SQL_SESSION_EVENTS,
     "sliding_events": SQL_SLIDING_EVENTS,
+    "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
+    "join_lineitem_orders": SQL_JOIN_LINEITEM_ORDERS,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "orders_by_month": SQL_ORDERS_BY_MONTH,
 }

@@ -1,0 +1,93 @@
+"""§2.4 partitioners/samplers + join shapes vs pandas oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray.functions.joins import (
+    broadcast_join,
+    broadcast_semi_anti,
+    hash_bucket_join,
+)
+from great_expectations_ray.functions.partitioners import (
+    partition_on_column_values,
+    partition_on_divided_integer,
+    partition_on_hashed_column,
+    partition_on_mod_integer,
+    sample_using_a_list,
+)
+
+
+@pytest.fixture(scope="module")
+def small_ds():
+    import ray.data as rd
+
+    t = pa.table({
+        "k": list(range(100)),
+        "name": [f"n{i % 7}" for i in range(100)],
+        "grp": [f"g{i % 3}" for i in range(100)],
+    })
+    return rd.from_arrow(t).repartition(4)
+
+
+def test_divided_and_mod(small_ds):
+    df = partition_on_divided_integer(small_ds, "k", 10).to_pandas()
+    assert (df.partition_key == df.k // 10).all()
+    df = partition_on_mod_integer(small_ds, "k", 7).to_pandas()
+    assert (df.partition_key == df.k % 7).all()
+
+
+def test_column_values_and_hashed(small_ds):
+    df = partition_on_column_values(small_ds, ["name", "grp"]).to_pandas()
+    assert (df.partition_key == df.name + "\x1f" + df.grp).all()
+    df = partition_on_hashed_column(small_ds, "name", 8).to_pandas()
+    exp = df.name.map(lambda v: int(hashlib.md5(str(v).encode()).hexdigest()[24:32], 16) % 8)
+    assert (df.partition_key == exp).all()
+
+
+def test_sample_using_a_list(small_ds):
+    out = sample_using_a_list(small_ds, "name", ["n0", "n1"]).to_pandas()
+    assert set(out.name) == {"n0", "n1"}
+    assert len(out) == sum(1 for i in range(100) if i % 7 in (0, 1))
+
+
+def test_broadcast_join_and_semi_anti(small_ds):
+    dim = pd.DataFrame({"grp": ["g0", "g1", "g2"], "label": ["A", "B", "C"]})
+    out = broadcast_join(small_ds, dim, on="grp").to_pandas()
+    assert len(out) == 100
+    assert (out.label == out.grp.str[1].map({"0": "A", "1": "B", "2": "C"})).all()
+
+    semi = broadcast_semi_anti(small_ds, ["n0"], on="name").to_pandas()
+    assert set(semi.name) == {"n0"}
+    anti = broadcast_semi_anti(small_ds, ["n0"], on="name", anti=True).to_pandas()
+    assert "n0" not in set(anti.name)
+    assert len(semi) + len(anti) == 100
+
+
+def test_hash_bucket_join_matches_pandas(small_ds):
+    import ray.data as rd
+
+    right = pa.table({"k": list(range(0, 100, 2)), "flag": [True] * 50})
+    rds = rd.from_arrow(right).repartition(3)
+    out = hash_bucket_join(small_ds, rds, on="k", n_buckets=8).to_pandas()
+    left_df = small_ds.to_pandas()
+    exp = left_df.merge(right.to_pandas(), on="k", how="inner")
+    got = out.sort_values("k").reset_index(drop=True)[["k", "name", "grp", "flag"]]
+    exp = exp.sort_values("k").reset_index(drop=True)[["k", "name", "grp", "flag"]]
+    got["flag"] = got.flag.astype(bool)  # union null-padding makes it nullable
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_hash_bucket_join_string_key():
+    import ray.data as rd
+
+    l = rd.from_arrow(pa.table({"s": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]}))
+    r = rd.from_arrow(pa.table({"s": ["a", "c"], "y": [10, 30]}))
+    out = hash_bucket_join(l, r, on="s", n_buckets=4).to_pandas()
+    assert len(out) == 3
+    assert set(zip(out.s, out.y)) == {("a", 10), ("a", 10), ("c", 30)} or \
+        sorted(out.y) == [10, 10, 30]
