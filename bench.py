@@ -84,7 +84,7 @@ def run_bench() -> dict:
 
         _prepare_model_ref(
             rd.read_parquet(corpus_dir),
-            QualityFilterConfig(perplexity_model_path=f"/tmp/gxr_bench_lm_v2_{n_rows}.npy"),
+            QualityFilterConfig(perplexity_model_path=f"/tmp/gxr_bench_lm_v4_{n_rows}.npy"),
         )
         ray.shutdown()
         return {"metric": "prime", "value": 0, "unit": "sec"}
@@ -94,15 +94,19 @@ def run_bench() -> dict:
         # proportional sizing keeps the N vs 4N comparison apples-to-apples
         actor_concurrency=max(2, (ncpus * 3) // 4),
         autoscale_actors=False,
-        perplexity_model_path=f"/tmp/gxr_bench_lm_v3_{n_rows}.npy",
+        batch_size=4096,
+        perplexity_model_path=f"/tmp/gxr_bench_lm_v4_{n_rows}.npy",
     )
     # best of 2: first run absorbs actor spin-up jitter and any straggling
     # write-back from a previous process; deleting outputs before they flush
     # keeps dirty pages off the disk
     headline = float("inf")
     n_groups = 0
+    # outputs land on tmpfs: they're deleted right after, and disk write-back
+    # of ~1 GB of doomed pages is what made consecutive legs interfere
+    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     for _ in range(2):
-        out_dir = tempfile.mkdtemp(prefix="gxr_bench_out_")
+        out_dir = tempfile.mkdtemp(prefix="gxr_bench_out_", dir=out_base)
         t0 = time.time()
         res = run_quality_filter(rd.read_parquet(corpus_dir), cfg, output_dir=out_dir)
         headline = min(headline, time.time() - t0)
@@ -145,7 +149,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # default N=8 vs 4N=32; override with --pair LO HI (e.g. --pair 4 16 to
+    # measure below the node's DRAM-bandwidth knee — see BASELINE.md)
     lo_n, hi_n = 8, 32
+    if "--pair" in sys.argv:
+        i = sys.argv.index("--pair")
+        lo_n, hi_n = int(sys.argv[i + 1]), int(sys.argv[i + 2])
     run(hi_n, prime=True)  # generate corpus + LM cache outside the timed legs
     lo = run(lo_n)
     hi = run(hi_n)

@@ -137,7 +137,13 @@ class FusedQualityStage:
         data_dir: str | None = None,
         lineage_dir: str | None = None,
     ):
-        self.text_stats = TextStats()
+        from great_expectations_ray.stages.text_stats import ALL_TEXT_STATS
+
+        # compute only the stats the suite actually judges — every skipped
+        # stat is a skipped pass over the content bytes
+        referenced = {c.kwargs.get("column") for c in rule_configs}
+        needed = tuple(s for s in ALL_TEXT_STATS if s in referenced)
+        self.text_stats = TextStats(stats=needed) if needed else None
         self.langid = LangIdScorer() if use_langid else None
         self.ppl = PerplexityScorer(model_ref) if model_ref is not None else None
         self.rules = RuleEvalScrub(rule_configs, scrub_rules)
@@ -148,7 +154,8 @@ class FusedQualityStage:
         )
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        tbl = self.text_stats(tbl)
+        if self.text_stats is not None:
+            tbl = self.text_stats(tbl)
         if self.langid is not None:
             tbl = self.langid(tbl)
         if self.ppl is not None:
@@ -244,23 +251,31 @@ def _rollup_from_partials(partials_ds, suite: ExpectationSuite, keys) -> list[di
     no Ray shuffle (a Ray groupby on this tiny table costs seconds of fixed
     overhead).  At extreme batch counts, insert one ``partials_ds.repartition
     (k).map_batches(local_sum)`` tree level before collecting."""
-    import pandas as pd
+    import ray
 
     rule_configs = suite.resolved_expectations()
     n_rules = len(rule_configs)
     key_list = list(keys)
     agg_cols = ["rows_sum", "kept_sum"] + [f"viol_{i}_sum" for i in range(n_rules)]
-    df = pd.DataFrame(partials_ds.take_all())
-    if len(df) == 0:
+    # materialize first: to_arrow_refs() on a lazy Dataset executes the DAG
+    # a second time (observed: doubled sink writes); partial blocks are tiny
+    mat = partials_ds.materialize()
+    blocks = [ray.get(ref) for ref in mat.to_arrow_refs()]
+    blocks = [b for b in blocks if b.num_rows]
+    if not blocks:
         return []
-    grouped = df.groupby(key_list, as_index=False)[agg_cols].sum()
+    merged_tbl = pa.concat_tables(blocks, promote_options="default")
+    grouped_tbl = merged_tbl.group_by(key_list).aggregate(
+        [(c, "sum") for c in agg_cols]
+    )
+    grouped = grouped_tbl.to_pylist()
     out = []
-    for _, row in grouped.iterrows():
-        rows = int(row[agg_cols[0]])
-        kept = int(row[agg_cols[1]])
+    for row in grouped:
+        rows = int(row[f"{agg_cols[0]}_sum"])
+        kept = int(row[f"{agg_cols[1]}_sum"])
         results = []
         for i, cfg in enumerate(rule_configs):
-            viol = int(row[f"viol_{i}_sum"])
+            viol = int(row[f"viol_{i}_sum_sum"])
             success = True if rows == 0 else mostly_success(
                 rows, viol, cfg.kwargs.get("mostly", 1.0)
             )

@@ -20,34 +20,40 @@ import pyarrow.compute as pc
 
 V = 256  # byte vocabulary
 
+#: trigram contexts (c-2, c-1) are HASH-BUCKETED into this many rows, so the
+#: whole logprob table is N_CTX × 256 float16 = 4 MiB — it stays resident in
+#: shared LLC under 30 concurrent actors instead of thrashing DRAM with
+#: random 32 MiB gathers (measured: full-table scoring scaled at 0.34
+#: efficiency 8→32 CPUs; the shared resource was memory bandwidth).
+#: Bucketing merges ~8 contexts per row — a compressed n-gram model, still a
+#: deterministic, discriminative perplexity for quality filtering.
+N_CTX = 8192
+_CTX_MULT = 9973  # 65535*9973 < 2^31: int32-safe, so numpy == python ints
+
+
+def ctx_bucket(c1: np.ndarray, c2: np.ndarray) -> np.ndarray:
+    """Hash bucket of a (c-2, c-1) byte context — vectorized, int32-safe
+    (multiply-xor-fold so high bits of the context reach the bucket)."""
+    raw = (c1.astype(np.int32) << np.int32(8)) | c2.astype(np.int32)
+    mixed = (raw * np.int32(_CTX_MULT)) ^ (raw >> np.int32(7))
+    return mixed % np.int32(N_CTX)
+
 
 def train_char_lm(texts: list[str], add_k: float = 0.1) -> np.ndarray:
-    """Deterministic byte-trigram logprob table P(c | c-2, c-1), add-k
-    smoothed, returned as float32[65536, 256] of log2 probabilities."""
-    counts: dict[int, np.ndarray] = {}
+    """Deterministic hashed-context byte-trigram logprob table
+    P(c | bucket(c-2, c-1)), add-k smoothed, float16[N_CTX, 256] of log2
+    probabilities."""
+    counts = np.zeros((N_CTX, V), dtype=np.float64)
     for t in texts:
         b = np.frombuffer(t.encode("utf-8", "replace"), dtype=np.uint8)
         if len(b) < 3:
             continue
-        ctx = b[:-2].astype(np.int64) * V + b[1:-1].astype(np.int64)
+        ctx = ctx_bucket(b[:-2], b[1:-1]).astype(np.int64)
         nxt = b[2:].astype(np.int64)
-        flat = ctx * V + nxt
-        uniq, c = np.unique(flat, return_counts=True)
-        for u, cc in zip(uniq, c):
-            row = int(u // V)
-            arr = counts.get(row)
-            if arr is None:
-                arr = np.zeros(V, dtype=np.float64)
-                counts[row] = arr
-            arr[int(u % V)] += cc
+        np.add.at(counts, (ctx, nxt), 1.0)
 
-    # float16 halves the table to 32 MiB: the whole (plasma-shared, one copy
-    # per node) table stays closer to L3 under many concurrent actors, and
-    # ±0.001-bit logprob quantization is far below any keep/drop threshold
-    table = np.full((V * V, V), np.log2(add_k) - np.log2(add_k * V), dtype=np.float16)
-    for row, arr in counts.items():
-        sm = arr + add_k
-        table[row] = np.log2(sm / sm.sum()).astype(np.float16)
+    sm = counts + add_k
+    table = np.log2(sm / sm.sum(axis=1, keepdims=True)).astype(np.float16)
     return table
 
 
@@ -60,9 +66,9 @@ def perplexity_of(table: np.ndarray, text: str, cap_bytes: int = 65536) -> float
         # empty/near-empty content: finite sentinel (keeps parquet/SQL joins
         # sane; the length rule drops these rows anyway)
         return 1e9 if len(b) == 0 else 256.0
-    ctx = b[:-2].astype(np.int64) * V + b[1:-1].astype(np.int64)
+    ctx = ctx_bucket(b[:-2], b[1:-1])
     nxt = b[2:].astype(np.int64)
-    lp = table[ctx, nxt]
+    lp = table[ctx, nxt].astype(np.float64)
     return float(2.0 ** (-lp.mean()))
 
 
@@ -78,7 +84,7 @@ class PerplexityScorer:
 
         if model_ref is None:
             # self-contained fallback: uniform model
-            self.table = np.full((V * V, V), -8.0, dtype=np.float32)
+            self.table = np.full((N_CTX, V), -8.0, dtype=np.float16)
         elif isinstance(model_ref, np.ndarray):
             self.table = model_ref
         else:
@@ -140,19 +146,25 @@ class PerplexityScorer:
             )
             stream = data[idx]
 
-        # trigram logprobs over the stream; positions crossing row boundaries
-        # are masked out via per-row slicing below
-        ctx = stream[:-2].astype(np.int32) * np.int32(V) + stream[1:-1]
-        lp = np.zeros(total, dtype=np.float64)
+        # trigram logprobs over the stream (float32: half the traffic of a
+        # float64 cumsum path; per-row sums via reduceat write only n outputs)
+        ctx = ctx_bucket(stream[:-2], stream[1:-1])
+        lp = np.zeros(total, dtype=np.float32)
         if total >= 3:
             lp[2:] = self.table[ctx, stream[2:]]
-        cum = np.concatenate(([0.0], np.cumsum(lp)))
+        # zero the 2 leading positions of every row: their contexts belong to
+        # the previous row; after this, a plain per-row segment sum equals the
+        # sum over valid trigrams [s+2, s+len).  (Positions >= total come from
+        # trailing empty rows and must NOT clip onto valid positions.)
+        z = seg_starts[seg_starts < total]
+        lp[z] = 0.0
+        z2 = seg_starts + 1
+        lp[z2[z2 < total]] = 0.0
 
-        # valid trigrams for row i are stream positions [seg_starts[i]+2,
-        # seg_starts[i]+lens[i])
-        seg_ends = seg_starts + lens
-        lo = np.minimum(seg_starts + 2, seg_ends)
-        total_lp = cum[seg_ends] - cum[lo]
+        total_lp = np.zeros(n, dtype=np.float64)
+        nonempty = lens > 0
+        if nonempty.any():
+            total_lp[nonempty] = np.add.reduceat(lp, seg_starts[nonempty])
         with np.errstate(divide="ignore", invalid="ignore"):
             h = -(total_lp / np.maximum(lens - 2, 1))
         out = np.where(lens == 0, 1e9, np.where(lens < 3, 256.0, 2.0**h))

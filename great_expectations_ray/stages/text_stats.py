@@ -115,33 +115,59 @@ def _per_row_max_line(
     return out
 
 
-class TextStats:
-    """Adds n_chars, n_lines, max_line_len, alnum_ratio, ws_ratio."""
+ALL_TEXT_STATS = ("n_chars", "n_lines", "max_line_len", "alnum_ratio", "ws_ratio")
 
-    def __init__(self, column: str = "content"):
+
+class TextStats:
+    """Adds the requested subset of
+    (n_chars, n_lines, max_line_len, alnum_ratio, ws_ratio).
+
+    Pass only the stats your suite judges — each skipped stat is a skipped
+    pass over the content bytes (this stage is memory-bandwidth-bound at high
+    core counts, so traffic == wall time)."""
+
+    def __init__(self, column: str = "content", stats: tuple = ALL_TEXT_STATS):
         self.column = column
+        self.stats = tuple(stats)
+        unknown = set(self.stats) - set(ALL_TEXT_STATS)
+        if unknown:
+            raise ValueError(f"unknown stats {sorted(unknown)}")
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         content = tbl.column(self.column)
         if isinstance(content, pa.ChunkedArray):
             content = content.combine_chunks()
         data, offsets = _string_buffer(content)
+        want = set(self.stats)
+        out: dict[str, pa.Array] = {}
 
-        alnum_i, ws_i, n_chars = _packed_counts(data, offsets)
-        # newline counts from the same flatnonzero the line splitter uses
-        nl_pos = np.flatnonzero(data == 10).astype(np.int64)
-        n_newlines = (
-            np.searchsorted(nl_pos, offsets[1:]) - np.searchsorted(nl_pos, offsets[:-1])
-        )
-        n_lines = n_newlines + 1
-        max_line = _per_row_max_line(data, offsets, nl_pos)
-        alnum = alnum_i.astype(np.float64)
-        ws = ws_i.astype(np.float64)
-        denom = np.maximum(n_chars.astype(np.float64), 1.0)
+        need_ratios = bool({"alnum_ratio", "ws_ratio"} & want)
+        need_chars = "n_chars" in want or need_ratios
+        if need_ratios or need_chars:
+            alnum_i, ws_i, n_chars = _packed_counts(data, offsets)
+            if "n_chars" in want:
+                out["n_chars"] = pa.array(n_chars)
+            if need_ratios:
+                denom = np.maximum(n_chars.astype(np.float64), 1.0)
+                if "alnum_ratio" in want:
+                    out["alnum_ratio"] = pa.array(
+                        alnum_i.astype(np.float64) / denom, pa.float64()
+                    )
+                if "ws_ratio" in want:
+                    out["ws_ratio"] = pa.array(ws_i.astype(np.float64) / denom, pa.float64())
 
-        tbl = tbl.append_column("n_chars", pa.array(n_chars))
-        tbl = tbl.append_column("n_lines", pa.array(n_lines))
-        tbl = tbl.append_column("max_line_len", pa.array(max_line))
-        tbl = tbl.append_column("alnum_ratio", pa.array(alnum / denom, pa.float64()))
-        tbl = tbl.append_column("ws_ratio", pa.array(ws / denom, pa.float64()))
+        if {"n_lines", "max_line_len"} & want:
+            nl_pos = np.flatnonzero(data == 10).astype(np.int64)
+            if "n_lines" in want:
+                n_newlines = (
+                    np.searchsorted(nl_pos, offsets[1:])
+                    - np.searchsorted(nl_pos, offsets[:-1])
+                )
+                out["n_lines"] = pa.array(n_newlines + 1)
+            if "max_line_len" in want:
+                out["max_line_len"] = pa.array(_per_row_max_line(data, offsets, nl_pos))
+
+        for name in self.stats:  # preserve declared order
+            if name in out:
+                tbl = tbl.append_column(name, out[name])
         return tbl

@@ -42,7 +42,11 @@ def oracle_perplexity(model: np.ndarray, content: str, cap: int = 65536) -> floa
         return 256.0
     total = 0.0
     for i in range(2, len(b)):
-        total += float(model[b[i - 2] * 256 + b[i - 1], b[i]])
+        # hashed-context bucket, pure-python mirror of ctx_bucket (int32-safe
+        # multiply-xor-fold; identical arithmetic by construction)
+        raw = (b[i - 2] << 8) | b[i - 1]
+        bucket = ((raw * 9973) ^ (raw >> 7)) % 8192
+        total += float(model[bucket, b[i]])
     h = -total / (len(b) - 2)
     return 2.0**h
 
