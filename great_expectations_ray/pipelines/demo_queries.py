@@ -898,6 +898,119 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: filtered pricing-summary groupby (classic analytical
+    pipeline: row filter -> in-batch partials -> one small groupby)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1997-09-02", "us"))
+
+    def prep(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.less_equal(tbl.column("l_shipdate"), cutoff))
+        disc = pc.multiply(tbl.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), tbl.column("l_discount")))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), tbl.column("l_tax")))
+        t = pa.table({
+            "l_returnflag": tbl.column("l_returnflag"),
+            "l_linestatus": tbl.column("l_linestatus"),
+            "qty": tbl.column("l_quantity"),
+            "base": tbl.column("l_extendedprice"),
+            "disc_price": disc,
+            "charge": charge,
+            "one": pa.array(np.ones(tbl.num_rows, dtype=np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in ("qty", "base", "disc_price", "charge", "one")]
+        )
+
+    grouped = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["qty_sum", "base_sum", "disc_price_sum", "charge_sum", "one_sum"])
+    )
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "l_returnflag": r["l_returnflag"], "l_linestatus": r["l_linestatus"],
+        "sum_qty": r["sum(qty_sum)"],
+        "sum_base_price": round(r["sum(base_sum)"], 2),
+        "sum_disc_price": round(r["sum(disc_price_sum)"], 2),
+        "sum_charge": round(r["sum(charge_sum)"], 2),
+        "avg_qty": round(r["sum(qty_sum)"] / r["sum(one_sum)"], 6),
+        "count_order": r["sum(one_sum)"],
+    } for r in rows])
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-02'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_tpch_q3(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> broadcast join into the
+    fact table -> grouped revenue -> top-10."""
+    import pyarrow.parquet as pq_
+
+    from great_expectations_ray.functions.joins import broadcast_join
+
+    cust = pq_.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust[cust.c_mktsegment == "BUILDING"].c_custkey)
+    cut = np.datetime64("1997-03-15", "us")
+
+    orders = pq_.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    dim = orders[(orders.o_custkey.isin(building))
+                 & (orders.o_orderdate < cut)][["o_orderkey", "o_orderdate"]]
+    dim = dim.rename(columns={"o_orderkey": "l_orderkey"})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.filter(pc.greater(tbl.column("l_shipdate"), pa.scalar(cut)))
+        disc = pc.multiply(tbl.column("l_extendedprice"),
+                           pc.subtract(pa.scalar(1.0), tbl.column("l_discount")))
+        return pa.table({"l_orderkey": tbl.column("l_orderkey"), "rev": disc})
+
+    joined = broadcast_join(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        dim, on="l_orderkey",
+    )
+    grouped = _grouped_sum(joined, ["l_orderkey", "o_orderdate"], ["rev"])
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "l_orderkey": r["l_orderkey"],
+        "o_orderdate": r["o_orderdate"],
+        "revenue": round(r["sum(rev_sum)"], 2),
+    } for r in rows])
+    df = df.sort_values(["revenue", "l_orderkey"],
+                        ascending=[False, True]).head(10).reset_index(drop=True)
+    return df
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
 def q_content_sha_corpus(sf_dir: str) -> pd.DataFrame:
     """Row-for-row sha256 lineage parity (the north-rule per-row invariant):
     our vectorizable sha256 column vs DuckDB's sha256()."""
@@ -1076,6 +1189,8 @@ QUERIES = {
     "join_lineitem_orders": q_join_lineitem_orders,
     "customers_without_orders": q_customers_without_orders,
     "orders_by_month": q_orders_by_month,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1118,4 +1233,6 @@ ORACLE_SQL = {
     "join_lineitem_orders": SQL_JOIN_LINEITEM_ORDERS,
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "orders_by_month": SQL_ORDERS_BY_MONTH,
+    "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q3": SQL_TPCH_Q3,
 }
