@@ -672,7 +672,12 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
     col = cfg.kwargs["column"]
     vc: ValueCountsState = merged["vcs"][col]
     if vc.overflow:
-        # high-cardinality: recompute exactly via the shuffle path
+        if t in ("expect_column_median_to_be_between",
+                 "expect_column_quantile_values_to_be_between"):
+            # high-cardinality numeric: distributed rank selection — exact,
+            # no driver collection (functions/quantiles.py)
+            return _finish_quantile_distributed(ds, cfg)
+        # distinct-set style rules: recompute exactly via the shuffle path
         vc = _rebuild_vc_from_shuffle(ds, col)
     total, nonnull = merged["counts"][col]
 
@@ -694,7 +699,12 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
         ok = observed == set(cfg.kwargs["value_set"])
         return evr(ok, {"observed_value": sorted(observed, key=str)})
     if t == "expect_column_unique_value_count_to_be_between":
-        n = len(vc.counts)
+        if cfg.kwargs.get("approximate"):
+            from great_expectations_ray.functions.sketches import approx_distinct
+
+            n = int(round(approx_distinct(ds, col)))
+        else:
+            n = len(vc.counts)
         ok = validate_metric_value_between(
             n, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
             cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
@@ -888,6 +898,40 @@ def _finish_cramers_rule(ds, cfg: ExpectationConfiguration) -> ExpectationValida
         expectation_config=cfg.to_json_dict(),
         result={"observed_value": phi,
                 "details": {"n": n, "rows": len(rows), "cols": len(cols)}},
+    )
+
+
+def _finish_quantile_distributed(ds, cfg: ExpectationConfiguration) -> ExpectationValidationResult:
+    from great_expectations_ray.functions.quantiles import exact_quantiles_distributed
+
+    col = cfg.kwargs["column"]
+    t = cfg.expectation_type
+    if t == "expect_column_median_to_be_between":
+        lo_hi = exact_quantiles_distributed(ds, col, [0.5, 0.5],
+                                            interpolation="lower")
+        hi2 = exact_quantiles_distributed(ds, col, [0.5], interpolation="higher")
+        median = None
+        if lo_hi[0] is not None:
+            median = (float(lo_hi[0]) + float(hi2[0])) / 2.0
+        ok = validate_metric_value_between(
+            median, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        return ExpectationValidationResult(
+            success=ok, expectation_config=cfg.to_json_dict(),
+            result={"observed_value": median},
+        )
+    qr = cfg.kwargs["quantile_ranges"]
+    values = exact_quantiles_distributed(
+        ds, col, qr["quantiles"],
+        interpolation=cfg.kwargs.get("interpolation", "nearest"),
+    )
+    oks = [validate_metric_value_between(v, lo, hi)
+           for v, (lo, hi) in zip(values, qr["value_ranges"])]
+    return ExpectationValidationResult(
+        success=all(oks), expectation_config=cfg.to_json_dict(),
+        result={"observed_value": {"quantiles": qr["quantiles"], "values": values},
+                "details": {"success_details": oks}},
     )
 
 

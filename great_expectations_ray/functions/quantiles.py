@@ -1,0 +1,112 @@
+"""Distributed exact quantiles for high-cardinality numeric columns.
+
+The engine's default quantile path merges exact value counts (fine when
+distinct values <= 100k).  Above that, collecting values is not an option at
+corpus scale; instead we use **iterative rank selection**: binary-search the
+value domain, counting ``<= mid`` with one streaming column-only pass per
+iteration (~64 iterations, no shuffle, no driver materialization), then snap
+to the actual data value.  Exact for any cardinality.
+
+Invariant per target rank t (0-based): F(lo) < t+1 <= F(hi) where
+F(v) = #values <= v.  The t-th order statistic is the unique data value in
+(lo, hi] once the interval is below the data's float resolution; the final
+pass takes the smallest data value strictly greater than lo.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _count_le_pass(ds, column: str, thresholds: np.ndarray) -> tuple[np.ndarray, int]:
+    """One streaming pass: (#values <= t for each threshold, total nonnull)."""
+    th = np.asarray(thresholds, dtype=np.float64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        vals = np.asarray(
+            pc.drop_null(pc.cast(tbl.column(column), pa.float64())).combine_chunks()
+        )
+        if len(vals):
+            sv = np.sort(vals)
+            counts = np.searchsorted(sv, th, side="right")
+        else:
+            counts = np.zeros(len(th), dtype=np.int64)
+        return pa.table({
+            "c": pa.array(counts.astype(np.int64)),
+            "i": pa.array(np.arange(len(th), dtype=np.int64)),
+            "n": pa.array(np.full(len(th), len(vals), dtype=np.int64)),
+        })
+
+    totals = np.zeros(len(th), dtype=np.int64)
+    n = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        totals[r["i"]] += r["c"]
+        if r["i"] == 0:
+            n += r["n"]
+    return totals, n
+
+
+def exact_quantiles_distributed(
+    ds,
+    column: str,
+    quantiles: list[float],
+    *,
+    interpolation: str = "lower",
+    max_iter: int = 64,
+) -> list:
+    """Exact quantile values via binary-searched rank selection (rank index
+    over q*(n-1), same definition as the engine's value-count path)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(column), Max(column))
+    vmin, vmax = agg[f"min({column})"], agg[f"max({column})"]
+    if vmin is None:
+        return [None] * len(quantiles)
+    vmin, vmax = float(vmin), float(vmax)
+    _, n = _count_le_pass(ds, column, np.array([vmax]))
+    if n == 0:
+        return [None] * len(quantiles)
+
+    targets = []
+    for q in quantiles:
+        x = q * (n - 1)
+        if interpolation == "lower":
+            targets.append(int(np.floor(x)))
+        elif interpolation == "higher":
+            targets.append(int(np.ceil(x)))
+        else:
+            targets.append(int(np.round(x)))
+    targets = np.asarray(targets, dtype=np.int64)
+
+    los = np.full(len(targets), np.nextafter(vmin, -np.inf))
+    his = np.full(len(targets), vmax)
+    for _ in range(max_iter):
+        mids = (los + his) / 2
+        counts, _ = _count_le_pass(ds, column, mids)
+        go_down = counts >= targets + 1
+        his = np.where(go_down, mids, his)
+        los = np.where(go_down, los, mids)
+        if np.all(np.nextafter(los, his) >= his):
+            break
+
+    # smallest data value strictly greater than lo == the target value
+    def snap(tbl: pa.Table) -> pa.Table:
+        vals = np.asarray(
+            pc.drop_null(pc.cast(tbl.column(column), pa.float64())).combine_chunks()
+        )
+        out = np.full(len(los), np.inf)
+        if len(vals):
+            sv = np.sort(vals)
+            idx = np.searchsorted(sv, los, side="right")
+            ok = idx < len(sv)
+            out[ok] = sv[idx[ok]]
+        return pa.table({
+            "v": pa.array(out), "i": pa.array(np.arange(len(los), dtype=np.int64))
+        })
+
+    best = np.full(len(los), np.inf)
+    for r in ds.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        best[r["i"]] = min(best[r["i"]], r["v"])
+    return [float(v) for v in best]

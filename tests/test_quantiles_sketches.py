@@ -1,0 +1,105 @@
+"""Distributed exact quantiles (rank-selection) + HLL approximate distinct."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray.functions.quantiles import exact_quantiles_distributed
+from great_expectations_ray.functions.sketches import HyperLogLog, approx_distinct
+
+
+@pytest.fixture(scope="module")
+def highcard_ds():
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(100.0, 25.0, 50_000)  # ~all distinct floats
+    return rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(8), vals
+
+
+def test_exact_quantiles_distributed(highcard_ds):
+    ds, vals = highcard_ds
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = exact_quantiles_distributed(ds, "x", qs, interpolation="lower")
+    sv = np.sort(vals)
+    exp = [sv[int(np.floor(q * (len(sv) - 1)))] for q in qs]
+    assert got == pytest.approx(exp, abs=0)  # EXACT data values
+
+
+def test_exact_quantiles_edges():
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"x": pa.array([5.0, 1.0, 3.0], pa.float64())}))
+    got = exact_quantiles_distributed(ds, "x", [0.0, 0.5, 1.0], interpolation="lower")
+    assert got == [1.0, 3.0, 5.0]
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    assert exact_quantiles_distributed(empty, "x", [0.5]) == [None]
+
+
+def test_hll_accuracy_ints():
+    h = HyperLogLog()
+    h.update_column(pa.array(np.arange(100_000, dtype=np.int64)))
+    est = h.estimate()
+    assert abs(est - 100_000) / 100_000 < 0.05
+
+
+def test_hll_merge_equivalence():
+    a, b, c = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    x = np.arange(0, 60_000, dtype=np.int64)
+    y = np.arange(40_000, 100_000, dtype=np.int64)  # overlap 40k-60k
+    a.update_column(pa.array(x))
+    b.update_column(pa.array(y))
+    c.update_column(pa.array(np.arange(100_000, dtype=np.int64)))
+    merged = a.merge(b)
+    assert abs(merged.estimate() - c.estimate()) < 1e-9  # register-identical
+
+
+def test_hll_strings_and_small_range():
+    h = HyperLogLog()
+    h.update_column(pa.array([f"v{i}" for i in range(500)], pa.string()))
+    assert abs(h.estimate() - 500) / 500 < 0.05  # linear-counting regime
+
+
+def test_approx_distinct_dataset(highcard_ds):
+    ds, vals = highcard_ds
+    est = approx_distinct(ds, "x")
+    true = len(np.unique(vals))
+    assert abs(est - true) / true < 0.05
+
+
+def test_engine_approximate_unique_count(fixture_ds):
+    from great_expectations_ray import ExpectationSuite, validate
+
+    suite = ExpectationSuite("a").add(
+        "expect_column_unique_value_count_to_be_between",
+        column="dup_key", min_value=1, approximate=True,
+    )
+    r = validate(fixture_ds, suite).results[0]
+    assert abs(r.result["observed_value"] - 40) <= 3  # 40 true distinct
+
+
+def test_engine_overflow_routes_to_distributed():
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(0, 1e6, 120_000)  # > VC cap of 100k distinct
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(4)
+    suite = (
+        ExpectationSuite("q")
+        .add("expect_column_quantile_values_to_be_between", column="x",
+             quantile_ranges={"quantiles": [0.25, 0.75],
+                              "value_ranges": [[None, None]] * 2},
+             interpolation="lower")
+        .add("expect_column_median_to_be_between", column="x", min_value=0)
+    )
+    res = validate(ds, suite)
+    sv = np.sort(vals)
+    exp = [sv[int(np.floor(q * (len(sv) - 1)))] for q in (0.25, 0.75)]
+    got = res.results[0].result["observed_value"]["values"]
+    assert got == pytest.approx(exp, abs=0)
+    exp_med = (sv[(len(sv) - 1) // 2] + sv[len(sv) // 2]) / 2
+    assert res.results[1].result["observed_value"] == pytest.approx(exp_med, rel=1e-12)
