@@ -103,3 +103,25 @@ def test_band_keys_shape():
     bk = band_keys(sigs, bands=8)
     assert bk.shape == (3, 8)
     assert (bk[0] == bk[1]).all()
+
+
+def test_minhash_jaccard_verified():
+    """With a verification threshold, unrelated docs sharing a bucket by
+    chance must NOT be marked; true near-dups must."""
+    import ray.data as rd
+
+    base = "def process(data):\n    return sum(x.value for x in data)\n" * 6
+    near = base.replace("process", "handle")          # high jaccard
+    other = "completely unrelated text about nothing in particular " * 8
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([base, near, other], pa.string()),
+    })
+    out = minhash_lsh_mark_duplicates(
+        rd.from_arrow(t), text_col="text", id_col="doc_id",
+        jaccard_threshold=0.5,
+    )
+    marked = {r["doc_id"]: bool(r["max(is_neardup)"]) for r in out.take_all()}
+    assert marked[1] is False
+    assert marked[2] is True      # near-dup of 1, verified above threshold
+    assert marked[3] is False     # unrelated survives even if bucketed
