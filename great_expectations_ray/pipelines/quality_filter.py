@@ -75,6 +75,10 @@ class QualityFilterConfig:
     autoscale_actors: bool = True
     batch_size: Optional[int] = 2048
     rollup_keys: tuple = ("repo", "lang")
+    #: None (no dedup) or "exact": after filtering, drop rows whose SCRUBBED
+    #: content sha256 duplicates a kept row with a smaller path (global
+    #: keep-first; one hash shuffle of the kept rows — write-mode only)
+    dedup: Optional[str] = None
     #: optional path to a cached LM table (.npy); deterministic per corpus,
     #: so bench/scaling runs skip the training pass
     perplexity_model_path: Optional[str] = None
@@ -136,6 +140,7 @@ class FusedQualityStage:
         key_list=("repo", "lang"),
         data_dir: str | None = None,
         lineage_dir: str | None = None,
+        emit: str = "partials",
     ):
         from great_expectations_ray.stages.text_stats import ALL_TEXT_STATS
 
@@ -148,8 +153,9 @@ class FusedQualityStage:
         self.ppl = PerplexityScorer(model_ref) if model_ref is not None else None
         self.rules = RuleEvalScrub(rule_configs, scrub_rules)
         self.sink = (
-            SinkStage(data_dir, lineage_dir, list(key_list), len(rule_configs))
-            if data_dir
+            SinkStage(data_dir, lineage_dir, list(key_list), len(rule_configs),
+                      emit=emit)
+            if lineage_dir
             else None
         )
 
@@ -320,12 +326,14 @@ class SinkStage:
     whole pipeline is ONE streaming pass with no re-execution and nothing
     large ever returns to the driver."""
 
-    def __init__(self, data_dir: str, lineage_dir: str, key_list: list[str], n_rules: int,
-                 prefix: str = "part"):
+    def __init__(self, data_dir: Optional[str], lineage_dir: str,
+                 key_list: list[str], n_rules: int, prefix: str = "part",
+                 emit: str = "partials"):
         self.data_dir = data_dir
         self.lineage_dir = lineage_dir
         self.partial = rollup_partial_fn(key_list, n_rules)
         self.prefix = prefix
+        self.emit = emit  # "partials" | "kept_rows" (for a downstream dedup)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         import os
@@ -333,18 +341,20 @@ class SinkStage:
 
         import pyarrow.parquet as pq
 
+        kept_tbl = tbl.filter(np.asarray(tbl.column("keep"), dtype=bool))
         if tbl.num_rows:
-            os.makedirs(self.data_dir, exist_ok=True)
             os.makedirs(self.lineage_dir, exist_ok=True)
             name = f"{self.prefix}-{uuid.uuid4().hex}.parquet"
-            kept_tbl = tbl.filter(np.asarray(tbl.column("keep"), dtype=bool))
             # zstd: ~2-4x smaller than snappy on source code, keeps the sink
             # off the disk-bandwidth floor
-            if kept_tbl.num_rows:
+            if self.data_dir and kept_tbl.num_rows:
+                os.makedirs(self.data_dir, exist_ok=True)
                 pq.write_table(kept_tbl, os.path.join(self.data_dir, name),
                                compression="zstd")
             pq.write_table(tbl.select(LINEAGE_COLS), os.path.join(self.lineage_dir, name),
                            compression="zstd")
+        if self.emit == "kept_rows":
+            return kept_tbl
         return self.partial(tbl)
 
 
@@ -425,6 +435,42 @@ def run_quality_filter(
 
     data_dir = os.path.join(output_dir, "data")
     lineage_dir = os.path.join(output_dir, "lineage")
+
+    if config.dedup == "exact":
+        # pass 1: score/scrub, write lineage for ALL rows, stream kept rows
+        # into ONE hash shuffle on scrubbed sha256 (global keep-first by
+        # path), then write the deduplicated data; rollup partials come from
+        # the written lineage (cheap columnar re-read)
+        import ray.data as rd
+
+        from great_expectations_ray.stages.dedup import dedup_exact
+
+        kept = ds.map_batches(
+            FusedQualityStage,
+            fn_constructor_kwargs=dict(
+                common, data_dir=None, lineage_dir=lineage_dir, emit="kept_rows"
+            ),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+            concurrency=conc,
+            zero_copy_batch=True,
+        )
+        deduped = dedup_exact(kept, ["scrubbed_sha256"], order_by="path")
+        deduped.write_parquet(data_dir)
+        lineage_ds = rd.read_parquet(lineage_dir)
+        partials = lineage_ds.map_batches(
+            rollup_partial_fn(list(config.rollup_keys), len(rule_configs)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        report = _rollup_from_partials(partials, effective_suite, config.rollup_keys)
+        kept_before = sum(r["keep_count"] for r in report)
+        kept_after = rd.read_parquet(data_dir).count()
+        return {
+            "data_dir": data_dir, "lineage_dir": lineage_dir, "rollup": report,
+            "dedup": {"kept_before": kept_before, "kept_after": kept_after,
+                      "duplicates_removed": kept_before - kept_after},
+        }
+
     partials = ds.map_batches(
         FusedQualityStage,
         fn_constructor_kwargs=dict(common, data_dir=data_dir, lineage_dir=lineage_dir),

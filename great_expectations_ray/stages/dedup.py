@@ -61,7 +61,8 @@ def dedup_exact(ds, key_columns: list[str], order_by: str):
         return local_keep_first(tbl, "__dedup_key", order_by)
 
     def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, order_by)
+        # sort+head instead of nsmallest: works for string order keys too
+        return group.sort_values(order_by, kind="mergesort").head(1)
 
     return (
         ds.map_batches(add_key_and_prereduce, batch_format="pyarrow", zero_copy_batch=True)

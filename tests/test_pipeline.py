@@ -121,3 +121,30 @@ def test_corpus_skew_shape():
     df = corpus_batch(0, 2000).to_pandas()
     share = (df.repo == "repo_0").mean()
     assert 0.25 <= share <= 0.35  # mega-repo skew for salting tests
+
+
+def test_quality_filter_with_exact_dedup(tmp_path):
+    """Flagship write-mode with the global dedup stage: duplicate scrubbed
+    content keeps exactly one row (min path), lineage still covers all rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    cfg = QualityFilterConfig(actor_concurrency=2, dedup="exact",
+                              use_langid=False, use_perplexity=False)
+    out = run_quality_filter(corpus_dataset(800, blocks=4), cfg,
+                             output_dir=str(tmp_path))
+    lin = pd.concat([pd.read_parquet(f) for f in glob.glob(str(tmp_path) + "/lineage/*.parquet")])
+    assert len(lin) == 800
+    data = pd.concat([pd.read_parquet(f) for f in glob.glob(str(tmp_path) + "/data/*.parquet")])
+    # one row per distinct scrubbed hash among kept rows
+    kept_hashes = lin[lin.keep].scrubbed_sha256
+    assert len(data) == kept_hashes.nunique()
+    assert out["dedup"]["kept_before"] == int(lin.keep.sum())
+    assert out["dedup"]["kept_after"] == len(data)
+    assert out["dedup"]["duplicates_removed"] > 10  # corpus dup groups exist
+    # keep-first by min path within each duplicate group
+    expected_keep = lin[lin.keep].sort_values("path").drop_duplicates(
+        subset=["scrubbed_sha256"], keep="first"
+    )
+    assert sorted(data.path) == sorted(expected_keep.path)
