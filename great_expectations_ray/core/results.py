@@ -51,6 +51,8 @@ class MapPartialState:
     # capped list of key tuples identifying unexpected rows (PK-style
     # ``unexpected_index_column_names`` mode, expectation.py:2529-2531)
     unexpected_keys: list[tuple] = field(default_factory=list)
+    # capped full-row dicts (``include_unexpected_rows`` result-format flag)
+    unexpected_rows: list[dict] = field(default_factory=list)
 
     def merge(self, other: "MapPartialState") -> "MapPartialState":
         self.element_count += other.element_count
@@ -65,6 +67,12 @@ class MapPartialState:
         if len(self.unexpected_keys) < MAX_RESULT_RECORDS:
             self.unexpected_keys.extend(
                 other.unexpected_keys[: MAX_RESULT_RECORDS - len(self.unexpected_keys)]
+            )
+        if len(self.unexpected_rows) < PARTIAL_UNEXPECTED_COUNT_DEFAULT:
+            self.unexpected_rows.extend(
+                other.unexpected_rows[
+                    : PARTIAL_UNEXPECTED_COUNT_DEFAULT - len(self.unexpected_rows)
+                ]
             )
         return self
 
@@ -96,6 +104,7 @@ def format_map_result(
     success: bool,
     state: MapPartialState,
     include_nonnull: bool = True,
+    include_unexpected_rows: bool = False,
 ) -> dict[str, Any]:
     """Assemble the ``result`` dict of a map-expectation EVR.
 
@@ -134,6 +143,11 @@ def format_map_result(
         result["missing_percent"] = missing_percent
         result["unexpected_percent_total"] = unexpected_percent_total
         result["unexpected_percent_nonmissing"] = unexpected_percent_nonmissing
+
+    if include_unexpected_rows:
+        # reference: head(partial_unexpected_count) of the unexpected rows
+        # (expectation.py:2684-2694)
+        result["unexpected_rows"] = list(state.unexpected_rows[:partial_unexpected_count])
 
     if result_format == "BASIC":
         result.pop("partial_unexpected_list", None)

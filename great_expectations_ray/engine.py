@@ -206,6 +206,7 @@ class _PartialEvaluator:
         vc_columns: set,
         index_cols: Optional[list[str]],
         hist_specs: Optional[list[tuple[int, str, list]]] = None,
+        include_rows: bool = False,
     ):
         self.map_rules = []
         for idx, cfg in map_rules:
@@ -217,6 +218,7 @@ class _PartialEvaluator:
         self.vc_columns = sorted(vc_columns)
         self.index_cols = index_cols
         self.hist_specs = hist_specs or []
+        self.include_rows = include_rows
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         state: dict[Any, Any] = {"row_count": tbl.num_rows, "maps": {}, "aggs": {},
@@ -286,6 +288,12 @@ class _PartialEvaluator:
                     tuple(keys.column(c)[i].as_py() for c in self.index_cols)
                     for i in range(keys.num_rows)
                 ]
+            if self.include_rows:
+                from great_expectations_ray.core.results import (
+                    PARTIAL_UNEXPECTED_COUNT_DEFAULT as _CAP,
+                )
+
+                ps.unexpected_rows = tbl.take(pa.array(pos[:_CAP])).to_pylist()
         return ps
 
 
@@ -434,14 +442,30 @@ def validate(
     ds,
     suite: ExpectationSuite,
     *,
-    result_format: str = "SUMMARY",
+    result_format: str | dict = "SUMMARY",
     partial_unexpected_count: int = PARTIAL_UNEXPECTED_COUNT_DEFAULT,
     unexpected_index_column_names: Optional[list[str]] = None,
     catch_exceptions: bool = True,
     other_tables: Optional[dict[str, Any]] = None,
 ) -> SuiteValidationResult:
     """Validate a ``ray.data.Dataset`` against a suite; returns the
-    GX-shaped suite result (SURVEY.md §3 lifecycle, recast for Ray Data)."""
+    GX-shaped suite result (SURVEY.md §3 lifecycle, recast for Ray Data).
+
+    ``result_format`` accepts the GX dict form too:
+    ``{"result_format": "SUMMARY", "partial_unexpected_count": N,
+    "include_unexpected_rows": bool, "unexpected_index_column_names": [...]}``.
+    """
+    include_unexpected_rows = False
+    if isinstance(result_format, dict):
+        rf = dict(result_format)
+        result_format = rf.get("result_format", "SUMMARY")
+        partial_unexpected_count = rf.get(
+            "partial_unexpected_count", partial_unexpected_count
+        )
+        include_unexpected_rows = bool(rf.get("include_unexpected_rows", False))
+        unexpected_index_column_names = rf.get(
+            "unexpected_index_column_names", unexpected_index_column_names
+        )
     plan = compile_suite(suite)
     configs = suite.resolved_expectations()
     evrs: dict[int, ExpectationValidationResult] = {}
@@ -472,6 +496,7 @@ def validate(
             plan.vc_columns,
             unexpected_index_column_names,
             plan.hist_specs,
+            include_rows=include_unexpected_rows,
         )
         partial_rows = ds.map_batches(
             evaluator, batch_format="pyarrow", zero_copy_batch=True
@@ -513,6 +538,7 @@ def validate(
                 success=success,
                 state=ps,
                 include_nonnull=include_nonnull,
+                include_unexpected_rows=include_unexpected_rows,
             ),
         )
 

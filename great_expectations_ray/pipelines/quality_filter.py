@@ -337,14 +337,17 @@ class SinkStage:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         import os
-        import uuid
 
         import pyarrow.parquet as pq
 
         kept_tbl = tbl.filter(np.asarray(tbl.column("keep"), dtype=bool))
         if tbl.num_rows:
             os.makedirs(self.lineage_dir, exist_ok=True)
-            name = f"{self.prefix}-{uuid.uuid4().hex}.parquet"
+            # content-addressed fragment name: a RETRIED task rewrites the
+            # same file instead of duplicating the batch (idempotent sink)
+            first_key = f"{tbl.column('repo')[0].as_py()}/{tbl.column('path')[0].as_py()}"
+            frag = hashlib.sha256(f"{first_key}:{tbl.num_rows}".encode()).hexdigest()[:24]
+            name = f"{self.prefix}-{frag}.parquet"
             # zstd: ~2-4x smaller than snappy on source code, keeps the sink
             # off the disk-bandwidth floor
             if self.data_dir and kept_tbl.num_rows:

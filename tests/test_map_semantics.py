@@ -161,3 +161,22 @@ def test_boolean_only_format(fixture_ds):
     )
     res = v(fixture_ds, suite, result_format="BOOLEAN_ONLY")
     assert res.results[0].result == {}
+
+
+def test_result_format_dict_with_unexpected_rows(fixture_ds):
+    from great_expectations_ray.engine import validate as v
+
+    suite = ExpectationSuite("t").add(
+        "expect_column_values_to_match_regex", column="s_mixed", regex="match"
+    )
+    res = v(fixture_ds, suite, result_format={
+        "result_format": "SUMMARY",
+        "partial_unexpected_count": 5,
+        "include_unexpected_rows": True,
+    })
+    r = res.results[0]
+    assert len(r.result["partial_unexpected_list"]) == 5  # custom cap
+    rows = r.result["unexpected_rows"]
+    assert 0 < len(rows) <= 5
+    assert all(row["s_mixed"] == "NOPE" for row in rows)
+    assert "n_int" in rows[0]  # full row dicts
