@@ -1,0 +1,113 @@
+"""Stores + registry introspection + hypothesis differential testing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from great_expectations_ray import ExpectationSuite, validate
+from great_expectations_ray.functions.registry import (
+    list_expectations,
+    supported_expectation_types,
+)
+from great_expectations_ray.state.stores import ExpectationsStore, ValidationResultsStore
+
+
+def test_stores_roundtrip(tmp_path):
+    es = ExpectationsStore(str(tmp_path))
+    suite = ExpectationSuite("s1").add(
+        "expect_column_values_to_be_between", column="x", min_value=0
+    )
+    es.save(suite)
+    loaded = es.load("s1")
+    assert loaded.to_json_dict() == suite.to_json_dict()
+    assert es.list_suites() == ["s1"]
+    es.delete("s1")
+    assert es.list_suites() == []
+
+
+def test_results_store_roundtrip(tmp_path, fixture_ds):
+    suite = ExpectationSuite("rs").add("expect_table_row_count_to_equal", value=100)
+    res = validate(fixture_ds, suite)
+    vs = ValidationResultsStore(str(tmp_path))
+    vs.save(res, run_name="r1", run_time=1000.0, batch_id="b0")
+    loaded = vs.load("rs", "r1", 1000.0, "b0")
+    assert loaded["success"] is True
+    assert vs.list_keys() == [("rs", "r1-1000", "b0")]
+
+
+def test_registry_listing():
+    fams = list_expectations()
+    all_types = supported_expectation_types()
+    assert len(all_types) >= 55
+    assert "expect_column_values_to_match_regex" in fams["map (fused vectorized pass)"]
+    assert "expect_column_mean_to_be_between" in fams["aggregate (associative partials)"]
+    # no type appears in two executable families (stubs excluded)
+    seen = []
+    for fam, types in fams.items():
+        if "stub" in fam:
+            continue
+        seen.extend(types)
+    dupes = {t for t in seen if seen.count(t) > 1}
+    # of_type/in_type_list intentionally appear as table rules only
+    assert not dupes, dupes
+
+
+# --------------------------------------------------------------------------- #
+# hypothesis differential tests: engine vs pandas oracle on random inputs
+# --------------------------------------------------------------------------- #
+
+ints_with_nulls = st.lists(
+    st.one_of(st.integers(-50, 50), st.none()), min_size=0, max_size=80
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=ints_with_nulls, lo=st.integers(-40, 0), hi=st.integers(0, 40),
+       mostly=st.floats(0.1, 1.0))
+def test_between_matches_pandas_oracle(data, lo, hi, mostly):
+    import ray.data as rd
+
+    tbl = pa.table({"x": pa.array(data, pa.int64())})
+    ds = rd.from_arrow(tbl).repartition(3) if len(data) else rd.from_arrow(tbl)
+    r = validate(ds, ExpectationSuite("h").add(
+        "expect_column_values_to_be_between", column="x",
+        min_value=lo, max_value=hi, mostly=mostly,
+    )).results[0]
+
+    s = pd.Series(data, dtype="Int64")
+    nonnull = int(s.notna().sum())
+    meets = s.ge(lo) & s.le(hi)
+    unexpected = int((s.notna() & ~meets.fillna(False)).sum())
+    assert r.result["unexpected_count"] == unexpected
+    assert r.result["element_count"] == len(data)
+    if len(data) == 0 or nonnull == 0:
+        assert r.success  # vacuous
+    else:
+        assert r.success == ((nonnull - unexpected) / nonnull >= mostly)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.sampled_from(["a", "b", "ab", "zz", None]),
+                     min_size=1, max_size=60),
+       rx=st.sampled_from(["a", "b", "^a", "b$", "a|z"]))
+def test_regex_matches_pandas_oracle(data, rx):
+    import re
+
+    import ray.data as rd
+
+    tbl = pa.table({"x": pa.array(data, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(2)
+    r = validate(ds, ExpectationSuite("h").add(
+        "expect_column_values_to_match_regex", column="x", regex=rx,
+    )).results[0]
+
+    pat = re.compile(rx)
+    unexpected = sum(1 for v in data if v is not None and not pat.search(v))
+    assert r.result["unexpected_count"] == unexpected
