@@ -119,6 +119,30 @@ def run_bench() -> dict:
         dq.QUERIES[name](sf_dir)
         queries[name] = round(time.time() - t0, 3)
 
+    # the reference's published benchmark shape: validate 100 tables with one
+    # suite (GX: 323-392 s serial / 22-26 s multithreaded on 16 vCPUs)
+    from great_expectations_ray.core.suite import ExpectationSuite
+    from great_expectations_ray.pipelines.multi_table import validate_many
+
+    base = rd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    tables = {f"t{i}": s for i, s in enumerate(base.split(100, equal=True))}
+    suite = (
+        ExpectationSuite("bench100")
+        .add("expect_column_values_to_be_between", column="l_quantity",
+             min_value=1, max_value=50)
+        .add("expect_column_values_to_not_be_null", column="l_orderkey")
+        .add("expect_column_values_to_match_regex", column="l_returnflag",
+             regex="^[ANR]$")
+        .add("expect_column_mean_to_be_between", column="l_discount",
+             min_value=0, max_value=0.2)
+        .add("expect_column_max_to_be_between", column="l_quantity", max_value=50)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    t0 = time.time()
+    res = validate_many(tables, suite, max_workers=min(16, ncpus))
+    queries["validate_100_tables"] = round(time.time() - t0, 3)
+    assert len(res) == 100
+
     result = {
         "metric": "quality_filter_wall_sec",
         "value": round(headline, 3),

@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 from great_expectations_ray.core.suite import ExpectationConfiguration, ExpectationSuite
 from great_expectations_ray.engine import validate as _validate

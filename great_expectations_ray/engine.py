@@ -553,7 +553,11 @@ def validate(
     for idx, cfg in plan.agg_rules:
         try:
             metric = AGG_EXPECTATIONS[cfg.expectation_type]
-            value = merged["aggs"][cfg.kwargs["column"]].metric(metric)
+            # empty datasets produce no partials: empty state -> None metric
+            # -> failure, matching GX on empty tables (expectation.py:1596)
+            ag = merged["aggs"].get(cfg.kwargs["column"], NumericAggState()) \
+                if merged else NumericAggState()
+            value = ag.metric(metric)
             ok = validate_metric_value_between(
                 value,
                 cfg.kwargs.get("min_value"),
@@ -573,7 +577,7 @@ def validate(
     if plan.two_phase_rules:
         phase2_rules = []
         for idx, cfg in plan.two_phase_rules:
-            ag = merged["aggs"][cfg.kwargs["column"]]
+            ag = merged["aggs"].get(cfg.kwargs["column"], NumericAggState())
             k = dict(cfg.kwargs)
             k["_mean"] = ag.metric("column.mean")
             k["_std"] = ag.metric("column.standard_deviation")
@@ -605,10 +609,10 @@ def validate(
             vc_ds = _grouped_value_counts(ds, cols)
             dup_count, samples = _dup_stats(vc_ds)
             if cfg.expectation_type == "expect_column_values_to_be_unique":
-                total, nonnull = merged["counts"][cols[0]]
+                total, nonnull = merged["counts"].get(cols[0], (0, 0))
                 nulls = total - nonnull
             else:
-                total, _ = merged["counts"][cols[0]]
+                total, _ = merged["counts"].get(cols[0], (0, 0))
                 nonnull, nulls = total, 0
             ps = MapPartialState(
                 element_count=total,
@@ -696,7 +700,7 @@ def validate(
 def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> ExpectationValidationResult:
     t = cfg.expectation_type
     col = cfg.kwargs["column"]
-    vc: ValueCountsState = merged["vcs"][col]
+    vc: ValueCountsState = merged["vcs"].get(col, ValueCountsState())
     if vc.overflow:
         if t in ("expect_column_median_to_be_between",
                  "expect_column_quantile_values_to_be_between"):
@@ -705,7 +709,7 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
             return _finish_quantile_distributed(ds, cfg)
         # distinct-set style rules: recompute exactly via the shuffle path
         vc = _rebuild_vc_from_shuffle(ds, col)
-    total, nonnull = merged["counts"][col]
+    total, nonnull = merged["counts"].get(col, (0, 0))
 
     def evr(ok: bool, result: dict) -> ExpectationValidationResult:
         return ExpectationValidationResult(
@@ -893,8 +897,6 @@ def _finish_cramers_rule(ds, cfg: ExpectationConfiguration) -> ExpectationValida
     """#50: contingency table via one joint value-count shuffle, Cramér's φ
     on the driver."""
     import math
-
-    from great_expectations_ray.functions.stats_math import chi2_sf
 
     a_col, b_col = cfg.kwargs["column_A"], cfg.kwargs["column_B"]
     vc_ds = _grouped_value_counts(ds, [a_col, b_col])

@@ -15,9 +15,6 @@ key per row in a vectorized ``map_batches``, then ONE hash shuffle on the key
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc

@@ -18,8 +18,6 @@ Scale notes baked into the design:
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 

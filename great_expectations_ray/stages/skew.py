@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def salted_sum(ds, keys: list[str], value_cols: list[str], *, salt: int = 8):

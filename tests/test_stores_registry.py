@@ -111,3 +111,45 @@ def test_regex_matches_pandas_oracle(data, rx):
     pat = re.compile(rx)
     unexpected = sum(1 for v in data if v is not None and not pat.search(v))
     assert r.result["unexpected_count"] == unexpected
+
+
+def test_validate_many_concurrent():
+    import ray.data as rd
+
+    from great_expectations_ray.pipelines.multi_table import validate_many
+
+    base = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    splits = base.split(10, equal=True)  # guaranteed non-empty shards
+    tables = {f"t{i}": s for i, s in enumerate(splits)}
+    suite = (
+        ExpectationSuite("mt")
+        .add("expect_column_values_to_be_between", column="l_quantity",
+             min_value=1, max_value=50)
+        .add("expect_column_values_to_not_be_null", column="l_orderkey")
+        .add("expect_column_mean_to_be_between", column="l_discount",
+             min_value=0, max_value=0.2)
+    )
+    results = validate_many(tables, suite, max_workers=5)
+    assert len(results) == 10
+    assert all(r.success for r in results.values())
+    total = sum(r.meta["row_count"] for r in results.values())
+    assert total == 6000
+
+
+def test_empty_dataset_agg_rules_fail_gracefully():
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    suite = (
+        ExpectationSuite("e")
+        .add("expect_column_mean_to_be_between", column="x", min_value=0)
+        .add("expect_column_unique_value_count_to_be_between", column="x", min_value=1)
+        .add("expect_column_values_to_be_unique", column="x")
+    )
+    res = validate(empty, suite)
+    # aggregates on empty tables: None metric -> clean failure, no exception
+    assert not res.results[0].success
+    assert not res.results[0].exception_info["raised_exception"]
+    assert res.results[0].result["observed_value"] is None
+    assert not res.results[1].success  # 0 distinct < 1
+    assert res.results[2].success      # vacuous: no rows to duplicate
