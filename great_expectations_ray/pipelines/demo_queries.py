@@ -898,6 +898,63 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_props_extract_events(sf_dir: str) -> pd.DataFrame:
+    """JSON-field extraction from a string column (the reference treats JSON
+    as strings — json_parseable/match_json_schema; here we also EXTRACT,
+    vectorized via RE2 capture groups) -> per-type sum of props.k."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(tbl: pa.Table) -> pa.Table:
+        cap = pc.extract_regex(tbl.column("props").combine_chunks(), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(cap, "k"), pa.int64())
+        t = pa.table({
+            "event_type": tbl.column("event_type"),
+            "k": pc.fill_null(k, 0),
+            "valid": pc.cast(pc.is_valid(k), pa.int64()),
+        })
+        return t.group_by(["event_type"]).aggregate([("k", "sum"), ("valid", "sum")])
+
+    grouped = (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .sum(["k_sum", "valid_sum"])
+    )
+    rows = grouped.take_all()
+    df = pd.DataFrame([{
+        "event_type": r["event_type"], "k_total": r["sum(k_sum)"],
+        "n_valid": r["sum(valid_sum)"],
+    } for r in rows])
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_PROPS_EXTRACT_EVENTS = r"""
+SELECT event_type,
+       CAST(sum(COALESCE(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT), 0)) AS BIGINT) AS k_total,
+       CAST(sum(CASE WHEN regexp_extract(props, '"k": (\d+)', 1) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_json_parseable_events(sf_dir: str) -> pd.DataFrame:
+    """#18 over the events.props JSON column with a DuckDB json_valid oracle."""
+    ds = _read(sf_dir, "events", columns=["props"])
+    res = validate(ds, ExpectationSuite("js").add(
+        "expect_column_values_to_be_json_parseable", column="props"
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_JSON_PARSEABLE_EVENTS = """
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+FROM events
+"""
+
+
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: filtered pricing-summary groupby (classic analytical
     pipeline: row filter -> in-batch partials -> one small groupby)."""
@@ -1191,6 +1248,8 @@ QUERIES = {
     "orders_by_month": q_orders_by_month,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "props_extract_events": q_props_extract_events,
+    "json_parseable_events": q_json_parseable_events,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1235,4 +1294,6 @@ ORACLE_SQL = {
     "orders_by_month": SQL_ORDERS_BY_MONTH,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q3": SQL_TPCH_Q3,
+    "props_extract_events": SQL_PROPS_EXTRACT_EVENTS,
+    "json_parseable_events": SQL_JSON_PARSEABLE_EVENTS,
 }
