@@ -150,9 +150,14 @@ def write_corpus_parquet(n_rows: int, out_dir: str, *, blocks: int = 16) -> str:
     """Materialize the corpus once to parquet (generation is not the
     benchmarked stage); reruns are idempotent and byte-stable."""
     import os
+    import shutil
 
     if os.path.exists(os.path.join(out_dir, "_DONE")):
         return out_dir
+    if os.path.isdir(out_dir):
+        # partial output from an interrupted generation would DUPLICATE rows
+        # if we appended; start clean
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     corpus_dataset(n_rows, blocks=blocks).write_parquet(out_dir)
     with open(os.path.join(out_dir, "_DONE"), "w") as f:
