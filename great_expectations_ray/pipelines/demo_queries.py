@@ -898,6 +898,101 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_zscore_quantity(sf_dir: str) -> pd.DataFrame:
+    """#23 two-phase z-score: aggregate pass (mean/std) then condition pass."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    res = validate(ds, ExpectationSuite("z").add(
+        "expect_column_value_z_scores_to_be_less_than",
+        column="l_quantity", threshold=1.5, double_sided=True,
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "element_count": r.result["element_count"],
+        "unexpected_count": r.result["unexpected_count"],
+    }])
+
+
+SQL_ZSCORE_QUANTITY = """
+WITH s AS (SELECT avg(l_quantity) AS m, stddev_samp(l_quantity) AS sd FROM lineitem)
+SELECT count(*) AS element_count,
+       CAST(sum(CASE WHEN NOT (abs((l_quantity - m) / sd) < 1.5) THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
+FROM lineitem, s
+"""
+
+
+def q_kl_event_types(sf_dir: str) -> pd.DataFrame:
+    """#46 discrete KL divergence of event_type vs a uniform expectation."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = ["click", "error", "purchase", "signup", "view"]
+    res = validate(ds, ExpectationSuite("kl").add(
+        "expect_column_kl_divergence_to_be_less_than",
+        column="event_type",
+        partition_object={"values": vals, "weights": [0.2] * 5},
+        threshold=0.05,
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "kl": round(r.result["observed_value"], 9),
+        "success": bool(r.success),
+    }])
+
+
+SQL_KL_EVENT_TYPES = """
+WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+     n AS (SELECT count(*) AS total FROM events)
+SELECT round(sum((cnt / total) * ln((cnt / total) / 0.2)), 9) AS kl,
+       sum((cnt / total) * ln((cnt / total) / 0.2)) < 0.05 AS success
+FROM c, n
+"""
+
+
+def q_cramers_events(sf_dir: str) -> pd.DataFrame:
+    """#50 Cramér's φ between event_type and a user bucket (contingency
+    shuffle -> driver math), SQL mirror includes zero cells."""
+    import pyarrow.parquet as pq_
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def bucket(tbl: pa.Table) -> pa.Table:
+        uid = pc.cast(tbl.column("user_id"), pa.int64())
+        b = pc.subtract(uid, pc.multiply(pc.divide(uid, 3), 3))
+        return pa.table({
+            "event_type": tbl.column("event_type"),
+            "ubucket": pc.cast(b, pa.string()),
+        })
+
+    keyed = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    res = validate(keyed, ExpectationSuite("cr").add(
+        "expect_column_pair_cramers_phi_value_to_be_less_than",
+        column_A="event_type", column_B="ubucket", threshold=0.2,
+    ))
+    r = res.results[0]
+    return pd.DataFrame([{
+        "phi": round(r.result["observed_value"], 9),
+        "success": bool(r.success),
+    }])
+
+
+SQL_CRAMERS_EVENTS = """
+WITH cells AS (
+  SELECT event_type AS a, CAST(user_id % 3 AS VARCHAR) AS b, count(*) AS c
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT a, sum(c) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, sum(c) AS cb FROM cells GROUP BY b),
+n AS (SELECT sum(c) AS total FROM cells),
+grid AS (
+  SELECT rt.a, ct.b, rt.ra, ct.cb, COALESCE(cells.c, 0) AS o
+  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+chi AS (
+  SELECT sum(power(o - (ra * cb / total), 2) / (ra * cb / total)) AS chi2,
+         count(DISTINCT a) AS nr, count(DISTINCT b) AS nc, max(total) AS total
+  FROM grid, n)
+SELECT round(sqrt(chi2 / (total * least(nr - 1, nc - 1))), 9) AS phi,
+       sqrt(chi2 / (total * least(nr - 1, nc - 1))) < 0.2 AS success
+FROM chi
+"""
+
+
 def q_props_extract_events(sf_dir: str) -> pd.DataFrame:
     """JSON-field extraction from a string column (the reference treats JSON
     as strings — json_parseable/match_json_schema; here we also EXTRACT,
@@ -1250,6 +1345,9 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "props_extract_events": q_props_extract_events,
     "json_parseable_events": q_json_parseable_events,
+    "zscore_quantity": q_zscore_quantity,
+    "kl_event_types": q_kl_event_types,
+    "cramers_events": q_cramers_events,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1296,4 +1394,7 @@ ORACLE_SQL = {
     "tpch_q3": SQL_TPCH_Q3,
     "props_extract_events": SQL_PROPS_EXTRACT_EVENTS,
     "json_parseable_events": SQL_JSON_PARSEABLE_EVENTS,
+    "zscore_quantity": SQL_ZSCORE_QUANTITY,
+    "kl_event_types": SQL_KL_EVENT_TYPES,
+    "cramers_events": SQL_CRAMERS_EVENTS,
 }
