@@ -125,3 +125,11 @@ def hash_bucket_join(
 def _arrow_schema(ds):
     sch = ds.schema()
     return pa.schema(zip(sch.names, sch.types))
+
+
+def native_join(left, right, *, on: str, how: str = "inner", num_partitions: int = 32):
+    """Ray's built-in hash-partitioned ``Dataset.join`` (available in this
+    Ray release).  Prefer it when both sides are large and key names align;
+    ``hash_bucket_join`` above remains the explicit-partitioning variant whose
+    bucketing/skew assumptions are visible and tunable."""
+    return left.join(right, join_type=how, on=(on,), num_partitions=num_partitions)

@@ -188,3 +188,12 @@ def test_ks_stub_fails_cleanly(fixture_ds):
     r = validate(fixture_ds, suite).results[0]
     assert not r.success
     assert "stub" in r.exception_info["exception_message"]
+
+
+def test_catch_exceptions_false_raises(fixture_ds):
+    with pytest.raises(RuntimeError):
+        validate_full(
+            fixture_ds,
+            ExpectationSuite("x").add("expect_totally_unknown_thing", column="a"),
+            catch_exceptions=False,
+        )

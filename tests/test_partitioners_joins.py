@@ -91,3 +91,18 @@ def test_hash_bucket_join_string_key():
     assert len(out) == 3
     assert set(zip(out.s, out.y)) == {("a", 10), ("a", 10), ("c", 30)} or \
         sorted(out.y) == [10, 10, 30]
+
+
+def test_native_join_matches_bucketed(small_ds):
+    import ray.data as rd
+
+    from great_expectations_ray.functions.joins import native_join
+
+    right = pa.table({"k": list(range(0, 100, 5)), "mark": list(range(20))})
+    rds = rd.from_arrow(right)
+    out = native_join(small_ds, rds, on="k", num_partitions=4).to_pandas()
+    exp = small_ds.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    assert len(out) == len(exp) == 20
+    got = out.sort_values("k").reset_index(drop=True)[["k", "mark"]]
+    expd = exp.sort_values("k").reset_index(drop=True)[["k", "mark"]]
+    pd.testing.assert_frame_equal(got, expd)
