@@ -197,3 +197,34 @@ def test_catch_exceptions_false_raises(fixture_ds):
             ExpectationSuite("x").add("expect_totally_unknown_thing", column="a"),
             catch_exceptions=False,
         )
+
+
+def test_custom_expectation_registration(fixture_ds):
+    """§2.7 extension surface: third-party kernels via @register_condition
+    flow through compile/validate like core expectations."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from great_expectations_ray.functions.column_map import (
+        KernelResult,
+        register_condition,
+    )
+
+    @register_condition("expect_column_values_to_be_even")
+    def _even(tbl, kwargs):
+        col = tbl.column(kwargs["column"])
+        valid = np.asarray(pc.is_valid(col).combine_chunks(), dtype=bool)
+        vals = pc.fill_null(pc.cast(col, "int64"), 1)
+        rem = pc.subtract(vals, pc.multiply(pc.divide(vals, 2), 2))
+        meets = np.asarray(pc.equal(rem, 0).combine_chunks(), dtype=bool)
+        return KernelResult(meets & valid, valid, col.combine_chunks(),
+                            int((~valid).sum()))
+
+    r = validate(fixture_ds, ExpectationSuite("c").add(
+        "expect_column_values_to_be_even", column="mc_2"  # all 2s
+    )).results[0]
+    assert r.success and r.result["unexpected_count"] == 0
+    r2 = validate(fixture_ds, ExpectationSuite("c2").add(
+        "expect_column_values_to_be_even", column="mc_1"  # all 1s
+    )).results[0]
+    assert not r2.success and r2.result["unexpected_count"] == 100
