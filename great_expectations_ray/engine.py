@@ -701,6 +701,27 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
     t = cfg.expectation_type
     col = cfg.kwargs["column"]
     vc: ValueCountsState = merged["vcs"].get(col, ValueCountsState())
+    if (
+        t == "expect_column_quantile_values_to_be_between"
+        and cfg.kwargs.get("allow_relative_error")
+    ):
+        # reference's allow_relative_error knob (column_quantile_values.py:36,
+        # SQL-only there): bounded-rank-error sampled quantiles, 2 passes
+        from great_expectations_ray.functions.quantiles import sampled_quantiles
+
+        qr = cfg.kwargs["quantile_ranges"]
+        values = sampled_quantiles(
+            ds, col, qr["quantiles"],
+            relative_error=float(cfg.kwargs["allow_relative_error"]),
+            interpolation=cfg.kwargs.get("interpolation", "nearest"),
+        )
+        oks = [validate_metric_value_between(v, lo, hi)
+               for v, (lo, hi) in zip(values, qr["value_ranges"])]
+        return ExpectationValidationResult(
+            success=all(oks), expectation_config=cfg.to_json_dict(),
+            result={"observed_value": {"quantiles": qr["quantiles"], "values": values},
+                    "details": {"success_details": oks, "approximate": True}},
+        )
     if vc.overflow:
         if t in ("expect_column_median_to_be_between",
                  "expect_column_quantile_values_to_be_between"):

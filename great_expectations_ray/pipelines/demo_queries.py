@@ -898,6 +898,29 @@ FROM orders GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_pushdown_read(sf_dir: str) -> pd.DataFrame:
+    """Prune at the read: column projection + row filter pushed into the
+    parquet scan (pyarrow expression), not applied post-read."""
+    import pyarrow.dataset as pads
+
+    from great_expectations_ray.sources.readers import read_batch
+
+    ds = read_batch(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity"],
+        filter_expr=(pads.field("l_returnflag") == "A"),
+    )
+    from ray.data.aggregate import Count, Sum
+
+    agg = ds.aggregate(Count(), Sum("l_quantity", alias_name="sq"))
+    return pd.DataFrame([{"n": agg["count()"], "sum_qty": agg["sq"]}])
+
+
+SQL_PUSHDOWN_READ = """
+SELECT count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem WHERE l_returnflag = 'A'
+"""
+
+
 def q_zscore_quantity(sf_dir: str) -> pd.DataFrame:
     """#23 two-phase z-score: aggregate pass (mean/std) then condition pass."""
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
@@ -1345,6 +1368,7 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "props_extract_events": q_props_extract_events,
     "json_parseable_events": q_json_parseable_events,
+    "pushdown_read": q_pushdown_read,
     "zscore_quantity": q_zscore_quantity,
     "kl_event_types": q_kl_event_types,
     "cramers_events": q_cramers_events,
@@ -1394,6 +1418,7 @@ ORACLE_SQL = {
     "tpch_q3": SQL_TPCH_Q3,
     "props_extract_events": SQL_PROPS_EXTRACT_EVENTS,
     "json_parseable_events": SQL_JSON_PARSEABLE_EVENTS,
+    "pushdown_read": SQL_PUSHDOWN_READ,
     "zscore_quantity": SQL_ZSCORE_QUANTITY,
     "kl_event_types": SQL_KL_EVENT_TYPES,
     "cramers_events": SQL_CRAMERS_EVENTS,

@@ -103,3 +103,32 @@ def test_engine_overflow_routes_to_distributed():
     assert got == pytest.approx(exp, abs=0)
     exp_med = (sv[(len(sv) - 1) // 2] + sv[len(sv) // 2]) / 2
     assert res.results[1].result["observed_value"] == pytest.approx(exp_med, rel=1e-12)
+
+
+def test_sampled_quantiles_rank_error(highcard_ds):
+    from great_expectations_ray.functions.quantiles import sampled_quantiles
+
+    ds, vals = highcard_ds
+    qs = [0.1, 0.5, 0.9]
+    approx = sampled_quantiles(ds, "x", qs, relative_error=0.01)
+    sv = np.sort(vals)
+    for q, a in zip(qs, approx):
+        rank = np.searchsorted(sv, a) / (len(sv) - 1)
+        assert abs(rank - q) <= 0.03, (q, rank)
+
+
+def test_engine_allow_relative_error(highcard_ds):
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds, vals = highcard_ds
+    suite = ExpectationSuite("aq").add(
+        "expect_column_quantile_values_to_be_between", column="x",
+        quantile_ranges={"quantiles": [0.5], "value_ranges": [[None, None]]},
+        allow_relative_error=0.02, interpolation="lower",
+    )
+    r = validate(ds, suite).results[0]
+    assert r.result["details"]["approximate"] is True
+    got = r.result["observed_value"]["values"][0]
+    sv = np.sort(vals)
+    rank = np.searchsorted(sv, got) / (len(sv) - 1)
+    assert abs(rank - 0.5) <= 0.05
