@@ -70,6 +70,7 @@ def run_checkpoint(
     n_partitions: int = 8,
     run_name: str = "quality_filter",
     actions: Optional[list[Callable[[CheckpointResult], None]]] = None,
+    store_results: bool = True,
 ) -> CheckpointResult:
     """Run (or resume) the quality-filter checkpoint over all files matching
     ``input_glob``.  Partitions with a complete, fingerprint-matching
@@ -121,6 +122,26 @@ def run_checkpoint(
         ran.append(pid)
 
     result = CheckpointResult(run_id, ran, skipped, rollups)
+    if store_results:
+        # EP1 chain: validate -> STORE -> actions (validation_definition.py:
+        # 306-317) — each freshly-run partition's rollup lands in the
+        # ValidationResultsStore keyed by (suite, run, partition)
+        from great_expectations_ray.state.stores import ValidationResultsStore
+
+        store = ValidationResultsStore(output_root)
+        for pid in ran:
+            store.save(
+                {
+                    "suite_name": config.suite.name,
+                    "success": all(
+                        grp["statistics"]["success"] for grp in rollups[pid]
+                    ),
+                    "rollup": rollups[pid],
+                },
+                run_name=run_id.run_name,
+                run_time=run_id.run_time,
+                batch_id=pid,
+            )
     for action in actions or []:
         action(result)  # reference: checkpoint actions fire post-run
     return result

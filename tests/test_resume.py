@@ -80,3 +80,19 @@ def test_checkpoint_actions(corpus_files, tmp_path):
         n_partitions=2, actions=[lambda res: seen.append(res.combined_counts())],
     )
     assert seen and seen[0]["row_count"] == 800
+
+
+def test_checkpoint_stores_validation_results(corpus_files, tmp_path):
+    from great_expectations_ray.state.stores import ValidationResultsStore
+
+    out_root = str(tmp_path / "sr")
+    res = run_checkpoint(corpus_files + "/*.parquet", out_root, config=_cfg(),
+                         n_partitions=2)
+    store = ValidationResultsStore(out_root)
+    keys = store.list_keys()
+    assert len(keys) == 2  # one stored result per freshly-run partition
+    # resumed run stores nothing new
+    res2 = run_checkpoint(corpus_files + "/*.parquet", out_root, config=_cfg(),
+                          n_partitions=2)
+    assert len(store.list_keys()) == 2
+    assert res2.partitions_run == []
