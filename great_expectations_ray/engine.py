@@ -231,28 +231,44 @@ class _PartialEvaluator:
                 state["maps"][idx] = self._eval_map(sub, cfg, kernel)
             except Exception:
                 state["errors"][idx] = traceback.format_exc(limit=3)
+        # per-column try/except: a missing or non-castable column must fail
+        # only the expectations that own it, never abort the whole fused pass
+        # (reference emits a failed EVR per expectation — expectation.py's
+        # catch_exceptions contract)
         for c in self.agg_columns:
-            st = NumericAggState()
-            st.update(tbl.column(c))
-            state["aggs"][c] = st
+            try:
+                st = NumericAggState()
+                st.update(tbl.column(c))
+                state["aggs"][c] = st
+            except Exception:
+                state["errors"][("agg", c)] = traceback.format_exc(limit=3)
         for c in self.count_columns:
-            col = tbl.column(c)
-            state["counts"][c] = (len(col), len(col) - col.null_count)
+            try:
+                col = tbl.column(c)
+                state["counts"][c] = (len(col), len(col) - col.null_count)
+            except Exception:
+                state["errors"][("count", c)] = traceback.format_exc(limit=3)
         for c in self.vc_columns:
-            st = ValueCountsState()
-            st.update(tbl.column(c))
-            state["vcs"][c] = st
+            try:
+                st = ValueCountsState()
+                st.update(tbl.column(c))
+                state["vcs"][c] = st
+            except Exception:
+                state["errors"][("vc", c)] = traceback.format_exc(limit=3)
         if self.hist_specs:
             state["hists"] = {}
             for idx, col, bins in self.hist_specs:
-                vals = np.asarray(
-                    pc.drop_null(pc.cast(tbl.column(col), pa.float64())).combine_chunks()
-                )
-                edges = np.asarray(bins, dtype=np.float64)
-                counts, _ = np.histogram(vals, bins=edges)
-                below = int((vals < edges[0]).sum())
-                above = int((vals > edges[-1]).sum())
-                state["hists"][idx] = (counts.astype(np.int64), below, above, len(vals))
+                try:
+                    vals = np.asarray(
+                        pc.drop_null(pc.cast(tbl.column(col), pa.float64())).combine_chunks()
+                    )
+                    edges = np.asarray(bins, dtype=np.float64)
+                    counts, _ = np.histogram(vals, bins=edges)
+                    below = int((vals < edges[0]).sum())
+                    above = int((vals > edges[-1]).sum())
+                    state["hists"][idx] = (counts.astype(np.int64), below, above, len(vals))
+                except Exception:
+                    state["errors"][("hist", idx)] = traceback.format_exc(limit=3)
         return pa.table({"partial": pa.array([pickle.dumps(state)], type=pa.large_binary())})
 
     def _eval_map(
@@ -346,9 +362,13 @@ def _grouped_value_counts(ds, columns: list[str]):
 
     def vc_batch(tbl: pa.Table) -> pa.Table:
         if len(columns) == 1:
+            # single column: keep the NATIVE type — distinct-set verdicts
+            # must compare typed observed values against the typed value_set
+            # (casting to string here made int/str comparisons silently
+            # wrong on the overflow path)
             key = tbl.column(columns[0]).combine_chunks()
             valid = pc.is_valid(key)
-            key = pc.cast(key.filter(valid), pa.string())
+            key = key.filter(valid)
         else:
             parts = [pc.cast(tbl.column(c).combine_chunks(), pa.string()) for c in columns]
             key = pc.binary_join_element_wise(
@@ -549,8 +569,22 @@ def validate(
         ps = merged["maps"].get(idx, MapPartialState()) if merged else MapPartialState()
         finish_map(idx, cfg, ps)
 
+    def col_error(*keys) -> Optional[str]:
+        """First recorded per-column phase-1 error for any of the given
+        (kind, column) keys, if phase 1 ran."""
+        if not merged:
+            return None
+        for k in keys:
+            if k in merged["errors"]:
+                return merged["errors"][k]
+        return None
+
     # ---- aggregate rules --------------------------------------------------- #
     for idx, cfg in plan.agg_rules:
+        err = col_error(("agg", cfg.kwargs["column"]))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
         try:
             metric = AGG_EXPECTATIONS[cfg.expectation_type]
             # empty datasets produce no partials: empty state -> None metric
@@ -577,6 +611,10 @@ def validate(
     if plan.two_phase_rules:
         phase2_rules = []
         for idx, cfg in plan.two_phase_rules:
+            err = col_error(("agg", cfg.kwargs["column"]))
+            if err:
+                fail_evr(idx, cfg, err)
+                continue
             ag = merged["aggs"].get(cfg.kwargs["column"], NumericAggState())
             k = dict(cfg.kwargs)
             k["_mean"] = ag.metric("column.mean")
@@ -597,6 +635,12 @@ def validate(
 
     # ---- value-count rules -------------------------------------------------- #
     for idx, cfg in plan.vc_rules:
+        err = col_error(
+            ("vc", cfg.kwargs["column"]), ("count", cfg.kwargs["column"])
+        )
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
         try:
             evrs[idx] = _finish_vc_rule(ds, cfg, merged)
         except Exception as exc:
@@ -604,6 +648,10 @@ def validate(
 
     # ---- global-uniqueness rules (shuffle) ---------------------------------- #
     for idx, cfg in plan.unique_rules:
+        err = col_error(*(("count", c) for c in _unique_columns(cfg)))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
         try:
             cols = _unique_columns(cfg)
             vc_ds = _grouped_value_counts(ds, cols)
@@ -648,6 +696,14 @@ def validate(
 
     # ---- distributional rules (#46 KL, #48 chi-square) -------------------- #
     for idx, cfg in plan.dist_rules:
+        err = col_error(
+            ("vc", cfg.kwargs["column"]),
+            ("count", cfg.kwargs["column"]),
+            ("hist", idx),
+        )
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
         try:
             po = cfg.kwargs.get("partition_object") or {}
             if (
@@ -728,8 +784,10 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
             # high-cardinality numeric: distributed rank selection — exact,
             # no driver collection (functions/quantiles.py)
             return _finish_quantile_distributed(ds, cfg)
-        # distinct-set style rules: recompute exactly via the shuffle path
-        vc = _rebuild_vc_from_shuffle(ds, col)
+        # distinct-set style rules: fully distributed verdict — no driver
+        # collection of the grouped keys (reference semantics of
+        # column_distinct_values.py:106 hold; observed_value is sampled)
+        return _finish_vc_rule_distributed(ds, cfg, merged)
     total, nonnull = merged["counts"].get(col, (0, 0))
 
     def evr(ok: bool, result: dict) -> ExpectationValidationResult:
@@ -984,15 +1042,89 @@ def _finish_quantile_distributed(ds, cfg: ExpectationConfiguration) -> Expectati
     )
 
 
-def _rebuild_vc_from_shuffle(ds, col: str) -> ValueCountsState:
-    """High-cardinality fallback: exact value counts via groupby.  The result
-    still has to fit on the driver for distinct-set style judging; rules that
-    can overflow this are better expressed as unique_value_count (which we
-    compute from the grouped dataset size without collecting)."""
-    vc_ds = _grouped_value_counts(ds, [col])
-    st = ValueCountsState()
-    st.CAP = 10_000_000
-    for row in vc_ds.iter_rows():
-        st.counts[row["value"]] = row["sum(cnt)"]
-        st.nonnull += row["sum(cnt)"]
-    return st
+def _finish_vc_rule_distributed(
+    ds, cfg: ExpectationConfiguration, merged: dict
+) -> ExpectationValidationResult:
+    """High-cardinality (>100k distinct) fallback for distinct-set /
+    unique-count / most-common rules: every verdict is computed ON the
+    grouped dataset (filtered counts, ``Dataset.count()``, grouped max) —
+    the distinct keys are never collected to the driver.  Keys keep the
+    column's NATIVE type (``_grouped_value_counts`` single-column path), so
+    set membership compares typed values, matching the reference
+    (``column_distinct_values.py:106``).  ``observed_value`` is a bounded
+    sample where the full set would not fit a result payload."""
+    t = cfg.expectation_type
+    col = cfg.kwargs["column"]
+    total, nonnull = merged["counts"].get(col, (0, 0))
+    # materialize once: several verdicts below consume the grouped dataset
+    # more than once, and re-executing the lazy DAG would re-shuffle
+    vc_ds = _grouped_value_counts(ds, [col]).materialize()
+
+    def evr(ok: bool, result: dict) -> ExpectationValidationResult:
+        result.setdefault("details", {})["distributed"] = True
+        return ExpectationValidationResult(
+            success=ok, expectation_config=cfg.to_json_dict(), result=result
+        )
+
+    def sample_values(d, k: int = MAX_RESULT_RECORDS) -> list:
+        return [r["value"] for r in d.take(k)]
+
+    if t == "expect_column_distinct_values_to_be_in_set":
+        allowed = pa.array(list(cfg.kwargs["value_set"]))
+
+        def violators(tbl: pa.Table) -> pa.Table:
+            m = pc.is_in(tbl.column("value"), value_set=allowed)
+            return tbl.filter(pc.invert(m))
+
+        bad = vc_ds.map_batches(violators, batch_format="pyarrow").materialize()
+        n_bad = bad.count()
+        return evr(
+            n_bad == 0,
+            {"observed_value": sorted(sample_values(bad), key=str),
+             "details": {"unexpected_distinct_count": n_bad}},
+        )
+    if t in ("expect_column_distinct_values_to_contain_set",
+             "expect_column_distinct_values_to_equal_set"):
+        required = list(cfg.kwargs["value_set"])
+        allowed = pa.array(required)
+
+        def members(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.is_in(tbl.column("value"), value_set=allowed))
+
+        # the matching subset is ≤ |value_set| rows — safe to collect
+        present = {r["value"] for r in
+                   vc_ds.map_batches(members, batch_format="pyarrow").take_all()}
+        contains = set(required).issubset(present)
+        if t == "expect_column_distinct_values_to_contain_set":
+            return evr(contains, {"observed_value": sorted(present, key=str)})
+        n_distinct = vc_ds.count()
+        ok = contains and n_distinct == len(set(required))
+        return evr(ok, {"observed_value": sorted(present, key=str),
+                        "details": {"distinct_count": n_distinct}})
+    if t == "expect_column_unique_value_count_to_be_between":
+        n = vc_ds.count()
+        ok = validate_metric_value_between(
+            n, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        return evr(ok, {"observed_value": n})
+    if t == "expect_column_proportion_of_unique_values_to_be_between":
+        prop = (vc_ds.count() / nonnull) if nonnull else None
+        ok = validate_metric_value_between(
+            prop, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        return evr(ok, {"observed_value": prop})
+    if t == "expect_column_most_common_value_to_be_in_set":
+        top = vc_ds.max("sum(cnt)")
+
+        def eq_top(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.equal(tbl.column("sum(cnt)"), top))
+
+        modes_ds = vc_ds.map_batches(eq_top, batch_format="pyarrow")
+        modes = sorted(sample_values(modes_ds, 1000), key=str)
+        ok = all(m in set(cfg.kwargs["value_set"]) for m in modes)
+        if cfg.kwargs.get("ties_okay", False) and len(modes) > 1:
+            ok = any(m in set(cfg.kwargs["value_set"]) for m in modes)
+        return evr(ok, {"observed_value": modes})
+    raise NotImplementedError(t)

@@ -22,20 +22,31 @@ import pyarrow.compute as pc
 
 
 def broadcast_join(ds, small_df: pd.DataFrame, *, on: list[str] | str, how: str = "inner"):
-    """Join a Dataset against a SMALL pandas table (dimension side)."""
+    """Join a Dataset against a SMALL pandas/Arrow table (dimension side).
+
+    Arrow-native: the small side is converted to an Arrow table ONCE on the
+    driver, published via ``ray.put``, and each batch runs a zero-copy
+    ``pa.Table.join`` — no per-batch Arrow→pandas→Arrow round-trip."""
     import ray
 
     on = [on] if isinstance(on, str) else list(on)
-    ref = ray.put(small_df)
+    small_tbl = (
+        small_df if isinstance(small_df, pa.Table) else pa.Table.from_pandas(small_df)
+    )
+    ref = ray.put(small_tbl)
+    join_type = {"inner": "inner", "left": "left outer", "right": "right outer"}.get(
+        how, how
+    )
 
     class Joiner:
         def __init__(self):
             self.small = ray.get(ref)  # once per actor/task worker
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, on=on, how=how)
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            out = tbl.join(self.small, keys=on, join_type=join_type)
+            return out.combine_chunks()
 
-    return ds.map_batches(Joiner, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def broadcast_semi_anti(ds, keys, *, on: str, anti: bool = False):
@@ -51,7 +62,8 @@ def broadcast_semi_anti(ds, keys, *, on: str, anti: bool = False):
         m = pc.is_in(tbl.column(on), value_set=ks)
         if anti:
             m = pc.invert(m)
-        return tbl.filter(pc.fill_null(m, not anti if anti else False))
+        # Null keys: "not in the set" — kept for anti, dropped for semi.
+        return tbl.filter(pc.fill_null(m, anti))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -91,12 +103,12 @@ def hash_bucket_join(
                     k64, pc.multiply(pc.divide(k64, n_buckets), n_buckets)
                 )
             else:
-                from great_expectations_ray.stages.dedup import md5_column
+                # vectorized xxhash via polars — bucketing needs no md5
+                # parity, only uniformity + cross-batch determinism
+                import polars as pl
 
-                h = md5_column(key)
-                tail = pc.utf8_slice_codeunits(h, 24, 32)
-                vals = np.array([int(v.as_py(), 16) for v in tail], dtype=np.int64)
-                bucket = pa.array(vals % n_buckets)
+                h = pl.from_arrow(key.combine_chunks()).hash(seed=0).to_numpy()
+                bucket = pa.array((h % n_buckets).astype(np.int64))
             tbl = tbl.append_column("__bucket", pc.cast(bucket, pa.int64()))
             tbl = tbl.append_column("__side", pa.array([side] * tbl.num_rows))
             # align schema: null columns for the other side's fields

@@ -42,7 +42,18 @@ class CheckpointResult:
 
     @property
     def success(self) -> bool:
-        return True
+        """True iff every (repo, lang) rollup group in every partition passed
+        its suite (reference: ``CheckpointResult.success`` is
+        ``all(r.success)`` over run results, ``checkpoint/checkpoint.py:423``).
+        Skipped (resumed) partitions count: their rollups are reloaded from
+        the manifest, so a resumed run reports the same verdict as a fresh
+        one.  An empty run (no partitions) is vacuously successful, matching
+        the reference's ``all([])``."""
+        return all(
+            grp["statistics"]["success"]
+            for rep in self.rollups.values()
+            for grp in rep
+        )
 
     def combined_counts(self) -> dict[str, int]:
         rows = kept = 0

@@ -343,10 +343,19 @@ class SinkStage:
         kept_tbl = tbl.filter(np.asarray(tbl.column("keep"), dtype=bool))
         if tbl.num_rows:
             os.makedirs(self.lineage_dir, exist_ok=True)
-            # content-addressed fragment name: a RETRIED task rewrites the
-            # same file instead of duplicating the batch (idempotent sink)
-            first_key = f"{tbl.column('repo')[0].as_py()}/{tbl.column('path')[0].as_py()}"
-            frag = hashlib.sha256(f"{first_key}:{tbl.num_rows}".encode()).hexdigest()[:24]
+            # content-addressed fragment name over the batch's FULL key
+            # columns (IPC-serialized — offset/slice safe): a retried task
+            # re-emitting the identical batch rewrites the same file
+            # (idempotent), while two different batches that happen to share
+            # a first row + row count can never collide/overwrite.  (A retry
+            # that re-splits batches produces new names; the per-partition
+            # manifest fingerprint remains the completeness guard.)
+            key_cols = [c for c in ("repo", "path", "commit") if c in tbl.column_names]
+            key_tbl = tbl.select(key_cols)
+            sink_buf = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink_buf, key_tbl.schema) as w:
+                w.write_table(key_tbl)
+            frag = hashlib.sha256(sink_buf.getvalue()).hexdigest()[:24]
             name = f"{self.prefix}-{frag}.parquet"
             # zstd: ~2-4x smaller than snappy on source code, keeps the sink
             # off the disk-bandwidth floor

@@ -91,9 +91,23 @@ def mark_exact_duplicates(ds, key_columns: list[str], order_by: str):
 
 def md5_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """md5 hex per value — mirrors the reference's hash sampler
-    (``pandas_data_sampler.py:117`` hashes str(value) with md5)."""
+    (``pandas_data_sampler.py:117`` hashes str(value) with md5).
+
+    String columns hash straight off the Arrow UTF-8 buffer (str(value) is
+    the value itself); other types fall back to the str() loop for md5
+    parity with the reference."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    from great_expectations_ray.stages.scrub import _string_buffer_views
+
+    views = _string_buffer_views(col) if pa.types.is_string(col.type) else None
+    if views is not None and col.null_count == 0:
+        offs, mv = views
+        _md5 = hashlib.md5
+        return pa.array(
+            [_md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))],
+            pa.string(),
+        )
     return pa.array(
         [hashlib.md5(str(v.as_py()).encode()).hexdigest() if v.is_valid else None for v in col],
         pa.string(),

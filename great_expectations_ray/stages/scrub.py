@@ -33,19 +33,62 @@ DEFAULT_SCRUB_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+_EMPTY_SHA = hashlib.sha256(b"").hexdigest()
+
+
+def _string_buffer_views(col: pa.Array):
+    """(offsets ndarray, data memoryview) for a string/binary Arrow array —
+    zero-copy views straight onto the Arrow buffers.  Returns None if the
+    array type has no contiguous byte payload."""
+    t = col.type
+    if pa.types.is_string(t) or pa.types.is_binary(t):
+        odtype = np.int32
+    elif pa.types.is_large_string(t) or pa.types.is_large_binary(t):
+        odtype = np.int64
+    else:
+        return None
+    bufs = col.buffers()
+    if bufs[1] is None or bufs[2] is None:
+        return None
+    # slice-aware: the offsets buffer covers [array.offset, array.offset+len]
+    offs = np.frombuffer(bufs[1], dtype=odtype, count=len(col) + 1 + col.offset)[
+        col.offset :
+    ]
+    return offs, memoryview(bufs[2])
+
+
 def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """sha256 hex of each string value (empty-string hash for nulls).
 
-    Per-row hashlib calls: each digest is C code over the (potentially large)
-    content buffer, so the Python loop overhead is amortized by payload size —
-    this is the standard shape for content hashing in data pipelines.
+    Hashes straight off the Arrow UTF-8 data buffer via memoryview slices —
+    no ``as_py()`` decode, no per-row Python string materialization.  Arrow
+    string payloads are valid UTF-8 by construction, so the buffer bytes are
+    byte-identical to ``value.encode("utf-8")`` (sha parity preserved).  Each
+    digest is one C call; hashlib releases the GIL for payloads >2 KiB.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    out = [
-        hashlib.sha256((v.as_py() if v.is_valid else "").encode("utf-8", "surrogatepass")).hexdigest()
-        for v in col
-    ]
+    views = _string_buffer_views(col)
+    if views is None:  # non-string fallback (rare; not on the hot path)
+        out = [
+            hashlib.sha256(
+                (v.as_py() if v.is_valid else "").encode("utf-8", "surrogatepass")
+            ).hexdigest()
+            for v in col
+        ]
+        return pa.array(out, pa.string())
+    offs, mv = views
+    _sha = hashlib.sha256
+    if col.null_count == 0:
+        out = [
+            _sha(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))
+        ]
+    else:
+        valid = np.asarray(pc.is_valid(col), dtype=bool)
+        out = [
+            _sha(mv[offs[i] : offs[i + 1]]).hexdigest() if valid[i] else _EMPTY_SHA
+            for i in range(len(col))
+        ]
     return pa.array(out, pa.string())
 
 
