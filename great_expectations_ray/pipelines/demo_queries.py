@@ -12,6 +12,7 @@ sides.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -1423,3 +1424,44 @@ ORACLE_SQL = {
     "kl_event_types": SQL_KL_EVENT_TYPES,
     "cramers_events": SQL_CRAMERS_EVENTS,
 }
+
+# --------------------------------------------------------------------------- #
+# fixture-backed oracles for the six seeded model/LSH queries.  The stages are
+# deterministic, so expected outputs are precomputed by an INDEPENDENT
+# pure-python/pandas reimplementation (tools/gen_oracle_fixtures.py — per-doc
+# `re`/python-int/numpy loops, no Ray, none of the stages' execution code)
+# into fixtures/<query>.parquet, keyed by a content fingerprint of the input
+# table so the same SQL selects the right expected rows at any generated SF.
+# --------------------------------------------------------------------------- #
+
+_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+_FP_DOCS = "(SELECT CAST(SUM(doc_id * n_chars) AS BIGINT) FROM documents)"
+_FP_EMB = "(SELECT CAST(SUM(vec_id * label) AS BIGINT) FROM embeddings)"
+
+
+def _fixture_sql(name: str, cols: str, fp_expr: str, order: str) -> str:
+    path = os.path.join(_FIXTURES, f"{name}.parquet")
+    return (
+        f"SELECT {cols} FROM read_parquet('{path}') "
+        f"WHERE fp = {fp_expr} ORDER BY {order}"
+    )
+
+
+ORACLE_SQL.update({
+    "langid_docs": _fixture_sql(
+        "langid_docs", "doc_id, lang_pred", _FP_DOCS, "doc_id"),
+    "perplexity_docs": _fixture_sql(
+        "perplexity_docs", "doc_id, perplexity", _FP_DOCS, "doc_id"),
+    "minhash_neardup_docs": _fixture_sql(
+        "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
+    "simhash_neardup_docs": _fixture_sql(
+        "simhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
+    "embedding_neardup": _fixture_sql(
+        "embedding_neardup", "vec_id, is_neardup", _FP_EMB, "vec_id"),
+    "lsh_ann_topk": _fixture_sql(
+        "lsh_ann_topk", "vec_id, sim", _FP_EMB, "vec_id"),
+})

@@ -18,8 +18,6 @@ marking.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -150,10 +148,16 @@ def minhash_lsh_mark_duplicates(
     shingle_k: int = 8,
     seed: int = 17,
     jaccard_threshold: float | None = None,
+    max_bucket_size: int = 2000,
 ):
     """Returns a Dataset of (id_col, is_neardup) — is_neardup True iff the
     row shares an LSH bucket with a lower id (after optional signature-
-    Jaccard verification within the bucket)."""
+    Jaccard verification within the bucket).
+
+    ``max_bucket_size`` caps the in-bucket verification work: a degenerate
+    bucket (thousands of near-identical docs on one reducer) is verified
+    against the bucket REPRESENTATIVE (lowest id) only — O(bucket) instead
+    of O(bucket²) — so a hot bucket cannot go quadratic."""
     r = num_perm // bands
 
     def explode(tbl: pa.Table) -> pa.Table:
@@ -183,9 +187,14 @@ def minhash_lsh_mark_duplicates(
         else:
             sigs = np.stack(g["sig"].to_numpy())
             dup = np.zeros(len(g), dtype=bool)
-            for i in range(1, len(g)):
-                sim = (sigs[i] == sigs[:i]).mean(axis=1).max()
-                dup[i] = sim >= jaccard_threshold
+            if len(g) > max_bucket_size:
+                # degenerate bucket: verify vs representative only — O(n)
+                sim = (sigs[1:] == sigs[0]).mean(axis=1)
+                dup[1:] = sim >= jaccard_threshold
+            else:
+                for i in range(1, len(g)):
+                    sim = (sigs[i] == sigs[:i]).mean(axis=1).max()
+                    dup[i] = sim >= jaccard_threshold
         return pd.DataFrame({id_col: ids, "is_neardup": dup})
 
     marked = (
@@ -198,11 +207,49 @@ def minhash_lsh_mark_duplicates(
     return marked.groupby(id_col).max("is_neardup")
 
 
+_SIMHASH_B = np.uint64(1099511628211)  # FNV prime mixing base
+
+
+def _token_poly_hashes(flat: pa.Array) -> np.ndarray:
+    """uint64 polynomial hash per token, fully vectorized off the flattened
+    token values buffer: h(tok) = Σ_j byte_j · B^j  (mod 2^64).  No per-token
+    Python loop, no ``as_py()``."""
+    from great_expectations_ray.stages.scrub import _string_buffer_views
+
+    m = len(flat)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs, mv = _string_buffer_views(flat)
+    offs = offs.astype(np.int64)
+    tok_lens = offs[1:] - offs[:-1]
+    total = int(tok_lens.sum())
+    out = np.zeros(m, dtype=np.uint64)
+    if total == 0:
+        return out
+    data = np.frombuffer(mv, dtype=np.uint8)[offs[0] : offs[-1]]
+    starts = offs[:-1] - offs[0]
+    pos = _concat_aranges(tok_lens)  # position of each byte within its token
+    maxlen = int(tok_lens.max())
+    # powers[j] = B^j mod 2^64 via wrapping cumulative product of [1, B, B, …]
+    powers = np.ones(maxlen, dtype=np.uint64)
+    if maxlen > 1:
+        powers[1:] = _SIMHASH_B
+        np.multiply.accumulate(powers, out=powers, dtype=np.uint64)
+    # byte stream is contiguous token bytes (split output has no separators)
+    contrib = data.astype(np.uint64) * powers[pos]
+    nz = tok_lens > 0
+    seg_starts = np.zeros(m, dtype=np.int64)
+    np.cumsum(tok_lens[:-1], out=seg_starts[1:])
+    out[nz] = np.add.reduceat(contrib, seg_starts[nz])
+    return out
+
+
 def simhash64(
     content: pa.Array | pa.ChunkedArray, *, seed: int = 29
 ) -> np.ndarray:
-    """64-bit SimHash per row from whitespace tokens (crc32-hashed, mixed to
-    64 bits).  Token extraction is Arrow; the crc loop is per-token C calls."""
+    """64-bit SimHash per row from whitespace tokens.  Token extraction is
+    Arrow; token hashing is one vectorized polynomial pass over the flattened
+    token bytes (``_token_poly_hashes``) — no per-token Python loop."""
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     content = pc.fill_null(content, "")
@@ -210,11 +257,7 @@ def simhash64(
     flat = tokens.values
     tok_counts = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
     mix = np.uint64(0x9E3779B97F4A7C15 + seed)
-    tok_hashes = np.fromiter(
-        (zlib.crc32(t.as_py().encode()) for t in flat),
-        dtype=np.uint64,
-        count=len(flat),
-    )
+    tok_hashes = _token_poly_hashes(flat)
     tok_hashes = (tok_hashes * mix) ^ (tok_hashes >> np.uint64(13))
     tok_hashes *= np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -290,9 +333,12 @@ def embedding_mark_duplicates(
     cosine_threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 7,
+    max_bucket_size: int = 2000,
 ):
     """Embedding near-dup: random-hyperplane LSH buckets, exact cosine verify
-    within buckets against every lower-id member."""
+    within buckets against every lower-id member.  Buckets larger than
+    ``max_bucket_size`` verify against the bucket representative (lowest id)
+    only — bounds a degenerate hot bucket to O(bucket) work."""
     from great_expectations_ray.stages.ann import _emb_matrix, lsh_bucket_assignments
 
     planes_holder = {}
@@ -315,9 +361,14 @@ def embedding_mark_duplicates(
         M = np.stack(g[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
         dup = np.zeros(len(g), dtype=bool)
-        for i in range(1, len(g)):
-            sims = (M[:i] @ M[i]) / np.maximum(norms[:i] * norms[i], 1e-30)
-            dup[i] = bool((sims >= cosine_threshold).any())
+        if len(g) > max_bucket_size:
+            # degenerate bucket: one matvec vs the representative — O(n·d)
+            sims = (M[1:] @ M[0]) / np.maximum(norms[1:] * norms[0], 1e-30)
+            dup[1:] = sims >= cosine_threshold
+        else:
+            for i in range(1, len(g)):
+                sims = (M[:i] @ M[i]) / np.maximum(norms[:i] * norms[i], 1e-30)
+                dup[i] = bool((sims >= cosine_threshold).any())
         return pd.DataFrame({id_col: ids, "is_neardup": dup})
 
     marked = (

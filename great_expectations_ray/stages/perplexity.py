@@ -146,10 +146,12 @@ class PerplexityScorer:
             )
             stream = data[idx]
 
-        # trigram logprobs over the stream (float32: half the traffic of a
-        # float64 cumsum path; per-row sums via reduceat write only n outputs)
+        # trigram logprobs over the stream; float64 accumulation so a per-row
+        # sum is order-robust to ~1e-13 relative — results rounded to 6dp are
+        # bit-stable against any independent float64 re-summation (oracle
+        # parity).  Per-row sums via reduceat write only n outputs.
         ctx = ctx_bucket(stream[:-2], stream[1:-1])
-        lp = np.zeros(total, dtype=np.float32)
+        lp = np.zeros(total, dtype=np.float64)
         if total >= 3:
             lp[2:] = self.table[ctx, stream[2:]]
         # zero the 2 leading positions of every row: their contexts belong to

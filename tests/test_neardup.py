@@ -125,3 +125,42 @@ def test_minhash_jaccard_verified():
     assert marked[1] is False
     assert marked[2] is True      # near-dup of 1, verified above threshold
     assert marked[3] is False     # unrelated survives even if bucketed
+
+
+def test_degenerate_bucket_capped():
+    """A pathological bucket (thousands of identical docs) must complete in
+    O(bucket) via the representative-verify cap, and still flag every
+    non-first member."""
+    import time
+
+    import ray.data as rd
+
+    n = 10_000
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(["identical content repeated many times over " * 4] * n,
+                         pa.string()),
+    })
+    t0 = time.time()
+    out = minhash_lsh_mark_duplicates(
+        rd.from_arrow(t), text_col="text", id_col="doc_id",
+        jaccard_threshold=0.5, max_bucket_size=100,
+    )
+    marked = pd.DataFrame(out.take_all()).rename(
+        columns={"max(is_neardup)": "is_neardup"})
+    assert len(marked) == n
+    assert marked.is_neardup.sum() == n - 1  # all but the lowest id
+    assert time.time() - t0 < 120
+
+    vec = [float(x) for x in np.arange(16)]
+    te = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([vec] * n, pa.list_(pa.float32())),
+    })
+    out = embedding_mark_duplicates(
+        rd.from_arrow(te), id_col="vec_id", cosine_threshold=0.9,
+        max_bucket_size=100,
+    )
+    marked = pd.DataFrame(out.take_all()).rename(
+        columns={"max(is_neardup)": "is_neardup"})
+    assert marked.is_neardup.sum() == n - 1

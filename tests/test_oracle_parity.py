@@ -61,3 +61,41 @@ def test_query_matches_oracle(name, con):
         else:
             eq = (a == b) | (a.isna() & b.isna())
             assert eq.all(), f"{name}.{c}: mismatch\n{pd.DataFrame({'ours': a[~eq], 'sql': b[~eq]}).head()}"
+
+
+# ---- sf0.01 rehearsal for the fixture-backed model/LSH oracles ------------ #
+# the driver's correctness gate runs at sf0.01; the fingerprint row selection
+# in the fixture SQL must pick the right expected rows there too
+
+FIXTURE_QUERIES = [
+    "langid_docs", "perplexity_docs", "minhash_neardup_docs",
+    "simhash_neardup_docs", "embedding_neardup", "lsh_ann_topk",
+]
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.mark.parametrize("name", FIXTURE_QUERIES)
+def test_fixture_query_matches_oracle_sf01(name, con01):
+    ours = dq.QUERIES[name](SF01_DIR)
+    if not isinstance(ours, pd.DataFrame):
+        ours = ours.to_pandas()
+    theirs = con01.execute(dq.ORACLE_SQL[name]).fetchdf()
+    ours, theirs = _normalize(ours), _normalize(theirs)
+    assert list(ours.columns) == list(theirs.columns)
+    assert len(ours) == len(theirs), f"{name}: {len(ours)} vs {len(theirs)}"
+    for c in ours.columns:
+        a, b = ours[c], theirs[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            assert np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0)
+        else:
+            assert ((a == b) | (a.isna() & b.isna())).all(), f"{name}.{c}"

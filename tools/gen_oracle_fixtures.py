@@ -1,0 +1,278 @@
+"""Generate DuckDB-oracle fixture parquet for the six model/LSH catalog
+queries (langid, perplexity, minhash, simhash, embedding near-dup, LSH ANN).
+
+These stages are seeded and deterministic, so their expected outputs are
+computable ahead of time.  This script recomputes them with an INDEPENDENT
+implementation — plain pandas/numpy/re, per-document loops, no Ray, none of
+the ``great_expectations_ray.stages`` execution code — sharing only the
+published spec constants (feature tables, seeds, hash bases) that define the
+operators.  The outputs land in ``fixtures/<query>.parquet`` keyed by a
+content fingerprint of the input table, and ``oracle_sql()`` SELECTs the
+matching rows:
+
+    SELECT doc_id, lang_pred FROM read_parquet('fixtures/langid_docs.parquet')
+    WHERE fp = (SELECT CAST(SUM(doc_id * n_chars) AS BIGINT) FROM documents)
+
+Run:  python tools/gen_oracle_fixtures.py  [sf_dir ...]
+(defaults to /root/testdata/sf0.001 sf0.01 sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# spec constants only (shared operator definitions, not execution code)
+from great_expectations_ray.stages.langid import LANG_FEATURES, UNKNOWN_LANG  # noqa: E402
+
+M64 = (1 << 64) - 1
+FNV_B = 1099511628211  # shared polynomial base (spec constant)
+MERSENNE = (1 << 61) - 1
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "fixtures")
+
+
+# --------------------------------------------------------------------------- #
+# langid — per-doc python `re` evaluation of the folded feature spec
+# --------------------------------------------------------------------------- #
+
+
+def langid_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    langs = list(LANG_FEATURES)
+    spec = []
+    for li, lang in enumerate(langs):
+        hi = [p for p, w in LANG_FEATURES[lang] if w >= 2.0]
+        lo = [p for p, w in LANG_FEATURES[lang] if w < 2.0]
+        for group, w in ((hi, 2.5), (lo, 1.2)):
+            if not group:
+                continue
+            pat = "(?:" + "|".join(group) + ")"
+            flags = re.MULTILINE if "(?m)" in pat else 0
+            spec.append((li, re.compile(pat.replace("(?m)", ""), flags), w))
+    preds = []
+    for text in docs["text"]:
+        t = (text or "")[:2048]
+        scores = np.zeros(len(langs))
+        for li, rx, w in spec:
+            cnt = sum(1 for _ in rx.finditer(t))
+            scores[li] += w * min(float(cnt), 25.0)
+        scores /= np.log2(max(float(len(t)), 2.0))
+        best = int(scores.argmax())
+        preds.append(langs[best] if scores[best] > 0.05 else UNKNOWN_LANG)
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(), "lang_pred": preds})
+
+
+# --------------------------------------------------------------------------- #
+# perplexity — per-doc python trigram counting + numpy table formula
+# --------------------------------------------------------------------------- #
+
+N_CTX = 8192
+CTX_MULT = 9973
+
+
+def _bucket(c1: int, c2: int) -> int:
+    raw = (c1 << 8) | c2
+    return ((raw * CTX_MULT) ^ (raw >> 7)) % N_CTX
+
+
+def perplexity_fixture(docs: pd.DataFrame, sample_rows: int = 200) -> pd.DataFrame:
+    # model: first `sample_rows` rows in file order, truthy texts only,
+    # trigram counts accumulated with a plain python dict
+    from collections import Counter
+
+    counts = Counter()
+    for text in docs["text"].head(sample_rows):
+        if not text:
+            continue
+        b = text.encode("utf-8", "replace")
+        for i in range(len(b) - 2):
+            counts[(_bucket(b[i], b[i + 1]), b[i + 2])] += 1
+    mat = np.zeros((N_CTX, 256), dtype=np.float64)
+    for (ctx, nxt), c in counts.items():
+        mat[ctx, nxt] = c
+    sm = mat + 0.1
+    table = np.log2(sm / sm.sum(axis=1, keepdims=True)).astype(np.float16)
+
+    out = []
+    for text in docs["text"]:
+        b = (text or "").encode("utf-8", "replace")[:65536]
+        if len(b) == 0:
+            out.append(1e9)
+            continue
+        if len(b) < 3:
+            out.append(256.0)
+            continue
+        lp = 0.0
+        for i in range(len(b) - 2):
+            lp += float(table[_bucket(b[i], b[i + 1]), b[i + 2]])
+        h = -(lp / (len(b) - 2))
+        out.append(round(float(2.0 ** h), 6))
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(), "perplexity": out})
+
+
+# --------------------------------------------------------------------------- #
+# minhash — per-doc window hashing, global python-dict LSH grouping
+# --------------------------------------------------------------------------- #
+
+
+def minhash_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    bvec = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+    B = np.uint64(FNV_B)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        by = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+        nw = len(by) - k + 1
+        if nw <= 0:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            h = np.zeros(nw, dtype=np.uint64)
+            for j in range(k):
+                h = h * B + by[j : nw + j].astype(np.uint64)
+            sig = (h[:, None] * a[None, :] + bvec[None, :]).min(axis=0)
+        for bi in range(bands):
+            bk = 0
+            for j in range(bi * r, (bi + 1) * r):
+                bk = (bk * FNV_B + int(sig[j])) & M64
+            buckets.setdefault((bi, bk), []).append(int(doc_id))
+
+    dup = {int(d): False for d in docs["doc_id"]}
+    for members in buckets.values():
+        lo = min(members)
+        for m in members:
+            if m != lo:
+                dup[m] = True
+    ids = sorted(dup)
+    return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
+
+
+# --------------------------------------------------------------------------- #
+# simhash — per-doc/per-token python polynomial hash + hamming bands
+# --------------------------------------------------------------------------- #
+
+
+def _simhash_doc(text: str, seed: int = 29) -> int:
+    mix = (0x9E3779B97F4A7C15 + seed) & M64
+    C = 0xC2B2AE3D27D4EB4F
+    bit_sums = [0] * 64
+    for tok in re.split(r"\s+", text or ""):
+        h = 0
+        for j, byte in enumerate(tok.encode("utf-8")):
+            h = (h + byte * pow(FNV_B, j, 1 << 64)) & M64
+        h = (((h * mix) & M64) ^ (h >> 13)) & M64
+        h = (h * C) & M64
+        for i in range(64):
+            bit_sums[i] += 1 if (h >> i) & 1 else -1
+    return sum((1 << i) for i in range(64) if bit_sums[i] > 0)
+
+
+def simhash_fixture(docs: pd.DataFrame, n_bands: int = 4) -> pd.DataFrame:
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        h = _simhash_doc(text)
+        for bi in range(n_bands):
+            bk = (h >> (16 * bi)) & 0xFFFF
+            buckets.setdefault((bi, bk), []).append(int(doc_id))
+    dup = {int(d): False for d in docs["doc_id"]}
+    for members in buckets.values():
+        lo = min(members)
+        for m in members:
+            if m != lo:
+                dup[m] = True
+    ids = sorted(dup)
+    return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
+
+
+# --------------------------------------------------------------------------- #
+# embedding near-dup + LSH ANN — numpy per-bucket loops
+# --------------------------------------------------------------------------- #
+
+
+def _bucket_ids(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M @ planes.T) > 0
+    return bits.astype(np.int64) @ (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+
+def embedding_neardup_fixture(emb: pd.DataFrame, threshold=0.9, n_planes=12,
+                              seed=7) -> pd.DataFrame:
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    planes = np.random.default_rng(seed).standard_normal((n_planes, M.shape[1]))
+    bk = _bucket_ids(M, planes)
+    dup = {int(i): False for i in ids}
+    for b in np.unique(bk):
+        members = np.sort(ids[bk == b])
+        sub = {int(i): M[np.where(ids == i)[0][0]] for i in members}
+        for i_pos in range(1, len(members)):
+            vi = sub[int(members[i_pos])]
+            ni = np.linalg.norm(vi)
+            for j_pos in range(i_pos):
+                vj = sub[int(members[j_pos])]
+                cos = float(vi @ vj) / max(np.linalg.norm(vj) * ni, 1e-30)
+                if cos >= threshold:
+                    dup[int(members[i_pos])] = True
+                    break
+    sids = sorted(dup)
+    return pd.DataFrame({"vec_id": sids, "is_neardup": [dup[i] for i in sids]})
+
+
+def lsh_ann_fixture(emb: pd.DataFrame, k=10, n_planes=8, seed=7) -> pd.DataFrame:
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    q = M[np.where(ids == 0)[0][0]]
+    planes = np.random.default_rng(seed).standard_normal((n_planes, q.shape[0]))
+    qb = int(_bucket_ids(q[None, :], planes)[0])
+    qn = q / np.linalg.norm(q)
+    bk = _bucket_ids(M, planes)
+    cand = bk == qb
+    sims = (M[cand] @ qn) / np.maximum(np.linalg.norm(M[cand], axis=1), 1e-30)
+    cids = ids[cand]
+    order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))[:k]
+    rows = sorted(((int(cids[i]), round(float(sims[i]), 6)) for i in order))
+    return pd.DataFrame({"vec_id": [r[0] for r in rows], "sim": [r[1] for r in rows]})
+
+
+# --------------------------------------------------------------------------- #
+
+
+def main(sf_dirs: list[str]) -> None:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    acc: dict[str, list[pd.DataFrame]] = {}
+    for sf_dir in sf_dirs:
+        docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+        emb = pd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        fp_docs = int((docs.doc_id * docs.n_chars).sum())
+        fp_emb = int((emb.vec_id * emb.label).sum())
+        print(f"{sf_dir}: fp_docs={fp_docs} fp_emb={fp_emb}")
+        for name, df, fp in [
+            ("langid_docs", langid_fixture(docs), fp_docs),
+            ("perplexity_docs", perplexity_fixture(docs), fp_docs),
+            ("minhash_neardup_docs", minhash_fixture(docs), fp_docs),
+            ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
+            ("embedding_neardup", embedding_neardup_fixture(emb), fp_emb),
+            ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
+        ]:
+            df.insert(0, "fp", np.int64(fp))
+            acc.setdefault(name, []).append(df)
+            print(f"  {name}: {len(df)} rows")
+    for name, parts in acc.items():
+        out = pd.concat(parts, ignore_index=True)
+        out.to_parquet(os.path.join(FIXTURE_DIR, f"{name}.parquet"), index=False)
+        print(f"wrote fixtures/{name}.parquet ({len(out)} rows)")
+
+
+if __name__ == "__main__":
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1",
+    ]
+    main(dirs)
