@@ -7,9 +7,10 @@ expectation_configuration.py``) and ``ExpectationSuite``
 ordered list of ``(type, kwargs, meta)`` configs plus ``suite_parameters``.
 
 Suite parameters: kwargs values of the form ``{"$PARAMETER": "name"}`` are
-substituted at compile time from ``suite_parameters`` (reference
-``core/suite_parameters.py:44-63`` — we support the plain-name lookup form,
-not the arithmetic expression mini-language).
+substituted at compile time from ``suite_parameters`` — plain-name lookups
+(reference ``core/suite_parameters.py:44-63``) AND the arithmetic expression
+mini-language (``"x * 3"``, ``"round(x / 2)"`` — reference
+``core/suite_parameters.py:66+``; see ``core/suite_parameters.py`` here).
 """
 
 from __future__ import annotations
@@ -45,10 +46,15 @@ class ExpectationConfiguration:
 
         def sub(v: Any) -> Any:
             if isinstance(v, dict) and set(v) == {"$PARAMETER"}:
-                name = v["$PARAMETER"]
-                if name not in suite_parameters:
-                    raise KeyError(f"suite parameter {name!r} not provided")
-                return suite_parameters[name]
+                from great_expectations_ray.core.suite_parameters import (
+                    SuiteParameterError,
+                    parse_suite_parameter,
+                )
+
+                try:
+                    return parse_suite_parameter(v["$PARAMETER"], suite_parameters)
+                except SuiteParameterError as exc:
+                    raise KeyError(str(exc)) from exc
             if isinstance(v, dict):
                 return {k: sub(x) for k, x in v.items()}
             if isinstance(v, list):

@@ -354,18 +354,25 @@ def _merge_partials(raw_partials: list[bytes]) -> dict:
 # --------------------------------------------------------------------------- #
 
 
-def _grouped_value_counts(ds, columns: list[str]):
+def _grouped_value_counts(ds, columns: list[str], n_buckets: int = 256):
     """Exact value counts of a (composite) key via map-side pre-aggregation:
-    per-batch ``pc.value_counts`` -> tiny rows -> ``groupby.sum`` (the only
-    all-to-all exchange in the engine).  Composite keys are joined into one
-    string key per row (null-safe) before counting."""
+    per-batch ``pc.value_counts`` -> tiny (value, cnt, bucket) rows -> ONE
+    ``groupby(bucket)`` exchange -> vectorized in-bucket combine.
+
+    Why buckets and not ``groupby(value).sum``: Ray's aggregate pays
+    per-GROUP overhead, which is pathological for high-cardinality keys
+    (measured: 10M distinct keys ~300 s vs ~6 s with 64 buckets on the same
+    shuffle volume).  Bucketing by ``hash(value) % n_buckets`` keeps the
+    exchange identical but makes the reduce side |buckets| vectorized
+    ``pa.Table.group_by`` calls — C-speed regardless of key cardinality.
+    Composite keys are joined into one string key per row (null-safe)
+    before counting; single columns keep their NATIVE type (distinct-set
+    verdicts compare typed values against the typed value_set)."""
 
     def vc_batch(tbl: pa.Table) -> pa.Table:
+        import polars as pl
+
         if len(columns) == 1:
-            # single column: keep the NATIVE type — distinct-set verdicts
-            # must compare typed observed values against the typed value_set
-            # (casting to string here made int/str comparisons silently
-            # wrong on the overflow path)
             key = tbl.column(columns[0]).combine_chunks()
             valid = pc.is_valid(key)
             key = key.filter(valid)
@@ -375,15 +382,25 @@ def _grouped_value_counts(ds, columns: list[str]):
                 *parts, "\x1f", null_handling="replace", null_replacement="\x00"
             )
         vc = pc.value_counts(key)
-        return pa.table(
-            {"value": vc.field("values"), "cnt": pc.cast(vc.field("counts"), pa.int64())}
-        )
+        vals = vc.field("values")
+        # deterministic vectorized hash of the key value (any dtype)
+        h = pl.from_arrow(vals).hash(seed=0).to_numpy() % np.uint64(n_buckets)
+        return pa.table({
+            "value": vals,
+            "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            "bucket": pa.array(h.astype(np.int64)),
+        })
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = t.group_by("value").aggregate([("cnt", "sum")])
+        return pa.table({"value": agg.column("value"),
+                         "sum(cnt)": agg.column("cnt_sum")})
 
     grouped = (
         ds.select_columns(list(columns))
         .map_batches(vc_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("value")
-        .sum("cnt")
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
     )
     return grouped  # Dataset[value, sum(cnt)]
 
@@ -634,6 +651,9 @@ def validate(
             finish_map(idx, cfg, merged2["maps"].get(idx, MapPartialState()))
 
     # ---- value-count rules -------------------------------------------------- #
+    # several overflow (high-cardinality) rules on the SAME column share one
+    # materialized grouped dataset — one shuffle per column, not per rule
+    vc_ds_cache: dict[str, Any] = {}
     for idx, cfg in plan.vc_rules:
         err = col_error(
             ("vc", cfg.kwargs["column"]), ("count", cfg.kwargs["column"])
@@ -642,7 +662,7 @@ def validate(
             fail_evr(idx, cfg, err)
             continue
         try:
-            evrs[idx] = _finish_vc_rule(ds, cfg, merged)
+            evrs[idx] = _finish_vc_rule(ds, cfg, merged, vc_ds_cache)
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 
@@ -753,7 +773,10 @@ def validate(
     )
 
 
-def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> ExpectationValidationResult:
+def _finish_vc_rule(
+    ds, cfg: ExpectationConfiguration, merged: dict,
+    vc_ds_cache: Optional[dict] = None,
+) -> ExpectationValidationResult:
     t = cfg.expectation_type
     col = cfg.kwargs["column"]
     vc: ValueCountsState = merged["vcs"].get(col, ValueCountsState())
@@ -787,7 +810,7 @@ def _finish_vc_rule(ds, cfg: ExpectationConfiguration, merged: dict) -> Expectat
         # distinct-set style rules: fully distributed verdict — no driver
         # collection of the grouped keys (reference semantics of
         # column_distinct_values.py:106 hold; observed_value is sampled)
-        return _finish_vc_rule_distributed(ds, cfg, merged)
+        return _finish_vc_rule_distributed(ds, cfg, merged, vc_ds_cache)
     total, nonnull = merged["counts"].get(col, (0, 0))
 
     def evr(ok: bool, result: dict) -> ExpectationValidationResult:
@@ -894,6 +917,12 @@ def _finish_dist_rule(cfg: ExpectationConfiguration, merged: dict) -> Expectatio
     po = cfg.kwargs.get("partition_object") or {}
     col = cfg.kwargs["column"]
     vc: ValueCountsState = merged["vcs"][col]
+    if vc.overflow:
+        raise ValueError(
+            f"{t}: column {col!r} has >100k distinct values; a discrete "
+            "partition_object comparison is not meaningful there — provide "
+            "'bins' for the continuous (histogram) form instead"
+        )
     total = vc.nonnull
     obs_counts = dict(vc.counts)
 
@@ -1043,7 +1072,8 @@ def _finish_quantile_distributed(ds, cfg: ExpectationConfiguration) -> Expectati
 
 
 def _finish_vc_rule_distributed(
-    ds, cfg: ExpectationConfiguration, merged: dict
+    ds, cfg: ExpectationConfiguration, merged: dict,
+    vc_ds_cache: Optional[dict] = None,
 ) -> ExpectationValidationResult:
     """High-cardinality (>100k distinct) fallback for distinct-set /
     unique-count / most-common rules: every verdict is computed ON the
@@ -1057,8 +1087,14 @@ def _finish_vc_rule_distributed(
     col = cfg.kwargs["column"]
     total, nonnull = merged["counts"].get(col, (0, 0))
     # materialize once: several verdicts below consume the grouped dataset
-    # more than once, and re-executing the lazy DAG would re-shuffle
-    vc_ds = _grouped_value_counts(ds, [col]).materialize()
+    # more than once, and re-executing the lazy DAG would re-shuffle; the
+    # cache shares the materialized exchange across rules on the same column
+    if vc_ds_cache is not None and col in vc_ds_cache:
+        vc_ds = vc_ds_cache[col]
+    else:
+        vc_ds = _grouped_value_counts(ds, [col]).materialize()
+        if vc_ds_cache is not None:
+            vc_ds_cache[col] = vc_ds
 
     def evr(ok: bool, result: dict) -> ExpectationValidationResult:
         result.setdefault("details", {})["distributed"] = True

@@ -163,22 +163,34 @@ class ValueCountsState:
 
     def update(self, col: pa.ChunkedArray) -> None:
         vc = pc.value_counts(col.combine_chunks())
-        for item in vc:
-            v = item["values"].as_py()
-            c = item["counts"].as_py()
-            if v is None:
-                continue
-            self.nonnull += c
+        vals, cnts = vc.field("values"), vc.field("counts")
+        mask = pc.is_valid(vals)
+        vals, cnts = vals.filter(mask), cnts.filter(mask)
+        self.nonnull += int(pc.sum(pc.cast(cnts, pa.int64())).as_py() or 0)
+        if self.overflow:
+            return  # counts are unused once overflowed — engine reroutes to
+            # the distributed groupby path; don't pay the dict work
+        if len(vals) > self.CAP:
+            self.overflow = True
+            self.counts.clear()  # drop partial keys: no partial-pickle cost
+            return
+        # one C-level conversion, then dict updates (no per-item as_py)
+        for v, c in zip(vals.to_pylist(), cnts.to_pylist()):
             if v in self.counts:
                 self.counts[v] += c
             elif len(self.counts) < self.CAP:
                 self.counts[v] = c
             else:
                 self.overflow = True
+        if self.overflow:
+            self.counts.clear()
 
     def merge(self, o: "ValueCountsState") -> "ValueCountsState":
         self.nonnull += o.nonnull
         self.overflow |= o.overflow
+        if self.overflow:
+            self.counts.clear()
+            return
         for v, c in o.counts.items():
             if v in self.counts:
                 self.counts[v] += c
@@ -186,4 +198,6 @@ class ValueCountsState:
                 self.counts[v] = c
             else:
                 self.overflow = True
+        if self.overflow:
+            self.counts.clear()
         return self

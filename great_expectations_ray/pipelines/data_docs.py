@@ -7,7 +7,7 @@ from __future__ import annotations
 import html
 import json
 import os
-from typing import Any
+from typing import Any, Optional
 
 
 def write_data_docs(output_root: str, checkpoint_result: Any) -> str:
@@ -58,4 +58,156 @@ def write_data_docs(output_root: str, checkpoint_result: Any) -> str:
     path = os.path.join(docs, "index.html")
     with open(path, "w") as f:
         f.write(doc)
+    return path
+
+
+# --------------------------------------------------------------------------- #
+# static HTML site over stored validation results — the reference's
+# SiteBuilder (render/renderer/site_builder.py:1) recast: walk the
+# ValidationResultsStore tree, render one page per result plus a run index.
+# Page content mirrors the ValidationResultsPageRenderer essentials: suite
+# header, statistics banner, and per-expectation rows with success icon,
+# kwargs, observed_value / unexpected counts, and exception info.
+# --------------------------------------------------------------------------- #
+
+_CSS = (
+    "body{font-family:sans-serif;margin:2rem;color:#222}"
+    "table{border-collapse:collapse;margin:1rem 0}"
+    "td,th{border:1px solid #bbb;padding:4px 10px;text-align:left;"
+    "vertical-align:top}"
+    ".ok{color:#0a7d32;font-weight:bold}.fail{color:#b3261e;font-weight:bold}"
+    ".banner{padding:8px 14px;border-radius:6px;display:inline-block}"
+    ".banner.ok{background:#e4f5e9}.banner.fail{background:#fbe9e7}"
+    "code{background:#f4f4f4;padding:1px 4px}"
+)
+
+
+def _esc(v: Any) -> str:
+    return html.escape(str(v))
+
+
+def _fmt_result_cell(result: dict) -> str:
+    """Observed-value cell: the fields a reader actually checks."""
+    if not result:
+        return ""
+    bits = []
+    if "observed_value" in result:
+        bits.append(f"observed=<code>{_esc(result['observed_value'])}</code>")
+    for k in ("element_count", "unexpected_count", "unexpected_percent"):
+        if k in result and result[k] is not None:
+            v = result[k]
+            if isinstance(v, float):
+                v = round(v, 4)
+            bits.append(f"{k}={_esc(v)}")
+    if result.get("partial_unexpected_list"):
+        sample = result["partial_unexpected_list"][:5]
+        bits.append(f"sample=<code>{_esc(sample)}</code>")
+    return "<br>".join(bits)
+
+
+def _evr_rows(results: list[dict]) -> str:
+    rows = []
+    for evr in results:
+        cfg = evr.get("expectation_config") or {}
+        kwargs = {k: v for k, v in (cfg.get("kwargs") or {}).items()
+                  if not k.startswith("_")}
+        ok = evr.get("success")
+        icon = "<span class='ok'>&#10003;</span>" if ok else "<span class='fail'>&#10007;</span>"
+        exc = evr.get("exception_info") or {}
+        exc_html = (
+            f"<div class='fail'>{_esc(exc.get('exception_message', ''))}</div>"
+            if exc.get("raised_exception") else ""
+        )
+        rows.append(
+            f"<tr><td>{icon}</td>"
+            f"<td><code>{_esc(cfg.get('expectation_type', '?'))}</code></td>"
+            f"<td><code>{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td>"
+            f"<td>{_fmt_result_cell(evr.get('result') or {})}{exc_html}</td></tr>"
+        )
+    return (
+        "<table><tr><th></th><th>expectation</th><th>kwargs</th>"
+        "<th>result</th></tr>" + "".join(rows) + "</table>"
+    )
+
+
+def render_validation_page(payload: dict, *, title: str = "Validation result") -> str:
+    """HTML page for one stored validation result.  Accepts both shapes:
+    a ``SuiteValidationResult.to_json_dict()`` (has ``results``) and a
+    checkpoint partition rollup (has ``rollup`` with per-group results)."""
+    ok = bool(payload.get("success"))
+    banner = (
+        f"<p class='banner {'ok' if ok else 'fail'}'>"
+        f"{'Succeeded' if ok else 'Failed'}</p>"
+    )
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body>"
+        f"<h1>{_esc(title)}</h1>"
+        f"<h2>Suite: {_esc(payload.get('suite_name', 'suite'))}</h2>{banner}"
+    ]
+    stats = payload.get("statistics")
+    if stats:
+        parts.append(
+            f"<p>{stats.get('successful_expectations')}/"
+            f"{stats.get('evaluated_expectations')} expectations succeeded "
+            f"({round(stats.get('success_percent') or 0, 2)}%)</p>"
+        )
+    if payload.get("results"):
+        parts.append(_evr_rows(payload["results"]))
+    for grp in payload.get("rollup", []):
+        keys = {k: v for k, v in grp.items()
+                if k not in ("results", "statistics", "row_count",
+                             "keep_count", "drop_count")}
+        gs = grp.get("statistics", {})
+        parts.append(
+            f"<h3>Group <code>{_esc(json.dumps(keys, sort_keys=True, default=str))}</code>"
+            f" — rows={grp.get('row_count')} kept={grp.get('keep_count')}"
+            f" ({gs.get('successful_expectations')}/"
+            f"{gs.get('evaluated_expectations')} rules ok)</h3>"
+        )
+        if grp.get("results"):
+            parts.append(_evr_rows(grp["results"]))
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def build_site(root: str, site_dir: Optional[str] = None) -> str:
+    """Build the browsable static site from every result in the
+    ``ValidationResultsStore`` under ``root`` (site_builder.py:1 shape:
+    ``index.html`` + one page per validation).  Returns the index path."""
+    from great_expectations_ray.state.stores import ValidationResultsStore
+
+    site_dir = site_dir or os.path.join(root, "docs", "site")
+    val_dir = os.path.join(site_dir, "validations")
+    os.makedirs(val_dir, exist_ok=True)
+    store = ValidationResultsStore(root)
+
+    index_rows = []
+    for suite, run, batch in store.list_keys():
+        with open(os.path.join(store.root, suite, run, f"{batch}.json")) as f:
+            payload = json.load(f)
+        page_rel = os.path.join("validations", f"{suite}-{run}-{batch}.html")
+        page = render_validation_page(
+            payload, title=f"{suite} / {run} / {batch}"
+        )
+        with open(os.path.join(site_dir, page_rel), "w") as f:
+            f.write(page)
+        ok = bool(payload.get("success"))
+        index_rows.append(
+            f"<tr><td><a href='{_esc(page_rel)}'>{_esc(suite)}</a></td>"
+            f"<td>{_esc(run)}</td><td>{_esc(batch)}</td>"
+            f"<td class='{'ok' if ok else 'fail'}'>"
+            f"{'&#10003;' if ok else '&#10007;'}</td></tr>"
+        )
+    index = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>Data Docs</title><style>{_CSS}</style></head><body>"
+        "<h1>Validation results</h1>"
+        "<table><tr><th>suite</th><th>run</th><th>batch</th><th>status</th></tr>"
+        + "".join(index_rows)
+        + "</table></body></html>"
+    )
+    path = os.path.join(site_dir, "index.html")
+    with open(path, "w") as f:
+        f.write(index)
     return path

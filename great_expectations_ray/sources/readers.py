@@ -21,7 +21,18 @@ _EXT_READERS = {
     ".json": "read_json",
     ".jsonl": "read_json",
     ".txt": "read_text",
+    ".avro": "read_avro",
+    # formats Ray has no native reader for — decoded per file from
+    # read_binary_files (see read_orc/read_feather/read_excel below)
+    ".orc": "read_orc",
+    ".feather": "read_feather",
+    ".arrow": "read_feather",
+    ".xlsx": "read_excel",
+    ".xls": "read_excel",
 }
+
+#: readers implemented in this module rather than on ray.data
+_LOCAL_READERS = {"read_orc", "read_feather", "read_excel"}
 
 
 def read_batch(
@@ -51,6 +62,11 @@ def read_batch(
             )
         reader = _EXT_READERS[ext]
 
+    if reader in _LOCAL_READERS:
+        ds = globals()[reader](path_or_paths, **reader_options)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        return ds
     fn = getattr(rd, reader)
     kwargs = dict(reader_options)
     if reader == "read_parquet":
@@ -63,6 +79,87 @@ def read_batch(
     if columns is not None:
         ds = ds.select_columns(columns)
     return ds
+
+
+def _file_decode_reader(paths, decode_one, concurrency=8):
+    """Shared shape for formats Ray lacks a native reader for: stream file
+    bytes via ``read_binary_files`` (one row per file) and decode each file
+    to an Arrow table inside ``map_batches`` — distributed, no driver-side
+    reads.  Suited to many-file layouts (one file per row drives parallelism);
+    a single multi-gigabyte file should be converted to parquet instead."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    raw = rd.read_binary_files(paths)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        tables = [decode_one(v.as_py()) for v in batch.column("bytes")]
+        return pa.concat_tables(tables, promote_options="default")
+
+    return raw.map_batches(decode, batch_format="pyarrow", batch_size=1,
+                           concurrency=concurrency)
+
+
+def read_orc(paths, **kwargs):
+    """ORC reader (reference: pandas fluent ``ORCAsset``,
+    ``datasource/fluent/data_asset/path/pandas/generated_assets.py``)."""
+
+    def decode_one(data: bytes):
+        import io
+
+        import pyarrow.orc as orc
+
+        return orc.ORCFile(io.BytesIO(data)).read(**kwargs)
+
+    return _file_decode_reader(paths, decode_one)
+
+
+def read_feather(paths, **kwargs):
+    """Feather/Arrow-IPC reader (reference: ``FeatherAsset``)."""
+
+    def decode_one(data: bytes):
+        import io
+
+        import pyarrow.feather as feather
+
+        return feather.read_table(io.BytesIO(data), **kwargs)
+
+    return _file_decode_reader(paths, decode_one)
+
+
+def read_excel(paths, **kwargs):
+    """Excel reader (reference: ``ExcelAsset``).  Requires an engine
+    (openpyxl / xlrd) on the workers; gated behind import-try."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise ImportError(
+            "read_excel requires openpyxl (not installed in this environment); "
+            "convert to parquet/csv or install an excel engine"
+        ) from exc
+
+    def decode_one(data: bytes):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(pd.read_excel(io.BytesIO(data), **kwargs))
+
+    return _file_decode_reader(paths, decode_one)
+
+
+def read_sql_source(sql: str, connection_factory, **kwargs):
+    """SQL datasource (reference: ``sqlalchemy_execution_engine.py:1``,
+    fluent SQL assets): thin wrapper over ``ray.data.read_sql`` — any DBAPI
+    connection factory.  The factory ships to workers via cloudpickle, so it
+    must import its driver INSIDE the closure (e.g.
+    ``lambda: __import__("duckdb").connect()``) — C-extension module
+    attributes like ``duckdb.connect`` themselves don't pickle.
+    Partition the query externally (one call per shard) for large tables."""
+    import ray.data as rd
+
+    return rd.read_sql(sql, connection_factory, **kwargs)
 
 
 def from_memory(data: Any):

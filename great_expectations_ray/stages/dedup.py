@@ -38,54 +38,57 @@ def composite_key_column(tbl: pa.Table, columns: list[str]) -> pa.Array:
     )
 
 
-def dedup_exact(ds, key_columns: list[str], order_by: str):
+def dedup_exact(ds, key_columns: list[str], order_by: str, n_buckets: int = 256):
     """Keep exactly one row per key: the row with the MINIMUM ``order_by``
-    value (deterministic keep-first).  One shuffle on the derived key.
+    value (deterministic keep-first).  One shuffle, bucketed: per-key work is
+    a vectorized ``sort + drop_duplicates`` over each hash bucket, so reduce
+    cost is independent of key cardinality (Ray's per-group overhead is
+    pathological at millions of distinct keys — see functions/bucketed.py).
 
-    Scale note: the groupby key is a hash-like string, so it is uniformly
-    distributed — no salting needed even when a few *contents* are hot,
-    because identical contents must meet on one reducer anyway and group
-    size = dup count, which `head(1)` reduces immediately.
+    Scale note: map-side ``local_keep_first`` pre-combine means ≤1 row per
+    key leaves each batch, so a hot key (mega duplicate class) costs the
+    reducer #batches rows, not its full group size (skew mitigation,
+    SURVEY §4).
     """
 
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
     from great_expectations_ray.stages.skew import local_keep_first
 
     def add_key_and_prereduce(tbl: pa.Table) -> pa.Table:
         tbl = tbl.append_column("__dedup_key", composite_key_column(tbl, key_columns))
-        # map-side combine: ≤1 row per key leaves each batch, so a hot key
-        # (mega duplicate class) costs the reducer #batches rows, not its
-        # full group size (skew mitigation, SURVEY §4)
         return local_keep_first(tbl, "__dedup_key", order_by)
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # sort+head instead of nsmallest: works for string order keys too
-        return group.sort_values(order_by, kind="mergesort").head(1)
+    def keep_first_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__dedup_key", order_by], kind="mergesort")
+        g = g.drop_duplicates("__dedup_key", keep="first")
+        return g.drop(columns=["__dedup_key", "__bucket"])
 
-    return (
-        ds.map_batches(add_key_and_prereduce, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__dedup_key")
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns(["__dedup_key"])
+    keyed = ds.map_batches(
+        add_key_and_prereduce, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_apply_bucketed(
+        keyed, ["__dedup_key"], keep_first_bucket, n_buckets=n_buckets
     )
 
 
-def mark_exact_duplicates(ds, key_columns: list[str], order_by: str):
+def mark_exact_duplicates(ds, key_columns: list[str], order_by: str, n_buckets: int = 256):
     """Like ``dedup_exact`` but keeps all rows, adding ``is_duplicate``
-    (True for every row except the keep-first of its group)."""
+    (True for every row except the keep-first of its group).  Bucketed:
+    the mark is a vectorized ``duplicated(keep='first')`` per hash bucket."""
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 
     def add_key(tbl: pa.Table) -> pa.Table:
         return tbl.append_column("__dedup_key", composite_key_column(tbl, key_columns))
 
-    def mark(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(order_by, kind="mergesort")
-        group["is_duplicate"] = [False] + [True] * (len(group) - 1)
-        return group
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__dedup_key", order_by], kind="mergesort")
+        g["is_duplicate"] = g.duplicated("__dedup_key", keep="first")
+        return g.drop(columns=["__dedup_key", "__bucket"])
 
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__dedup_key")
-        .map_groups(mark, batch_format="pandas")
-        .drop_columns(["__dedup_key"])
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply_bucketed(
+        keyed, ["__dedup_key"], mark_bucket, n_buckets=n_buckets
     )
 
 

@@ -26,6 +26,21 @@ import pyarrow.compute as pc
 _MERSENNE = (1 << 61) - 1
 
 
+def _bucketed_any_mark(marked_ds, id_col: str):
+    """``groupby(id).max(is_neardup)`` without per-group reduce overhead:
+    hash-bucket the ids, vectorized ``groupby().max()`` per bucket.  Output
+    column is named ``max(is_neardup)`` (Ray aggregate naming, kept for
+    API compatibility)."""
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def reduce_max(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, sort=True)["is_neardup"].max().reset_index()
+        out.columns = [id_col, "max(is_neardup)"]
+        return out
+
+    return grouped_apply_bucketed(marked_ds, [id_col], reduce_max)
+
+
 def _shingle_hashes(data: np.ndarray, offsets: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Rolling polynomial hashes of all k-byte shingles, flattened across the
     batch, plus per-row shingle counts.  Fully vectorized over the
@@ -178,33 +193,39 @@ def minhash_lsh_mark_duplicates(
             out["sig"] = pa.array(list(np.repeat(sig, bands, axis=0)))
         return pa.table(out)
 
-    def mark(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        if jaccard_threshold is None:
-            dup = np.zeros(len(g), dtype=bool)
-            dup[1:] = True  # everyone but the lowest id in the bucket
-        else:
-            sigs = np.stack(g["sig"].to_numpy())
-            dup = np.zeros(len(g), dtype=bool)
-            if len(g) > max_bucket_size:
-                # degenerate bucket: verify vs representative only — O(n)
-                sim = (sigs[1:] == sigs[0]).mean(axis=1)
-                dup[1:] = sim >= jaccard_threshold
-            else:
-                for i in range(1, len(g)):
-                    sim = (sigs[i] == sigs[:i]).mean(axis=1).max()
-                    dup[i] = sim >= jaccard_threshold
-        return pd.DataFrame({id_col: ids, "is_neardup": dup})
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 
-    marked = (
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """One hash BUCKET of (band, bkey) groups — vectorized across all
+        groups in the bucket (Ray's per-group reduce overhead is pathological
+        at #docs×#bands group counts; see functions/bucketed.py)."""
+        g = g.sort_values(["band", "bkey", id_col], kind="mergesort").reset_index(drop=True)
+        if jaccard_threshold is None:
+            # near-dup iff a LOWER id shares the (band, bkey) group
+            dup = g.duplicated(subset=["band", "bkey"], keep="first").to_numpy()
+        else:
+            dup = np.zeros(len(g), dtype=bool)
+            for _, grp in g.groupby(["band", "bkey"], sort=False):
+                loc = grp.index.to_numpy()  # positional after reset_index
+                sigs = np.stack(grp["sig"].to_numpy())
+                if len(grp) > max_bucket_size:
+                    # degenerate group: verify vs representative only — O(n)
+                    sim = (sigs[1:] == sigs[0]).mean(axis=1)
+                    dup[loc[1:]] = sim >= jaccard_threshold
+                else:
+                    for i in range(1, len(grp)):
+                        sim = (sigs[i] == sigs[:i]).mean(axis=1).max()
+                        dup[loc[i]] = sim >= jaccard_threshold
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), "is_neardup": dup})
+
+    marked = grouped_apply_bucketed(
         ds.select_columns([id_col, text_col])
-        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bkey"])
-        .map_groups(mark, batch_format="pandas")
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "bkey"],
+        mark_bucket,
     )
-    # a doc is near-dup if ANY band marked it
-    return marked.groupby(id_col).max("is_neardup")
+    # a doc is near-dup if ANY band marked it (bucketed vectorized max)
+    return _bucketed_any_mark(marked, id_col)
 
 
 _SIMHASH_B = np.uint64(1099511628211)  # FNV prime mixing base
@@ -300,20 +321,20 @@ def simhash_mark_duplicates(ds, *, text_col: str = "content", id_col: str,
             }))
         return pa.concat_tables(parts)
 
-    def mark(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].to_numpy()
-        dup = np.zeros(len(g), dtype=bool)
-        dup[1:] = True
-        return pd.DataFrame({id_col: ids, "is_neardup": dup})
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 
-    marked = (
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bkey", id_col], kind="mergesort")
+        dup = g.duplicated(subset=["band", "bkey"], keep="first").to_numpy()
+        return pd.DataFrame({id_col: g[id_col].to_numpy(), "is_neardup": dup})
+
+    marked = grouped_apply_bucketed(
         ds.select_columns([id_col, text_col])
-        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bkey"])
-        .map_groups(mark, batch_format="pandas")
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "bkey"],
+        mark_bucket,
     )
-    return marked.groupby(id_col).max("is_neardup")
+    return _bucketed_any_mark(marked, id_col)
 
 
 def ngram_jaccard(a: str, b: str, k: int = 8) -> float:
@@ -374,7 +395,7 @@ def embedding_mark_duplicates(
     marked = (
         ds.select_columns([id_col, emb_col])
         .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bkey")
+        .groupby("bkey")  # ≤2^n_planes groups — per-group verify is inherent
         .map_groups(mark, batch_format="pandas")
     )
-    return marked.groupby(id_col).max("is_neardup")
+    return _bucketed_any_mark(marked, id_col)

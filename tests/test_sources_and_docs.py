@@ -50,3 +50,153 @@ def test_data_docs_action(tmp_path):
     assert os.path.exists(os.path.join(out_root, "docs", "summary.json"))
     html = open(os.path.join(out_root, "docs", "index.html")).read()
     assert "rows=200" in html
+
+
+def test_site_builder_renders_evr_fields(tmp_path):
+    """build_site: a stored SuiteValidationResult renders a browsable page
+    with expectation type, success icon, observed value, unexpected count,
+    and exception info (reference tests/render/ shape)."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+    from great_expectations_ray.pipelines.data_docs import build_site
+    from great_expectations_ray.state.stores import ValidationResultsStore
+
+    ds = rd.from_items([{"x": i, "y": "a" if i % 2 else "b"} for i in range(20)])
+    suite = (
+        ExpectationSuite("docs_suite")
+        .add("expect_column_values_to_be_between", column="x", min_value=0, max_value=10)
+        .add("expect_column_mean_to_be_between", column="x", min_value=0, max_value=100)
+        .add("expect_column_values_to_not_be_null", column="missing_col")
+    )
+    res = validate(ds, suite)
+    root = str(tmp_path)
+    store = ValidationResultsStore(root)
+    store.save(res, run_name="r1", run_time=1000.0, batch_id="b0")
+
+    index = build_site(root)
+    assert os.path.exists(index)
+    idx_html = open(index).read()
+    assert "docs_suite" in idx_html and "b0" in idx_html
+
+    page = os.path.join(os.path.dirname(index), "validations",
+                        "docs_suite-r1-1000-b0.html")
+    body = open(page).read()
+    assert "expect_column_values_to_be_between" in body
+    assert "unexpected_count=9" in body           # x in 11..19 out of range
+    assert "observed=" in body                    # mean observed value
+    assert "expect_column_values_to_not_be_null" in body
+    assert "fail" in body                         # missing column -> exception EVR
+
+
+def test_checkpoint_rollup_page_and_actions(tmp_path):
+    """Checkpoint run -> stored rollups -> site pages; notification actions
+    render payloads (dry-run, no network) and round-trip their configs."""
+    from great_expectations_ray.corpus import corpus_dataset
+    from great_expectations_ray.pipelines.actions import (
+        EmailAction,
+        SlackNotificationAction,
+        UpdateDataDocsAction,
+        ValidationAction,
+    )
+    from great_expectations_ray.pipelines.checkpoint import run_checkpoint
+    from great_expectations_ray.pipelines.quality_filter import QualityFilterConfig
+
+    src = tmp_path / "in"
+    corpus_dataset(200, blocks=2).write_parquet(str(src))
+    out_root = str(tmp_path / "out")
+    slack = SlackNotificationAction(slack_webhook="https://hooks.example/x")
+    email = EmailAction(receiver_emails="a@x.dev, b@x.dev", notify_on="failure")
+    docs = UpdateDataDocsAction(site_root=out_root)
+    res = run_checkpoint(
+        str(src) + "/*.parquet", out_root,
+        config=QualityFilterConfig(actor_concurrency=2, use_langid=False,
+                                   use_perplexity=False),
+        n_partitions=2,
+        actions=[slack, email, docs],
+    )
+    # slack: rendered payload contains the run stats
+    out = slack.last_result
+    assert out["slack_result"] == "rendered"
+    text = str(out["payload"])
+    assert "Rows" in text and "200" in text
+    # email gates on notify_on=failure: fires iff the checkpoint failed
+    expected = "none required" if res.success else "rendered"
+    assert email.last_result["email_result"] == expected
+    # failing result triggers email payload with failed expectation names
+    fail_payload = email.run(_FailingResult(), dry_run=True)
+    assert fail_payload["email_result"] == "rendered"
+    assert "expect_column_values_to_be_between" in str(fail_payload["payload"])
+    # docs site built over the stored partition rollups
+    site_index = os.path.join(out_root, "docs", "site", "index.html")
+    assert os.path.exists(site_index)
+    assert "quality_suite" in open(site_index).read() or "p000" in open(site_index).read()
+    # config round-trip
+    for a in (slack, email, docs):
+        b = ValidationAction.from_config(a.to_json())
+        assert type(b) is type(a) and b.to_config() == a.to_config()
+
+
+class _FailingResult:
+    """Minimal SuiteValidationResult-shaped stub with one failed EVR."""
+
+    success = False
+    suite_name = "s"
+
+    class _EVR:
+        success = False
+        expectation_config = {
+            "expectation_type": "expect_column_values_to_be_between",
+            "kwargs": {"column": "x"},
+        }
+
+    results = [_EVR()]
+
+    def to_json_dict(self):
+        return {
+            "success": False, "suite_name": "s",
+            "statistics": {"evaluated_expectations": 1,
+                           "successful_expectations": 0,
+                           "unsuccessful_expectations": 1},
+        }
+
+
+def test_orc_feather_sql_readers(tmp_path):
+    """Round-trip ORC and Feather through read_batch; SQL source via duckdb."""
+    import pyarrow.feather as feather
+    import pyarrow.orc as orc
+
+    from great_expectations_ray.sources.readers import read_batch, read_sql_source
+
+    t = pa.table({"a": list(range(50)), "b": [f"s{i}" for i in range(50)]})
+    orc_path = str(tmp_path / "t.orc")
+    fea_path = str(tmp_path / "t.feather")
+    orc.write_table(t, orc_path)
+    feather.write_feather(t, fea_path)
+
+    for path in (orc_path, fea_path):
+        ds = read_batch(path)
+        got = ds.to_pandas().sort_values("a").reset_index(drop=True)
+        assert got.equals(t.to_pandas())
+        pruned = read_batch(path, columns=["a"])
+        assert pruned.schema().names == ["a"]
+
+    # excel is gated behind an import-try (no engine in this environment)
+    import pytest as _pytest
+
+    from great_expectations_ray.sources.readers import read_excel
+
+    with _pytest.raises(ImportError, match="openpyxl"):
+        read_excel(str(tmp_path / "x.xlsx"))
+
+    import duckdb
+
+    pq_path = str(tmp_path / "t.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, pq_path)
+    ds = read_sql_source(
+        f"SELECT a, b FROM read_parquet('{pq_path}') WHERE a < 10",
+        lambda: __import__("duckdb").connect(),
+    )
+    assert ds.count() == 10

@@ -153,3 +153,54 @@ def test_empty_dataset_agg_rules_fail_gracefully():
     assert res.results[0].result["observed_value"] is None
     assert not res.results[1].success  # 0 distinct < 1
     assert res.results[2].success      # vacuous: no rows to duplicate
+
+
+# ---- suite-parameter expression mini-language ----------------------------- #
+
+def test_suite_parameter_expressions():
+    from great_expectations_ray.core.suite_parameters import (
+        SuiteParameterError,
+        parse_suite_parameter,
+    )
+
+    p = {"x": 4, "min": 2.5, "threshold": 10}
+    assert parse_suite_parameter("x", p) == 4
+    assert parse_suite_parameter("x * 3", p) == 12
+    assert parse_suite_parameter("x + min", p) == 6.5
+    assert parse_suite_parameter("(x + 2) / 3", p) == 2.0
+    assert parse_suite_parameter("2 ^ x", p) == 16.0
+    assert parse_suite_parameter("2 ^ 3 ^ 2", p) == 512.0        # right-assoc
+    assert parse_suite_parameter("-x + 1", p) == -3
+    assert parse_suite_parameter("trunc(x / 3)", p) == 1
+    assert parse_suite_parameter("round(min)", p) == 2
+    assert parse_suite_parameter("abs(0 - x)", p) == 4
+    assert parse_suite_parameter("sgn(0 - x)", p) == -1
+    assert abs(parse_suite_parameter("PI", p) - 3.14159265) < 1e-6
+    # plain lookup preserves non-numeric values
+    assert parse_suite_parameter("name", {"name": "hello"}) == "hello"
+    for bad in ("x *", "nosuch + 1", "x + (2", ""):
+        import pytest as _pytest
+
+        with _pytest.raises(SuiteParameterError):
+            parse_suite_parameter(bad, p)
+
+
+def test_suite_parameter_expression_in_validate():
+    """Conformance: {"$PARAMETER": "x * 3"} resolves before compilation
+    (reference core/suite_parameters.py:66+ grammar)."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds = rd.from_items([{"v": i} for i in range(10)])  # 0..9
+    suite = ExpectationSuite(
+        "params",
+        suite_parameters={"x": 3},
+    ).add(
+        "expect_column_values_to_be_between",
+        column="v", min_value=0, max_value={"$PARAMETER": "x * 3"},
+    )
+    res = validate(ds, suite)
+    assert res.success  # max 9 <= 3*3
+    suite.suite_parameters["x"] = 2
+    assert not validate(ds, suite).success  # 9 > 6
