@@ -370,7 +370,7 @@ def _grouped_value_counts(ds, columns: list[str], n_buckets: int = 256):
     verdicts compare typed values against the typed value_set)."""
 
     def vc_batch(tbl: pa.Table) -> pa.Table:
-        import polars as pl
+        from great_expectations_ray.functions.bucketed import hash_bucket_of
 
         if len(columns) == 1:
             key = tbl.column(columns[0]).combine_chunks()
@@ -384,11 +384,10 @@ def _grouped_value_counts(ds, columns: list[str], n_buckets: int = 256):
         vc = pc.value_counts(key)
         vals = vc.field("values")
         # deterministic vectorized hash of the key value (any dtype)
-        h = pl.from_arrow(vals).hash(seed=0).to_numpy() % np.uint64(n_buckets)
         return pa.table({
             "value": vals,
             "cnt": pc.cast(vc.field("counts"), pa.int64()),
-            "bucket": pa.array(h.astype(np.int64)),
+            "bucket": pa.array(hash_bucket_of(vals, n_buckets)),
         })
 
     def combine(t: pa.Table) -> pa.Table:

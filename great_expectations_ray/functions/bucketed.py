@@ -23,14 +23,63 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def hash_bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarray:
-    """Deterministic vectorized bucket id per value (any dtype) — polars
-    xxhash off the Arrow buffer, no per-row Python."""
-    import polars as pl
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_POLY_B = np.uint64(1099511628211)
 
+
+def poly_hash_strings(arr: pa.Array) -> np.ndarray:
+    """uint64 hash per string — vectorized polynomial pass straight off the
+    Arrow UTF-8 buffer (Σ byte_j·B^j mod 2^64, then avalanche mixing).  Pure
+    numpy: no per-row Python, no extra imports in the worker hot path."""
+    from great_expectations_ray.stages.scrub import _string_buffer_views
+
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    offs, mv = _string_buffer_views(arr)
+    offs = offs.astype(np.int64)
+    lens = offs[1:] - offs[:-1]
+    total = int(lens.sum())
+    h = np.zeros(n, dtype=np.uint64)
+    if total:
+        data = np.frombuffer(mv, dtype=np.uint8)[offs[0] : offs[-1]]
+        pos = np.arange(total, dtype=np.int64)
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=seg_starts[1:])
+        pos -= np.repeat(seg_starts, lens)  # position within each string
+        maxlen = int(lens.max())
+        powers = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            powers[1:] = _POLY_B
+            np.multiply.accumulate(powers, out=powers, dtype=np.uint64)
+        contrib = data.astype(np.uint64) * powers[pos]
+        nz = lens > 0
+        h[nz] = np.add.reduceat(contrib, seg_starts[nz])
+    # length-aware avalanche so "" and prefixes don't collide trivially
+    h ^= lens.astype(np.uint64) * _MIX1
+    h = (h * _MIX1) ^ (h >> np.uint64(29))
+    h *= _MIX2
+    return h
+
+
+def hash_bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarray:
+    """Deterministic vectorized bucket id per value (any dtype) — integer
+    mix for int keys, buffer polynomial hash for strings; everything else
+    buckets via its string form (bucketing needs only determinism +
+    uniformity)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    h = pl.from_arrow(arr).hash(seed=0).to_numpy()
+    t = arr.type
+    if pa.types.is_integer(t):
+        x = np.asarray(pc.fill_null(pc.cast(arr, pa.int64()), 0)).astype(np.uint64)
+        h = (x * _MIX1) ^ (x >> np.uint64(31))
+        h *= _MIX2
+    else:
+        if not (pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_binary(t) or pa.types.is_large_binary(t)):
+            arr = pc.cast(arr, pa.string())
+        h = poly_hash_strings(pc.fill_null(arr, ""))
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 

@@ -103,12 +103,11 @@ def hash_bucket_join(
                     k64, pc.multiply(pc.divide(k64, n_buckets), n_buckets)
                 )
             else:
-                # vectorized xxhash via polars — bucketing needs no md5
-                # parity, only uniformity + cross-batch determinism
-                import polars as pl
+                # vectorized buffer hash — bucketing needs no md5 parity,
+                # only uniformity + cross-batch determinism
+                from great_expectations_ray.functions.bucketed import hash_bucket_of
 
-                h = pl.from_arrow(key.combine_chunks()).hash(seed=0).to_numpy()
-                bucket = pa.array((h % n_buckets).astype(np.int64))
+                bucket = pa.array(hash_bucket_of(key, n_buckets))
             tbl = tbl.append_column("__bucket", pc.cast(bucket, pa.int64()))
             tbl = tbl.append_column("__side", pa.array([side] * tbl.num_rows))
             # align schema: null columns for the other side's fields

@@ -18,6 +18,33 @@ import numpy as np
 import pandas as pd
 
 
+def _bucketed_window_sum(partials_ds, key_col: str):
+    """Final combine of per-batch (key, window_start, cnt_sum, val_sum_sum)
+    partials.  Group count = keys × windows (high cardinality at scale), so
+    this uses the bucketed shape — hash bucket + vectorized per-bucket
+    ``pa.Table.group_by`` — instead of Ray's per-group aggregate (see
+    functions/bucketed.py).  Output column names match Ray's aggregate
+    naming (``sum(cnt_sum)``, ``sum(val_sum_sum)``) for API compatibility."""
+    import pyarrow as pa
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = t.group_by([key_col, "window_start"]).aggregate(
+            [("cnt_sum", "sum"), ("val_sum_sum", "sum")]
+        )
+        return pa.table({
+            key_col: agg.column(key_col),
+            "window_start": agg.column("window_start"),
+            "sum(cnt_sum)": agg.column("cnt_sum_sum"),
+            "sum(val_sum_sum)": agg.column("val_sum_sum_sum"),
+        })
+
+    return grouped_apply_bucketed(
+        partials_ds, [key_col, "window_start"], combine, batch_format="pyarrow"
+    )
+
+
 def tumbling_window_agg(
     ds,
     *,
@@ -48,11 +75,10 @@ def tumbling_window_agg(
             [("cnt", "sum"), ("val_sum", "sum")]
         )
 
-    grouped = (
+    grouped = _bucketed_window_sum(
         ds.select_columns([key_col, ts_col, value_col])
-        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, "window_start"])
-        .sum(["cnt_sum", "val_sum_sum"])
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        key_col,
     )
     return grouped  # columns: key, window_start, sum(cnt_sum), sum(val_sum_sum)
 
@@ -95,11 +121,10 @@ def sliding_window_agg(
             [("cnt", "sum"), ("val_sum", "sum")]
         )
 
-    return (
+    return _bucketed_window_sum(
         ds.select_columns([key_col, ts_col, value_col])
-        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key_col, "window_start"])
-        .sum(["cnt_sum", "val_sum_sum"])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        key_col,
     )
 
 
@@ -111,32 +136,35 @@ def session_windows(
     gap_us: int,
 ):
     """Gap-based sessions per key: one row per session with start/end/count.
-    Needs per-key ordering -> groupby(key).map_groups over the sorted group."""
+    Needs per-key ordering; computed VECTORIZED across all keys of a hash
+    bucket (sort by [key, ts], session break = key change OR gap exceeded,
+    cumsum session ids, one groupby agg) — per-key Python callbacks don't
+    survive millions of keys (functions/bucketed.py)."""
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def sessionize_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
         if str(g[ts_col].dtype).startswith("datetime64"):
             # normalize to microseconds regardless of pandas' stored unit
             ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         else:
             ts = g[ts_col].astype("int64").to_numpy()
+        keys = g[key_col].to_numpy()
         new_session = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
-            new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+            same_key = keys[1:] == keys[:-1]
+            new_session[1:] = ~same_key | ((ts[1:] - ts[:-1]) > gap_us)
         sid = np.cumsum(new_session) - 1
-        out = pd.DataFrame({
-            key_col: g[key_col].to_numpy(),
-            "session_id": sid,
-            "ts": ts,
-        })
-        agg = out.groupby("session_id").agg(
+        out = pd.DataFrame({key_col: keys, "__sid": sid, "ts": ts})
+        agg = out.groupby("__sid").agg(
+            **{key_col: (key_col, "first")},
             session_start=("ts", "min"),
             session_end=("ts", "max"),
             n_events=("ts", "size"),
         ).reset_index(drop=True)
-        agg[key_col] = g[key_col].iloc[0]
         return agg[[key_col, "session_start", "session_end", "n_events"]]
 
-    return ds.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
-        sessionize, batch_format="pandas"
+    return grouped_apply_bucketed(
+        ds.select_columns([key_col, ts_col]), [key_col], sessionize_bucket
     )
