@@ -184,8 +184,9 @@ def build_site(root: str, site_dir: Optional[str] = None) -> str:
 
     index_rows = []
     for suite, run, batch in store.list_keys():
-        with open(os.path.join(store.root, suite, run, f"{batch}.json")) as f:
-            payload = json.load(f)
+        payload = json.loads(
+            store.backend.get(("validations", suite, run, f"{batch}.json"))
+        )
         page_rel = os.path.join("validations", f"{suite}-{run}-{batch}.html")
         page = render_validation_page(
             payload, title=f"{suite} / {run} / {batch}"

@@ -1318,7 +1318,9 @@ def q_perplexity_docs(sf_dir: str) -> pd.DataFrame:
     ref = ray.put(model)
     scored = ds.map_batches(
         PerplexityScorer,
-        fn_constructor_kwargs={"model_ref": ref, "column": "text"},
+        # precise: float64 accumulation so the 6dp-rounded values are stable
+        # against the fixture oracle's independent re-summation
+        fn_constructor_kwargs={"model_ref": ref, "column": "text", "precise": True},
         batch_format="pyarrow",
         concurrency=(1, 2),
     )

@@ -344,18 +344,23 @@ class SinkStage:
         if tbl.num_rows:
             os.makedirs(self.lineage_dir, exist_ok=True)
             # content-addressed fragment name over the batch's FULL key
-            # columns (IPC-serialized — offset/slice safe): a retried task
-            # re-emitting the identical batch rewrites the same file
-            # (idempotent), while two different batches that happen to share
-            # a first row + row count can never collide/overwrite.  (A retry
-            # that re-splits batches produces new names; the per-partition
-            # manifest fingerprint remains the completeness guard.)
+            # columns: a retried task re-emitting the identical batch
+            # rewrites the same file (idempotent), while two different
+            # batches that happen to share a first row + row count can never
+            # collide/overwrite (per-row 64-bit key hashes folded into one
+            # digest; cross-batch collision ~2^-64).  A retry that re-splits
+            # batches produces new names; the per-partition manifest
+            # fingerprint remains the completeness guard.
+            from great_expectations_ray.functions.bucketed import poly_hash_strings
+
             key_cols = [c for c in ("repo", "path", "commit") if c in tbl.column_names]
-            key_tbl = tbl.select(key_cols)
-            sink_buf = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink_buf, key_tbl.schema) as w:
-                w.write_table(key_tbl)
-            frag = hashlib.sha256(sink_buf.getvalue()).hexdigest()[:24]
+            row_h = np.zeros(tbl.num_rows, dtype=np.uint64)
+            for c in key_cols:
+                col = tbl.column(c).combine_chunks()
+                row_h = row_h * np.uint64(1099511628211) + poly_hash_strings(
+                    pc.fill_null(col, "")
+                )
+            frag = hashlib.sha256(row_h.tobytes()).hexdigest()[:24]
             name = f"{self.prefix}-{frag}.parquet"
             # zstd: ~2-4x smaller than snappy on source code, keeps the sink
             # off the disk-bandwidth floor

@@ -79,7 +79,8 @@ class PerplexityScorer:
     ``model_ref`` may be a ``ray.ObjectRef`` (broadcast) or a plain ndarray
     (tests)."""
 
-    def __init__(self, model_ref=None, column: str = "content", cap_bytes: int = 65536):
+    def __init__(self, model_ref=None, column: str = "content", cap_bytes: int = 65536,
+                 precise: bool = False):
         import ray
 
         if model_ref is None:
@@ -91,6 +92,13 @@ class PerplexityScorer:
             self.table = ray.get(model_ref)  # once per actor
         self.column = column
         self.cap_bytes = cap_bytes
+        # precise=True: float64 log-prob accumulation — per-row sums are
+        # order-robust to ~1e-13 relative, so 6-decimal-rounded outputs are
+        # stable against independent re-summation (oracle/fixture parity).
+        # precise=False (default): float32 — half the lp-array memory
+        # traffic; right for the DRAM-bound fused pipeline where thresholds
+        # are nowhere near float32 error.
+        self.precise = precise
         # touch every page now so the first batch doesn't pay the lazy
         # plasma page-ins inside the timed stream (float64 acc: no overflow)
         float(self.table.sum(dtype=np.float64))
@@ -146,12 +154,10 @@ class PerplexityScorer:
             )
             stream = data[idx]
 
-        # trigram logprobs over the stream; float64 accumulation so a per-row
-        # sum is order-robust to ~1e-13 relative — results rounded to 6dp are
-        # bit-stable against any independent float64 re-summation (oracle
-        # parity).  Per-row sums via reduceat write only n outputs.
+        # trigram logprobs over the stream (dtype per `precise`, see
+        # __init__).  Per-row sums via reduceat write only n outputs.
         ctx = ctx_bucket(stream[:-2], stream[1:-1])
-        lp = np.zeros(total, dtype=np.float64)
+        lp = np.zeros(total, dtype=np.float64 if self.precise else np.float32)
         if total >= 3:
             lp[2:] = self.table[ctx, stream[2:]]
         # zero the 2 leading positions of every row: their contexts belong to

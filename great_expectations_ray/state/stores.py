@@ -13,71 +13,119 @@ from __future__ import annotations
 
 import json
 import os
+import posixpath
 from typing import Any, Optional
 
 from great_expectations_ray.core.suite import ExpectationSuite
 
 
-class ExpectationsStore:
+class TupleStoreBackend:
+    """Key/value text backend over ``pyarrow.fs`` — the reference's
+    ``TupleFilesystemStoreBackend`` / ``TupleS3StoreBackend`` family
+    (``data_context/store/tuple_store_backend.py``) collapsed to one class:
+    any Arrow-filesystem URI works (``file://``, ``s3://``, ``gs://``,
+    ``hdfs://``), plain paths mean the local filesystem.
+
+    Local writes stay atomic (tmp + rename); object-store writes rely on
+    the store's atomic PUT semantics."""
+
     def __init__(self, root: str):
-        self.root = os.path.join(root, "expectations")
-        os.makedirs(self.root, exist_ok=True)
+        import pyarrow.fs as pafs
 
-    def _path(self, name: str) -> str:
-        return os.path.join(self.root, f"{name}.json")
+        if "://" in root:
+            self.fs, self.base = pafs.FileSystem.from_uri(root)
+            self._local = isinstance(self.fs, pafs.LocalFileSystem)
+        else:
+            self.fs, self.base = pafs.LocalFileSystem(), os.path.abspath(root)
+            self._local = True
 
-    def save(self, suite: ExpectationSuite) -> str:
-        p = self._path(suite.name)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(suite.to_json())
-        os.replace(tmp, p)
+    def _path(self, key_parts: tuple[str, ...]) -> str:
+        return posixpath.join(self.base, *key_parts)
+
+    def set(self, key_parts: tuple[str, ...], text: str) -> str:
+        p = self._path(key_parts)
+        self.fs.create_dir(posixpath.dirname(p), recursive=True)
+        target = p + ".tmp" if self._local else p
+        with self.fs.open_output_stream(target) as f:
+            f.write(text.encode())
+        if self._local:
+            os.replace(target, p)  # atomic on the local filesystem
         return p
 
+    def get(self, key_parts: tuple[str, ...]) -> str:
+        with self.fs.open_input_stream(self._path(key_parts)) as f:
+            return f.read().decode()
+
+    def remove(self, key_parts: tuple[str, ...]) -> None:
+        self.fs.delete_file(self._path(key_parts))
+
+    def list_keys(self, prefix: tuple[str, ...] = ()) -> list[tuple[str, ...]]:
+        import pyarrow.fs as pafs
+
+        base = self._path(prefix) if prefix else self.base
+        try:
+            infos = self.fs.get_file_info(
+                pafs.FileSelector(base, recursive=True, allow_not_found=True)
+            )
+        except FileNotFoundError:
+            return []
+        out = []
+        for info in infos:
+            if info.type == pafs.FileType.File and info.path.endswith(".json"):
+                rel = posixpath.relpath(info.path, self.base)
+                out.append(tuple(rel.split("/")))
+        return sorted(out)
+
+
+class ExpectationsStore:
+    def __init__(self, root: str):
+        self.backend = TupleStoreBackend(root)
+        self.root = posixpath.join(self.backend.base, "expectations")
+
+    def save(self, suite: ExpectationSuite) -> str:
+        return self.backend.set(("expectations", f"{suite.name}.json"), suite.to_json())
+
     def load(self, name: str) -> ExpectationSuite:
-        with open(self._path(name)) as f:
-            return ExpectationSuite.from_json(f.read())
+        return ExpectationSuite.from_json(
+            self.backend.get(("expectations", f"{name}.json"))
+        )
 
     def list_suites(self) -> list[str]:
         return sorted(
-            f[: -len(".json")] for f in os.listdir(self.root) if f.endswith(".json")
+            key[-1][: -len(".json")]
+            for key in self.backend.list_keys(("expectations",))
         )
 
     def delete(self, name: str) -> None:
-        os.remove(self._path(name))
+        self.backend.remove(("expectations", f"{name}.json"))
 
 
 class ValidationResultsStore:
     """Results keyed by (suite_name, run_name, run_time, batch_id)."""
 
     def __init__(self, root: str):
-        self.root = os.path.join(root, "validations")
-        os.makedirs(self.root, exist_ok=True)
+        self.backend = TupleStoreBackend(root)
+        self.root = posixpath.join(self.backend.base, "validations")
 
-    def _path(self, suite_name: str, run_name: str, run_time: float, batch_id: str) -> str:
-        d = os.path.join(self.root, suite_name, f"{run_name}-{run_time:.0f}")
-        os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{batch_id}.json")
+    def _key(self, suite_name: str, run_name: str, run_time: float,
+             batch_id: str) -> tuple[str, ...]:
+        return ("validations", suite_name, f"{run_name}-{run_time:.0f}",
+                f"{batch_id}.json")
 
     def save(self, result, *, run_name: str, run_time: float, batch_id: str) -> str:
         payload = result.to_json_dict() if hasattr(result, "to_json_dict") else result
-        p = self._path(payload.get("suite_name", "suite"), run_name, run_time, batch_id)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True, default=str)
-        os.replace(tmp, p)
-        return p
+        key = self._key(payload.get("suite_name", "suite"), run_name, run_time, batch_id)
+        return self.backend.set(
+            key, json.dumps(payload, indent=1, sort_keys=True, default=str)
+        )
 
     def load(self, suite_name: str, run_name: str, run_time: float, batch_id: str) -> dict[str, Any]:
-        with open(self._path(suite_name, run_name, run_time, batch_id)) as f:
-            return json.load(f)
+        return json.loads(
+            self.backend.get(self._key(suite_name, run_name, run_time, batch_id))
+        )
 
     def list_keys(self) -> list[tuple[str, str, str]]:
-        out = []
-        for suite in sorted(os.listdir(self.root)):
-            sdir = os.path.join(self.root, suite)
-            for run in sorted(os.listdir(sdir)):
-                for fn in sorted(os.listdir(os.path.join(sdir, run))):
-                    if fn.endswith(".json"):
-                        out.append((suite, run, fn[: -len(".json")]))
-        return out
+        return [
+            (k[1], k[2], k[3][: -len(".json")])
+            for k in self.backend.list_keys(("validations",))
+        ]

@@ -204,3 +204,98 @@ def test_suite_parameter_expression_in_validate():
     assert res.success  # max 9 <= 3*3
     suite.suite_parameters["x"] = 2
     assert not validate(ds, suite).success  # 9 > 6
+
+
+# ---- expectation diagnostics harness -------------------------------------- #
+
+def test_run_diagnostics_builtin_passes():
+    from great_expectations_ray.core.diagnostics import run_diagnostics
+
+    examples = [{
+        "data": {"x": [1, 2, 3, 10, None]},
+        "tests": [
+            {"title": "in_range", "in": {"column": "x", "min_value": 0, "max_value": 20},
+             "out": {"success": True, "unexpected_list": []}},
+            {"title": "out_of_range", "in": {"column": "x", "min_value": 0, "max_value": 5},
+             "out": {"success": False, "unexpected_list": [10]}},
+        ],
+    }]
+    diag = run_diagnostics("expect_column_values_to_be_between", examples)
+    assert diag.success, diag.generate_checklist()
+    text = diag.generate_checklist()
+    assert "✔" in text and "expect_column_values_to_be_between" in text
+
+
+def test_run_diagnostics_catches_wrong_logic():
+    from great_expectations_ray.core.diagnostics import run_diagnostics
+    from great_expectations_ray.functions.column_map import (
+        CONDITION_KERNELS,
+        register_condition,
+    )
+
+    @register_condition("expect_diag_always_true")
+    def _always_true(tbl, kwargs):
+        """Custom diagnostic probe: everything passes (deliberately wrong)."""
+        import numpy as np
+
+        from great_expectations_ray.functions.column_map import KernelResult
+
+        col = tbl.column(kwargs["column"])
+        n = len(col)
+        return KernelResult(
+            values=col.combine_chunks(),
+            considered=np.ones(n, dtype=bool),
+            meets=np.ones(n, dtype=bool),
+            null_count=0,
+        )
+
+    try:
+        examples = [{
+            "data": {"x": [1, 2]},
+            "tests": [
+                {"title": "pos", "in": {"column": "x"}, "out": {"success": True}},
+                {"title": "neg_should_fail", "in": {"column": "x"},
+                 "out": {"success": False}},  # impl can't fail -> logic check trips
+            ],
+        }]
+        diag = run_diagnostics("expect_diag_always_true", examples)
+        assert not diag.success
+        failing = [c.check for c in diag.checks if not c.passed]
+        assert "All example cases pass on the Ray engine" in failing
+    finally:
+        CONDITION_KERNELS.pop("expect_diag_always_true", None)
+
+
+def test_run_diagnostics_unregistered():
+    from great_expectations_ray.core.diagnostics import run_diagnostics
+
+    diag = run_diagnostics("expect_totally_unknown")
+    assert not diag.success
+    assert len(diag.checks) == 1
+
+
+def test_tuple_store_backend_uri_roundtrip(tmp_path):
+    """Stores accept Arrow-filesystem URIs (tuple_store_backend.py family);
+    file:// exercises the same code path S3/GCS would take."""
+    from great_expectations_ray import ExpectationSuite
+    from great_expectations_ray.state.stores import (
+        ExpectationsStore,
+        ValidationResultsStore,
+    )
+
+    uri = f"file://{tmp_path}"
+    es = ExpectationsStore(uri)
+    s = ExpectationSuite("uri_suite").add(
+        "expect_column_values_to_not_be_null", column="x")
+    es.save(s)
+    assert es.list_suites() == ["uri_suite"]
+    loaded = es.load("uri_suite")
+    assert loaded.expectations[0].expectation_type == "expect_column_values_to_not_be_null"
+    es.delete("uri_suite")
+    assert es.list_suites() == []
+
+    vs = ValidationResultsStore(uri)
+    vs.save({"suite_name": "s1", "success": True, "rollup": []},
+            run_name="r", run_time=5.0, batch_id="b")
+    assert vs.list_keys() == [("s1", "r-5", "b")]
+    assert vs.load("s1", "r", 5.0, "b")["success"] is True
