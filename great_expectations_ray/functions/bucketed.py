@@ -72,7 +72,8 @@ def hash_bucket_of(arr: pa.Array | pa.ChunkedArray, n_buckets: int) -> np.ndarra
         arr = arr.combine_chunks()
     t = arr.type
     if pa.types.is_integer(t):
-        x = np.asarray(pc.fill_null(pc.cast(arr, pa.int64()), 0)).astype(np.uint64)
+        target = pa.uint64() if pa.types.is_unsigned_integer(t) else pa.int64()
+        x = np.asarray(pc.fill_null(pc.cast(arr, target), 0)).astype(np.uint64)
         h = (x * _MIX1) ^ (x >> np.uint64(31))
         h *= _MIX2
     else:

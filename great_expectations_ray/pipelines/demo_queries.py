@@ -1330,6 +1330,59 @@ def q_perplexity_docs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_minhash_verified_docs(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH with in-bucket signature-Jaccard verification (0.5):
+    bucket collisions alone don't mark — the verify predicate must pass."""
+    from great_expectations_ray.stages.neardup import minhash_lsh_mark_duplicates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = minhash_lsh_mark_duplicates(
+        ds, text_col="text", id_col="doc_id", jaccard_threshold=0.5
+    )
+    rows = out.take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "is_neardup": bool(r["max(is_neardup)"])} for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_winnow_fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    """Winnowing document fingerprints (SIGMOD'03): per-doc fingerprint
+    count + xor-fold digest (int64 two's-complement view for SQL parity)."""
+    from great_expectations_ray.stages.fingerprint import WinnowFingerprinter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = ds.map_batches(
+        WinnowFingerprinter,
+        fn_constructor_kwargs={"column": "text"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    rows = scored.select_columns(["doc_id", "n_fingerprints", "fp_digest"]).take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "n_fingerprints": r["n_fingerprints"],
+         "fp_digest": int(np.uint64(r["fp_digest"]).astype(np.int64))}
+        for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint_overlap_docs(sf_dir: str) -> pd.DataFrame:
+    """Copy-detection join: doc pairs sharing >=30 winnowed fingerprints."""
+    from great_expectations_ray.stages.fingerprint import (
+        fingerprint_overlap_candidates,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fingerprint_overlap_candidates(ds, id_col="doc_id", text_col="text",
+                                         min_shared=30)
+    df = pd.DataFrame(out.take_all())
+    if df.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "shared": []}).astype("int64")
+    df = df[["id_a", "id_b", "shared"]].astype("int64")
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1378,6 +1431,9 @@ QUERIES = {
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
+    "minhash_verified_docs": q_minhash_verified_docs,
+    "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
+    "fingerprint_overlap_docs": q_fingerprint_overlap_docs,
     "minhash_neardup_docs": q_minhash_neardup_docs,
     "simhash_neardup_docs": q_simhash_neardup_docs,
     "embedding_neardup": q_embedding_neardup,
@@ -1466,4 +1522,12 @@ ORACLE_SQL.update({
         "embedding_neardup", "vec_id, is_neardup", _FP_EMB, "vec_id"),
     "lsh_ann_topk": _fixture_sql(
         "lsh_ann_topk", "vec_id, sim", _FP_EMB, "vec_id"),
+    "minhash_verified_docs": _fixture_sql(
+        "minhash_verified_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
+    "winnow_fingerprint_docs": _fixture_sql(
+        "winnow_fingerprint_docs", "doc_id, n_fingerprints, fp_digest",
+        _FP_DOCS, "doc_id"),
+    "fingerprint_overlap_docs": _fixture_sql(
+        "fingerprint_overlap_docs", "id_a, id_b, shared", _FP_DOCS,
+        "id_a, id_b"),
 })

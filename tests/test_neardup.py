@@ -164,3 +164,46 @@ def test_degenerate_bucket_capped():
     marked = pd.DataFrame(out.take_all()).rename(
         columns={"max(is_neardup)": "is_neardup"})
     assert marked.is_neardup.sum() == n - 1
+
+
+def test_winnowing_fingerprints():
+    """Winnowing guarantee: docs sharing a long substring share a
+    fingerprint; disjoint docs (no common 8-gram) share none."""
+    from great_expectations_ray.stages.fingerprint import winnow_fingerprints_batch
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank"
+    a = "PREFIX_A " + shared + " SUFFIX_AAA"
+    b = "completely other opening text, " + shared + " and another ending"
+    c = "zzzz " * 30  # no 8-gram in common with a/b
+    fps, counts = winnow_fingerprints_batch(pa.array([a, b, c], pa.string()))
+    sa, sb, sc = (set(f.tolist()) for f in fps)
+    assert sa & sb, "shared substring must yield a common fingerprint"
+    assert not (sa & sc) and not (sb & sc)
+    assert counts[0] == len(a) - 7  # all 8-gram windows counted
+    # short/empty docs: no windows, no fingerprints, no crash
+    fps2, _ = winnow_fingerprints_batch(pa.array(["", "tiny"], pa.string()))
+    assert [len(f) for f in fps2] == [0, 0]
+
+
+def test_fingerprint_overlap_candidates_planted():
+    import ray.data as rd
+
+    from great_expectations_ray.stages.fingerprint import (
+        fingerprint_overlap_candidates,
+    )
+
+    base = "def handler(request):\n    return process(request.data, flags=7)\n" * 3
+    docs = [
+        (1, base + "# one\n"),
+        (2, base + "# two, a near copy\n"),
+        (3, "entirely different content about databases " * 5),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([s for _, s in docs], pa.string()),
+    })
+    out = fingerprint_overlap_candidates(
+        rd.from_arrow(t), id_col="doc_id", text_col="text", min_shared=2)
+    pairs = {(r["id_a"], r["id_b"]): r["shared"] for r in out.take_all()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)

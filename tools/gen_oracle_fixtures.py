@@ -156,6 +156,103 @@ def minhash_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) ->
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def _doc_shingle_hashes(text: str, k: int = 8) -> np.ndarray:
+    """Per-doc window hashes, same polynomial spec as the stage."""
+    by = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    nw = len(by) - k + 1
+    if nw <= 0:
+        return np.empty(0, dtype=np.uint64)
+    h = np.zeros(nw, dtype=np.uint64)
+    B = np.uint64(FNV_B)
+    for j in range(k):
+        h = h * B + by[j : nw + j].astype(np.uint64)
+    return h
+
+
+def minhash_verified_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8,
+                             seed=17, threshold=0.5) -> pd.DataFrame:
+    """Jaccard-verified variant: a doc is near-dup iff in SOME band bucket a
+    LOWER-id member's signature agrees on >= threshold of the permutations."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    bvec = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+
+    sigs: dict[int, np.ndarray] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        h = _doc_shingle_hashes(text, k)
+        if len(h) == 0:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            sig = (h[:, None] * a[None, :] + bvec[None, :]).min(axis=0)
+        sigs[int(doc_id)] = sig
+        for bi in range(bands):
+            bk = 0
+            for j in range(bi * r, (bi + 1) * r):
+                bk = (bk * FNV_B + int(sig[j])) & M64
+            buckets.setdefault((bi, bk), []).append(int(doc_id))
+
+    dup = {int(d): False for d in docs["doc_id"]}
+    for members in buckets.values():
+        members = sorted(members)
+        for i in range(1, len(members)):
+            best = max(
+                float((sigs[members[i]] == sigs[members[j]]).mean())
+                for j in range(i)
+            )
+            if best >= threshold:
+                dup[members[i]] = True
+    ids = sorted(dup)
+    return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
+
+
+def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
+    """Winnowing fingerprints per doc: unique window-of-w minima over the
+    shingle hashes; count + xor-fold digest (int64 view)."""
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        h = _doc_shingle_hashes(text, k)
+        fps = {int(min(h[i : i + w])) for i in range(max(len(h) - w + 1, 0))}
+        digest = 0
+        for f in fps:
+            digest ^= f
+        rows.append({
+            "doc_id": int(doc_id),
+            "n_fingerprints": len(fps),
+            "fp_digest": int(np.uint64(digest).astype(np.int64)),
+        })
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+def fingerprint_overlap_fixture(docs: pd.DataFrame, k=8, w=4,
+                                min_shared=30, freq_cap=128) -> pd.DataFrame:
+    """Doc pairs sharing >= min_shared winnowed fingerprints; fingerprints
+    held by > freq_cap docs are dropped (matches the stage's boilerplate
+    cap)."""
+    fp_to_docs: dict[int, list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        h = _doc_shingle_hashes(text, k)
+        fps = {int(min(h[i : i + w])) for i in range(max(len(h) - w + 1, 0))}
+        for f in fps:
+            fp_to_docs.setdefault(f, []).append(int(doc_id))
+    pair_counts: dict[tuple[int, int], int] = {}
+    for ids in fp_to_docs.values():
+        if len(ids) < 2 or len(ids) > freq_cap:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pair_counts[(ids[i], ids[j])] = pair_counts.get(
+                    (ids[i], ids[j]), 0) + 1
+    rows = [
+        {"id_a": a_, "id_b": b_, "shared": c}
+        for (a_, b_), c in pair_counts.items() if c >= min_shared
+    ]
+    out = pd.DataFrame(rows or {"id_a": [], "id_b": [], "shared": []})
+    return out.astype("int64").sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------- #
 # simhash — per-doc/per-token python polynomial hash + hamming bands
 # --------------------------------------------------------------------------- #
@@ -258,6 +355,9 @@ def main(sf_dirs: list[str]) -> None:
             ("langid_docs", langid_fixture(docs), fp_docs),
             ("perplexity_docs", perplexity_fixture(docs), fp_docs),
             ("minhash_neardup_docs", minhash_fixture(docs), fp_docs),
+            ("minhash_verified_docs", minhash_verified_fixture(docs), fp_docs),
+            ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
+            ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
             ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
             ("embedding_neardup", embedding_neardup_fixture(emb), fp_emb),
             ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
