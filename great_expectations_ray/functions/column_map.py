@@ -463,9 +463,17 @@ CONDITION_KERNELS["expect_multicolumn_values_to_be_unique"] = _unique_within_rec
 # --------------------------------------------------------------------------- #
 # UDF predicate hook — Ray-native analog of UnexpectedRowsExpectation (#59,
 # reference ``unexpected_rows_expectation.py:37``: arbitrary SQL returning the
-# unexpected rows; success = 0 rows).  Here the escape hatch is either the
-# row-condition DSL or a picklable callable ``pa.Table -> bool mask`` marking
-# UNEXPECTED rows.
+# unexpected rows; success = 0 rows).  Three escape hatches:
+# - ``unexpected_condition``: row-condition DSL string
+# - ``unexpected_fn``: picklable callable ``pa.Table -> bool mask``
+# - ``unexpected_sql``: the reference's own contract — SQL with a
+#   ``{batch}`` placeholder returning the UNEXPECTED rows, executed per
+#   Arrow batch through DuckDB (zero-copy view registration).  The SQL must
+#   be ROW-LOCAL (a WHERE predicate over {batch}): each batch sees only its
+#   own rows, so cross-row aggregates would change meaning — the same
+#   partition-local caveat the reference documents for Spark backends.
+#   ``SELECT *`` (or any projection including ``__row_idx``) identifies the
+#   flagged rows.
 # --------------------------------------------------------------------------- #
 
 
@@ -477,10 +485,31 @@ def _unexpected_rows(tbl: pa.Table, kwargs: dict) -> KernelResult:
         unexpected = compile_row_condition(kwargs["unexpected_condition"])(tbl)
     elif "unexpected_fn" in kwargs:
         unexpected = np.asarray(kwargs["unexpected_fn"](tbl), dtype=bool)
+    elif "unexpected_sql" in kwargs:
+        import duckdb
+
+        sql = kwargs["unexpected_sql"].replace("{batch}", "batch")
+        batch = tbl.append_column(
+            "__row_idx", pa.array(np.arange(tbl.num_rows, dtype=np.int64))
+        )
+        con = duckdb.connect()
+        try:
+            con.register("batch", batch)
+            out = con.execute(sql).fetch_arrow_table()
+        finally:
+            con.close()
+        if "__row_idx" not in out.column_names:
+            raise ValueError(
+                "unexpected_sql must propagate __row_idx (use SELECT * "
+                "FROM {batch} WHERE ...)"
+            )
+        unexpected = np.zeros(tbl.num_rows, dtype=bool)
+        unexpected[np.asarray(out.column("__row_idx"), dtype=np.int64)] = True
     else:
         raise ValueError(
-            "unexpected_rows_expectation needs 'unexpected_condition' (DSL) "
-            "or 'unexpected_fn' (callable batch -> bool mask)"
+            "unexpected_rows_expectation needs 'unexpected_condition' (DSL), "
+            "'unexpected_fn' (callable batch -> bool mask), or "
+            "'unexpected_sql' (SQL over {batch} returning unexpected rows)"
         )
     n = tbl.num_rows
     considered = np.ones(n, dtype=bool)

@@ -1289,6 +1289,19 @@ def q_lsh_ann_topk(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id").reset_index(drop=True)
 
 
+def q_ivf_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN (seeded spherical-k-means coarse quantizer) — the third ANN
+    path next to brute force and hyperplane LSH."""
+    from great_expectations_ray.stages.ann import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_row = [r for r in ds.filter(expr="vec_id == 0").take(1)][0]
+    query = np.asarray(q_row["embedding"], dtype=np.float64)
+    top = ivf_topk(ds, query, k=10)
+    return pd.DataFrame([{"vec_id": vid, "sim": round(s, 6)} for vid, s in top]) \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
 def q_langid_docs(sf_dir: str) -> pd.DataFrame:
     """Language-ID actor stage over documents (deterministic classifier)."""
     from great_expectations_ray.stages.langid import LangIdScorer
@@ -1438,6 +1451,7 @@ QUERIES = {
     "simhash_neardup_docs": q_simhash_neardup_docs,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
 }
 
 ORACLE_SQL = {
@@ -1530,4 +1544,6 @@ ORACLE_SQL.update({
     "fingerprint_overlap_docs": _fixture_sql(
         "fingerprint_overlap_docs", "id_a, id_b, shared", _FP_DOCS,
         "id_a, id_b"),
+    "ivf_ann_topk": _fixture_sql(
+        "ivf_ann_topk", "vec_id, sim", _FP_EMB, "vec_id"),
 })

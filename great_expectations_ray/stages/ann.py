@@ -109,3 +109,80 @@ def lsh_topk(
     rows = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
     best = heapq.nsmallest(k, rows, key=lambda r: (-r["cosine"], r[id_col]))
     return [(int(r[id_col]), float(r["cosine"])) for r in best]
+
+
+def _kmeans_cosine(sample: np.ndarray, n_centroids: int, seed: int,
+                   iters: int) -> np.ndarray:
+    """Deterministic spherical k-means (fixed iterations, seeded init,
+    empty clusters keep their previous centroid).  Small sample only —
+    runs on the driver, result broadcast once."""
+    rng = np.random.default_rng(seed)
+    S = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    idx = rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)
+    C = S[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(len(C)):
+            members = S[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-30:
+                    C[c] = m / n
+    return C
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2000,
+    seed: int = 11,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF approximate top-k: a seeded spherical-k-means coarse quantizer is
+    trained on a deterministic prefix sample (driver), centroids broadcast
+    once (``ray.put``); each batch assigns rows to their nearest centroid
+    and scores only rows whose centroid is among the query's ``n_probe``
+    nearest lists.  At corpus scale the assignment becomes a stored
+    partition column and the read prunes to the probed list directories
+    (same deployment shape as ``lsh_topk``)."""
+    import ray
+
+    sample_tbl = ds.select_columns([emb_col]).limit(sample_rows).take_all()
+    sample = np.asarray([r[emb_col] for r in sample_tbl], dtype=np.float64)
+    C = _kmeans_cosine(sample, n_centroids, seed, iters)
+
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.sort(np.argsort(-(C @ qn))[:n_probe])
+    ref = ray.put((qn, C, set(int(p) for p in probe)))
+
+    def local(tbl: pa.Table) -> pa.Table:
+        qv, cents, probes = ray.get(ref)
+        M = _emb_matrix(tbl.column(emb_col))
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+        Mn = M / norms[:, None]
+        assign = np.argmax(Mn @ cents.T, axis=1)
+        mask = np.isin(assign, list(probes))
+        M = M[mask]
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)[mask]
+        if M.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = (M @ qv) / np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+        take = min(k, len(sims))
+        part = np.argpartition(-sims, take - 1)[:take]
+        return pa.table({id_col: pa.array(ids[part]), "cosine": pa.array(sims[part])})
+
+    rows = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    best = heapq.nsmallest(k, rows, key=lambda r: (-r["cosine"], r[id_col]))
+    return [(int(r[id_col]), float(r["cosine"])) for r in best]

@@ -381,15 +381,18 @@ def embedding_mark_duplicates(
         ids = g[id_col].to_numpy()
         M = np.stack(g[emb_col].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
-        dup = np.zeros(len(g), dtype=bool)
-        if len(g) > max_bucket_size:
+        n = len(g)
+        dup = np.zeros(n, dtype=bool)
+        if n > max_bucket_size:
             # degenerate bucket: one matvec vs the representative — O(n·d)
             sims = (M[1:] @ M[0]) / np.maximum(norms[1:] * norms[0], 1e-30)
             dup[1:] = sims >= cosine_threshold
-        else:
-            for i in range(1, len(g)):
-                sims = (M[:i] @ M[i]) / np.maximum(norms[:i] * norms[i], 1e-30)
-                dup[i] = bool((sims >= cosine_threshold).any())
+        elif n > 1:
+            # one GEMM for the whole bucket: dup[i] iff any LOWER-id j has
+            # cosine >= threshold (strict lower triangle)
+            sims = (M @ M.T) / np.maximum(np.outer(norms, norms), 1e-30)
+            lower = np.tril(sims >= cosine_threshold, k=-1)
+            dup = lower.any(axis=1)
         return pd.DataFrame({id_col: ids, "is_neardup": dup})
 
     marked = (

@@ -263,3 +263,32 @@ def test_high_cardinality_distinct_distributed():
     assert len(r_set.result["observed_value"]) <= 200
     assert all(isinstance(v, int) for v in r_set.result["observed_value"])
     assert r_set.result["details"]["unexpected_distinct_count"] == n - 3
+
+
+def test_unexpected_rows_sql_predicate():
+    """QueryExpectation parity (#59-61): the reference's {batch}-templated
+    SQL contract, executed per Arrow batch via DuckDB."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds = rd.from_items(
+        [{"qty": q, "price": p} for q, p in
+         [(5, 10.0), (-2, 3.0), (7, -1.0), (0, 0.0)]]
+    )
+    suite = ExpectationSuite("sqlx").add(
+        "unexpected_rows_expectation",
+        unexpected_sql="SELECT * FROM {batch} WHERE qty < 0 OR price < 0",
+    )
+    res = validate(ds, suite)
+    evr = res.results[0]
+    assert not evr.success
+    assert evr.result["unexpected_count"] == 2
+    # missing __row_idx propagation is a loud config error
+    bad = ExpectationSuite("sqlbad").add(
+        "unexpected_rows_expectation",
+        unexpected_sql="SELECT qty FROM {batch} WHERE qty < 0",
+    )
+    resb = validate(ds, bad)
+    assert not resb.results[0].success
+    assert resb.results[0].exception_info["raised_exception"]

@@ -323,6 +323,39 @@ def embedding_neardup_fixture(emb: pd.DataFrame, threshold=0.9, n_planes=12,
     return pd.DataFrame({"vec_id": sids, "is_neardup": [dup[i] for i in sids]})
 
 
+def ivf_ann_fixture(emb: pd.DataFrame, k=10, n_centroids=16, n_probe=4,
+                    sample_rows=2000, seed=11, iters=10) -> pd.DataFrame:
+    """IVF top-k: reimplements the seeded spherical-k-means quantizer and
+    probe search whole-matrix (stage computes per batch)."""
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    sample = M[:sample_rows]
+    rng = np.random.default_rng(seed)
+    S = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    idx = rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)
+    C = S[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(len(C)):
+            members = S[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-30:
+                    C[c] = m / n
+    q = M[np.where(ids == 0)[0][0]]
+    qn = q / np.linalg.norm(q)
+    probes = set(int(p) for p in np.argsort(-(C @ qn))[:n_probe])
+    norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+    assign = np.argmax((M / norms[:, None]) @ C.T, axis=1)
+    mask = np.isin(assign, list(probes))
+    sims = (M[mask] @ qn) / norms[mask]
+    cids = ids[mask]
+    order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))[:k]
+    rows = sorted(((int(cids[i]), round(float(sims[i]), 6)) for i in order))
+    return pd.DataFrame({"vec_id": [r[0] for r in rows], "sim": [r[1] for r in rows]})
+
+
 def lsh_ann_fixture(emb: pd.DataFrame, k=10, n_planes=8, seed=7) -> pd.DataFrame:
     M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
     ids = emb["vec_id"].to_numpy().astype(np.int64)
@@ -361,6 +394,7 @@ def main(sf_dirs: list[str]) -> None:
             ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
             ("embedding_neardup", embedding_neardup_fixture(emb), fp_emb),
             ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
+            ("ivf_ann_topk", ivf_ann_fixture(emb), fp_emb),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
