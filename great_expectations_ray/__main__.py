@@ -3,6 +3,7 @@
 Commands:
   run       quality-filter checkpoint over parquet input (resumable)
   validate  apply a suite JSON to one table and print the suite result
+  docs      build the static Data Docs HTML site from stored results
 """
 
 from __future__ import annotations
@@ -42,6 +43,14 @@ def cmd_run(args) -> int:
             cfg_kwargs["suite"] = ExpectationSuite.from_json(f.read())
     config = QualityFilterConfig(**cfg_kwargs)
     actions = [] if args.no_docs else [lambda r: write_data_docs(args.output, r)]
+    if args.actions:
+        # serializable notification-action configs (pipelines/actions.py),
+        # e.g. [{"type": "slack", "slack_webhook": "...", "notify_on": "failure"}]
+        from great_expectations_ray.pipelines.actions import ValidationAction
+
+        with open(args.actions) as f:
+            for cfg in json.load(f):
+                actions.append(ValidationAction.from_config(cfg))
     res = run_checkpoint(
         args.input, args.output, config=config,
         n_partitions=args.partitions, actions=actions,
@@ -74,6 +83,16 @@ def cmd_validate(args) -> int:
     return 0 if res.success else 1
 
 
+def cmd_docs(args) -> int:
+    """Build the browsable HTML site from stored validation results — the
+    reference's ``great_expectations docs build`` (site_builder.py:1)."""
+    from great_expectations_ray.pipelines.data_docs import build_site
+
+    index = build_site(args.root, site_dir=args.site_dir)
+    print(json.dumps({"index": index}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="great_expectations_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -88,7 +107,13 @@ def main(argv=None) -> int:
     r.add_argument("--no-langid", action="store_true")
     r.add_argument("--no-perplexity", action="store_true")
     r.add_argument("--no-docs", action="store_true")
+    r.add_argument("--actions", help="JSON file of notification-action configs")
     r.set_defaults(fn=cmd_run)
+
+    d = sub.add_parser("docs", help="build the Data Docs HTML site")
+    d.add_argument("--root", required=True, help="store root (run output dir)")
+    d.add_argument("--site-dir", default=None)
+    d.set_defaults(fn=cmd_docs)
 
     v = sub.add_parser("validate", help="validate one table against a suite")
     v.add_argument("--input", required=True)

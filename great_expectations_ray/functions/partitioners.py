@@ -37,6 +37,21 @@ def partition_on_date_parts(ds, column: str, parts: list[str] = ("year", "month"
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def partition_on_converted_datetime(ds, column: str, date_format_string: str = "%Y-%m",
+                                    out: str = "partition_key"):
+    """strftime-formatted datetime partition key (reference
+    ``partition_on_converted_datetime:171`` — pandas ``dt.strftime``)."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(column)
+        if not pa.types.is_timestamp(col.type.storage_type
+                                     if hasattr(col.type, "storage_type") else col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        return tbl.append_column(out, pc.strftime(col, format=date_format_string))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def partition_on_divided_integer(ds, column: str, divisor: int, out: str = "partition_key"):
     """value // divisor (reference ``partition_on_divided_integer:183``)."""
 

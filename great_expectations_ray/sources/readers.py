@@ -29,10 +29,16 @@ _EXT_READERS = {
     ".arrow": "read_feather",
     ".xlsx": "read_excel",
     ".xls": "read_excel",
+    ".pkl": "read_pickle",
+    ".pickle": "read_pickle",
+    ".sas7bdat": "read_sas",
+    ".xpt": "read_sas",
+    ".xml": "read_xml",
 }
 
 #: readers implemented in this module rather than on ray.data
-_LOCAL_READERS = {"read_orc", "read_feather", "read_excel"}
+_LOCAL_READERS = {"read_orc", "read_feather", "read_excel", "read_fwf",
+                  "read_pickle", "read_sas", "read_xml"}
 
 
 def read_batch(
@@ -147,6 +153,42 @@ def read_excel(paths, **kwargs):
         return pa.Table.from_pandas(pd.read_excel(io.BytesIO(data), **kwargs))
 
     return _file_decode_reader(paths, decode_one)
+
+
+def _pandas_file_reader(pandas_fn_name: str, needs=None):
+    """Build a reader for pandas-decodable formats (reference: fwf/sas/xml
+    assets in ``generated_assets.py``).  Per-file decode inside
+    ``map_batches``; optional dependency gated behind import-try."""
+
+    def reader(paths, **kwargs):
+        if needs:
+            try:
+                __import__(needs)
+            except ImportError as exc:  # pragma: no cover - env-dependent
+                raise ImportError(
+                    f"{pandas_fn_name} requires {needs} (not installed); "
+                    "convert to parquet/csv instead"
+                ) from exc
+
+        def decode_one(data: bytes):
+            import io
+
+            import pandas as pd
+            import pyarrow as pa
+
+            fn = getattr(pd, pandas_fn_name)
+            df = fn(io.BytesIO(data), **kwargs)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        return _file_decode_reader(paths, decode_one)
+
+    return reader
+
+
+read_fwf = _pandas_file_reader("read_fwf")
+read_pickle = _pandas_file_reader("read_pickle")
+read_sas = _pandas_file_reader("read_sas")
+read_xml = _pandas_file_reader("read_xml", needs="lxml")
 
 
 def read_sql_source(sql: str, connection_factory, **kwargs):

@@ -129,3 +129,32 @@ class ValidationResultsStore:
             (k[1], k[2], k[3][: -len(".json")])
             for k in self.backend.list_keys(("validations",))
         ]
+
+
+class CheckpointStore:
+    """Named checkpoint configs (reference ``checkpoint_store.py``): the
+    (input glob, suite, partitioning, actions) tuple that defines a
+    production run, stored as JSON so `run --checkpoint NAME` is
+    reproducible.  Action configs round-trip through
+    ``pipelines.actions.ValidationAction.from_config``."""
+
+    def __init__(self, root: str):
+        self.backend = TupleStoreBackend(root)
+
+    def save(self, name: str, config: dict[str, Any]) -> str:
+        return self.backend.set(
+            ("checkpoints", f"{name}.json"),
+            json.dumps(config, indent=1, sort_keys=True, default=str),
+        )
+
+    def load(self, name: str) -> dict[str, Any]:
+        return json.loads(self.backend.get(("checkpoints", f"{name}.json")))
+
+    def list_checkpoints(self) -> list[str]:
+        return sorted(
+            key[-1][: -len(".json")]
+            for key in self.backend.list_keys(("checkpoints",))
+        )
+
+    def delete(self, name: str) -> None:
+        self.backend.remove(("checkpoints", f"{name}.json"))

@@ -207,3 +207,31 @@ def test_fingerprint_overlap_candidates_planted():
     pairs = {(r["id_a"], r["id_b"]): r["shared"] for r in out.take_all()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_property_vs_naive():
+    """Property check: the vectorized batch winnowing equals a naive
+    per-doc python implementation on random byte strings."""
+    import random
+
+    from great_expectations_ray.stages.fingerprint import winnow_fingerprints_batch
+
+    rng = random.Random(42)
+    docs = [
+        "".join(chr(rng.randrange(97, 123)) for _ in range(rng.randrange(0, 60)))
+        for _ in range(50)
+    ]
+    fps, counts = winnow_fingerprints_batch(pa.array(docs, pa.string()), k=5, w=3)
+
+    B, M64 = 1099511628211, (1 << 64) - 1
+    for text, got, cnt in zip(docs, fps, counts):
+        by = text.encode()
+        hs = []
+        for i in range(len(by) - 4):
+            h = 0
+            for j in range(5):
+                h = (h * B + by[i + j]) & M64
+            hs.append(h)
+        assert cnt == max(len(by) - 4, 0)
+        want = sorted({min(hs[i : i + 3]) for i in range(max(len(hs) - 2, 0))})
+        assert got.tolist() == want, text

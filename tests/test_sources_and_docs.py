@@ -200,3 +200,66 @@ def test_orc_feather_sql_readers(tmp_path):
         lambda: __import__("duckdb").connect(),
     )
     assert ds.count() == 10
+
+
+def test_fwf_pickle_partitioner_readers(tmp_path):
+    import pandas as pd
+
+    from great_expectations_ray.sources.readers import read_batch
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    pkl = str(tmp_path / "t.pkl")
+    df.to_pickle(pkl)
+    got = read_batch(pkl).to_pandas().sort_values("a").reset_index(drop=True)
+    assert got.equals(df)
+
+    fwf = str(tmp_path / "t.fwf")
+    with open(fwf, "w") as f:
+        f.write("a   b\n1   x\n22  y\n")
+    ds = read_batch(fwf, reader="read_fwf")
+    out = ds.to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(out.columns) == ["a", "b"] and out["a"].tolist() == [1, 22]
+
+    # converted-datetime partitioner
+    import pyarrow as pa
+    import ray.data as rd
+
+    from great_expectations_ray.functions.partitioners import (
+        partition_on_converted_datetime,
+    )
+
+    t = pa.table({"ts": pa.array(
+        [pd.Timestamp("2024-01-15"), pd.Timestamp("2024-02-01")],
+        pa.timestamp("us"))})
+    out = partition_on_converted_datetime(rd.from_arrow(t), "ts", "%Y-%m")
+    keys = sorted(r["partition_key"] for r in out.take_all())
+    assert keys == ["2024-01", "2024-02"]
+
+
+def test_checkpoint_store_and_docs_cli(tmp_path):
+    from great_expectations_ray.__main__ import main
+    from great_expectations_ray.state.stores import (
+        CheckpointStore,
+        ValidationResultsStore,
+    )
+
+    root = str(tmp_path)
+    cs = CheckpointStore(root)
+    cfg = {"input": "/data/*.parquet", "partitions": 8,
+           "actions": [{"type": "slack", "slack_webhook": "https://x",
+                        "name": "slack_notification", "notify_on": "failure",
+                        "slack_channel": None,
+                        "show_failed_expectations": True}]}
+    cs.save("nightly", cfg)
+    assert cs.list_checkpoints() == ["nightly"]
+    assert cs.load("nightly")["partitions"] == 8
+    cs.delete("nightly")
+    assert cs.list_checkpoints() == []
+
+    # docs CLI over a stored result
+    vs = ValidationResultsStore(root)
+    vs.save({"suite_name": "s1", "success": False, "rollup": []},
+            run_name="r", run_time=1.0, batch_id="b")
+    rc = main(["docs", "--root", root])
+    assert rc == 0
+    assert os.path.exists(os.path.join(root, "docs", "site", "index.html"))
