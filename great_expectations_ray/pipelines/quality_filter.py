@@ -34,7 +34,12 @@ from great_expectations_ray.core.suite import ExpectationConfiguration, Expectat
 from great_expectations_ray.functions.column_map import CONDITION_KERNELS
 from great_expectations_ray.stages.langid import LangIdScorer
 from great_expectations_ray.stages.perplexity import PerplexityScorer, build_reference_model
-from great_expectations_ray.stages.scrub import DEFAULT_SCRUB_RULES, Scrubber, sha256_column
+from great_expectations_ray.stages.scrub import (
+    DEFAULT_SCRUB_RULES,
+    Scrubber,
+    sha256_column,
+    sha256_column_where,
+)
 from great_expectations_ray.stages.text_stats import TextStats
 
 
@@ -109,7 +114,9 @@ class RuleEvalScrub:
         content = tbl.column("content")
         pre = sha256_column(content)
         scrubbed, hit = self.scrubber.scrub_array(content)
-        post = sha256_column(scrubbed)
+        # unchanged rows reuse the pre-scrub digest — post-hash work scales
+        # with the scrub HIT RATE, not the corpus size
+        post = sha256_column_where(scrubbed, hit, pre)
 
         tbl = tbl.set_column(tbl.column_names.index("content"), "content", scrubbed)
         tbl = tbl.append_column("content_sha256", pre)

@@ -96,3 +96,96 @@ def make_fake_media_table(n: int, seed: int = 11) -> pa.Table:
         "height": pa.array([32] * n, pa.int32()),
         "duration_ms": pa.array([0 if i % 2 else 1000 for i in range(n)], pa.int32()),
     })
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decoded (H, W[, C]) array — pure numpy
+    index math, no codec needed (the resize itself is NOT stubbed; only the
+    bytes->array decode is)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[rows][:, cols]
+
+
+class MediaResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> pooled feature.
+    ``ds.map_batches(MediaResizer, concurrency=N, batch_size=SMALL,
+    fn_constructor_kwargs={"use_fake": True, "out_h": 16, "out_w": 16})``."""
+
+    def __init__(self, use_fake: bool = False, out_h: int = 16, out_w: int = 16):
+        self.decode = _fake_decode if use_fake else _real_decode
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column("payload").combine_chunks()
+        types = tbl.column("media_type").combine_chunks()
+        out = []
+        for i in range(len(payloads)):
+            raw = payloads[i].as_py() if payloads[i].is_valid else b""
+            img = self.decode(raw, types[i].as_py())
+            small = resize_nearest(img, self.out_h, self.out_w)
+            out.append(small.reshape(-1).astype(np.float32).tolist())
+        tbl = tbl.append_column("resized", pa.array(out, pa.list_(pa.float32())))
+        tbl = tbl.append_column(
+            "resized_shape",
+            pa.array([[self.out_h, self.out_w]] * tbl.num_rows, pa.list_(pa.int32())),
+        )
+        return tbl
+
+
+class FrameSampler:
+    """Video frame sampling as a flat-map-shaped actor stage: each payload
+    row expands to one row per sampled frame (uniform stride from
+    ``duration_ms`` at ``fps``), each with a pooled frame feature.  The frame
+    DECODE is behind the same stub; the sampling math (which frames, how
+    many, output layout) is the real contract.
+
+    Output: media_id, frame_idx, frame_ms, frame_feat — payload dropped so
+    the heavy bytes never fan out with the frames."""
+
+    def __init__(self, use_fake: bool = False, fps: float = 1.0,
+                 max_frames: int = 8, feat_dim: int = 16):
+        self.decode = _fake_decode if use_fake else _real_decode
+        self.fps = fps
+        self.max_frames = max_frames
+        self.feat_dim = feat_dim
+
+    def sample_times_ms(self, duration_ms: int) -> list[int]:
+        if duration_ms <= 0:
+            return [0]
+        n = min(max(int(duration_ms / 1000.0 * self.fps), 1), self.max_frames)
+        step = duration_ms / n
+        return [int(i * step) for i in range(n)]
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column("payload").combine_chunks()
+        ids = tbl.column("media_id").combine_chunks()
+        types = tbl.column("media_type").combine_chunks()
+        durs = tbl.column("duration_ms").combine_chunks()
+        out_id, out_idx, out_ms, out_feat = [], [], [], []
+        for i in range(len(payloads)):
+            raw = payloads[i].as_py() if payloads[i].is_valid else b""
+            base = self.decode(raw, types[i].as_py())
+            for j, t_ms in enumerate(self.sample_times_ms(int(durs[i].as_py() or 0))):
+                # fake path: derive the frame from (payload, t_ms) so frames
+                # differ deterministically; a real codec seeks to t_ms
+                frame = (
+                    self.decode(raw + t_ms.to_bytes(4, "little"), types[i].as_py())
+                    if self.decode is _fake_decode else base
+                )
+                pooled = frame.mean(axis=0)
+                k = max(len(pooled) // self.feat_dim, 1)
+                out_feat.append(
+                    [float(x) for x in pooled[: self.feat_dim * k : k][: self.feat_dim]]
+                )
+                out_id.append(ids[i].as_py())
+                out_idx.append(j)
+                out_ms.append(t_ms)
+        return pa.table({
+            "media_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_idx, pa.int32()),
+            "frame_ms": pa.array(out_ms, pa.int32()),
+            "frame_feat": pa.array(out_feat, pa.list_(pa.float32())),
+        })

@@ -92,6 +92,35 @@ def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+def sha256_column_where(
+    col: pa.ChunkedArray | pa.Array, changed: np.ndarray, base: pa.Array
+) -> pa.Array:
+    """sha256 of rows marked ``changed``; unchanged rows REUSE ``base``
+    (sound whenever unchanged rows have byte-identical content — i.e.
+    ``base = sha256_column(original)`` and ``col`` differs only on changed
+    rows).  Cuts post-scrub hashing to the scrub hit rate: re-copying a
+    64-char hex beats re-hashing a multi-KB payload ~16×."""
+    if not changed.any():
+        return base if isinstance(base, pa.Array) else base.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = base.to_pylist()
+    views = _string_buffer_views(col)
+    idx = np.nonzero(changed)[0]
+    if views is None:
+        for i in idx:
+            v = col[int(i)]
+            out[int(i)] = hashlib.sha256(
+                (v.as_py() if v.is_valid else "").encode("utf-8", "surrogatepass")
+            ).hexdigest()
+    else:
+        offs, mv = views
+        for i in idx:
+            i = int(i)
+            out[i] = hashlib.sha256(mv[offs[i] : offs[i + 1]]).hexdigest()
+    return pa.array(out, pa.string())
+
+
 @dataclass
 class Scrubber:
     """Vectorized scrub kernel; usable standalone or fused into the
@@ -116,7 +145,7 @@ class Scrubber:
         content = tbl.column("content")
         pre = sha256_column(content)
         scrubbed, hit = self.scrub_array(content)
-        post = sha256_column(scrubbed)
+        post = sha256_column_where(scrubbed, hit, pre)
         tbl = tbl.set_column(tbl.column_names.index("content"), "content", scrubbed)
         tbl = tbl.append_column("content_sha256", pre)
         tbl = tbl.append_column("scrubbed_sha256", post)
