@@ -171,15 +171,64 @@ def render_validation_page(payload: dict, *, title: str = "Validation result") -
     return "".join(parts)
 
 
+def render_suite_page(suite_dict: dict) -> str:
+    """HTML page for a stored expectation suite (reference:
+    ExpectationSuitePageRenderer shape — name, parameters, one row per
+    expectation config)."""
+    rows = []
+    for cfg in suite_dict.get("expectations", []):
+        kwargs = {k: v for k, v in (cfg.get("kwargs") or {}).items()}
+        rows.append(
+            f"<tr><td><code>{_esc(cfg.get('expectation_type', '?'))}</code></td>"
+            f"<td><code>{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td></tr>"
+        )
+    params = suite_dict.get("suite_parameters") or {}
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>Suite: {_esc(suite_dict.get('name', 'suite'))}</title>"
+        f"<style>{_CSS}</style></head><body>"
+        f"<h1>Expectation suite: {_esc(suite_dict.get('name', 'suite'))}</h1>"
+        + (f"<p>parameters: <code>{_esc(json.dumps(params, sort_keys=True))}"
+           "</code></p>" if params else "")
+        + "<table><tr><th>expectation</th><th>kwargs</th></tr>"
+        + "".join(rows)
+        + "</table></body></html>"
+    )
+
+
 def build_site(root: str, site_dir: Optional[str] = None) -> str:
     """Build the browsable static site from every result in the
-    ``ValidationResultsStore`` under ``root`` (site_builder.py:1 shape:
-    ``index.html`` + one page per validation).  Returns the index path."""
-    from great_expectations_ray.state.stores import ValidationResultsStore
+    ``ValidationResultsStore`` (and every suite in the ``ExpectationsStore``)
+    under ``root`` (site_builder.py:1 shape: ``index.html`` + one page per
+    validation + one per suite).  Returns the index path."""
+    from great_expectations_ray.state.stores import (
+        ExpectationsStore,
+        ValidationResultsStore,
+    )
 
     site_dir = site_dir or os.path.join(root, "docs", "site")
     val_dir = os.path.join(site_dir, "validations")
     os.makedirs(val_dir, exist_ok=True)
+
+    suite_rows = []
+    try:
+        es = ExpectationsStore(root)
+        suites = es.list_suites()
+    except Exception:
+        suites = []
+    if suites:
+        suites_dir = os.path.join(site_dir, "expectations")
+        os.makedirs(suites_dir, exist_ok=True)
+        for name in suites:
+            suite = es.load(name)
+            page_rel = os.path.join("expectations", f"{name}.html")
+            with open(os.path.join(site_dir, page_rel), "w") as f:
+                f.write(render_suite_page(suite.to_json_dict()))
+            suite_rows.append(
+                f"<tr><td><a href='{_esc(page_rel)}'>{_esc(name)}</a></td>"
+                f"<td>{len(suite.expectations)}</td></tr>"
+            )
+
     store = ValidationResultsStore(root)
 
     index_rows = []
@@ -200,10 +249,16 @@ def build_site(root: str, site_dir: Optional[str] = None) -> str:
             f"<td class='{'ok' if ok else 'fail'}'>"
             f"{'&#10003;' if ok else '&#10007;'}</td></tr>"
         )
+    suites_html = (
+        "<h1>Expectation suites</h1>"
+        "<table><tr><th>suite</th><th>expectations</th></tr>"
+        + "".join(suite_rows) + "</table>"
+    ) if suite_rows else ""
     index = (
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>Data Docs</title><style>{_CSS}</style></head><body>"
-        "<h1>Validation results</h1>"
+        + suites_html
+        + "<h1>Validation results</h1>"
         "<table><tr><th>suite</th><th>run</th><th>batch</th><th>status</th></tr>"
         + "".join(index_rows)
         + "</table></body></html>"

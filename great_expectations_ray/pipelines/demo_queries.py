@@ -1343,6 +1343,49 @@ def q_perplexity_docs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_bpe_token_stats_docs(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish pre-tokenizer counting (TokenCounter stage) with a per-lang
+    rollup; SQL oracle counts the same RE2 pattern via regexp_extract_all."""
+    from great_expectations_ray.stages.text_stats import TokenCounter
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    counted = ds.map_batches(
+        TokenCounter, fn_constructor_kwargs={"column": "text"},
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        t = tbl.select(["lang", "n_tokens_ws", "n_tokens_bpe"])
+        return t.group_by(["lang"]).aggregate(
+            [("n_tokens_ws", "sum"), ("n_tokens_bpe", "sum")]
+        )
+
+    grouped = (
+        counted.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .sum(["n_tokens_ws_sum", "n_tokens_bpe_sum"])
+    )
+    rows = grouped.take_all()
+    df = pd.DataFrame([
+        {"lang": r["lang"], "ws_tokens": r["sum(n_tokens_ws_sum)"],
+         "bpe_tokens": r["sum(n_tokens_bpe_sum)"]}
+        for r in rows
+    ])
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+_BPE_SQL_PAT = (
+    "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+SQL_BPE_TOKEN_STATS_DOCS = f"""
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL_PAT}'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_minhash_verified_docs(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH with in-bucket signature-Jaccard verification (0.5):
     bucket collisions alone don't mark — the verify predicate must pass."""
@@ -1444,6 +1487,7 @@ QUERIES = {
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
+    "bpe_token_stats_docs": q_bpe_token_stats_docs,
     "minhash_verified_docs": q_minhash_verified_docs,
     "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
     "fingerprint_overlap_docs": q_fingerprint_overlap_docs,
@@ -1495,6 +1539,7 @@ ORACLE_SQL = {
     "zscore_quantity": SQL_ZSCORE_QUANTITY,
     "kl_event_types": SQL_KL_EVENT_TYPES,
     "cramers_events": SQL_CRAMERS_EVENTS,
+    "bpe_token_stats_docs": SQL_BPE_TOKEN_STATS_DOCS,
 }
 
 # --------------------------------------------------------------------------- #

@@ -171,3 +171,27 @@ class TextStats:
             if name in out:
                 tbl = tbl.append_column(name, out[name])
         return tbl
+
+
+#: BPE-ish pre-tokenizer split pattern (GPT-2 shape, lookahead dropped —
+#: RE2 has no lookahead; Arrow AND DuckDB both run RE2, so Ray counts and
+#: SQL-oracle counts agree exactly)
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+class TokenCounter:
+    """Actor-pool stage: per-row token counts — whitespace tokens
+    (``\\S+``) and BPE-ish pre-tokenizer pieces (``BPE_SPLIT_RE``) — both
+    single vectorized RE2 scans.  The standard length signal for LLM
+    training-data budgeting."""
+
+    def __init__(self, column: str = "content"):
+        self.column = column
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        text = pc.fill_null(tbl.column(self.column).combine_chunks(), "")
+        ws = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        bpe = pc.cast(pc.count_substring_regex(text, BPE_SPLIT_RE), pa.int64())
+        tbl = tbl.append_column("n_tokens_ws", ws)
+        tbl = tbl.append_column("n_tokens_bpe", bpe)
+        return tbl

@@ -263,3 +263,22 @@ def test_checkpoint_store_and_docs_cli(tmp_path):
     rc = main(["docs", "--root", root])
     assert rc == 0
     assert os.path.exists(os.path.join(root, "docs", "site", "index.html"))
+
+
+def test_site_renders_suite_pages(tmp_path):
+    from great_expectations_ray import ExpectationSuite
+    from great_expectations_ray.pipelines.data_docs import build_site
+    from great_expectations_ray.state.stores import ExpectationsStore
+
+    root = str(tmp_path)
+    es = ExpectationsStore(root)
+    es.save(ExpectationSuite("site_suite", suite_parameters={"x": 3}).add(
+        "expect_column_values_to_be_between", column="v",
+        min_value=0, max_value={"$PARAMETER": "x * 3"}))
+    index = build_site(root)
+    idx = open(index).read()
+    assert "Expectation suites" in idx and "site_suite" in idx
+    page = open(os.path.join(os.path.dirname(index),
+                             "expectations", "site_suite.html")).read()
+    assert "expect_column_values_to_be_between" in page
+    assert "$PARAMETER" in page  # unresolved config is what the suite stores
