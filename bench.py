@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "ann_topk",
     "events_increasing",
     "qf_corpus_keep",
+    "bpe_token_stats_docs",
+    "winnow_fingerprint_docs",
 ]
 
 
