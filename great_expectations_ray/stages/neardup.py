@@ -110,32 +110,18 @@ def minhash_signatures(
     if hashes.size:
         firsts = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=firsts[1:])
-        # double chunking bounds the (shingles × perms) temporary to ~64 MiB:
-        # row chunks of <=256k shingles × perm slices of 32
-        row_chunks: list[tuple[int, int]] = []
-        lo = 0
-        acc = 0
-        for i in range(n):
-            acc += counts[i]
-            if acc >= 256_000:
-                row_chunks.append((lo, i + 1))
-                lo, acc = i + 1, 0
-        if lo < n:
-            row_chunks.append((lo, n))
-        for r0, r1 in row_chunks:
-            rows = np.arange(r0, r1)
-            rows = rows[counts[r0:r1] > 0]
-            if not len(rows):
-                continue
-            s0 = firsts[rows[0]]
-            s1 = firsts[rows[-1]] + counts[rows[-1]]
-            hs = hashes[s0:s1]
-            local_firsts = firsts[rows] - s0
-            for p0 in range(0, num_perm, 32):
-                p1 = min(p0 + 32, num_perm)
-                hv = hs[:, None] * a[None, p0:p1] + b[None, p0:p1]  # uint64 wrap mixing
-                mins = np.minimum.reduceat(hv, local_firsts, axis=0)
-                sig[rows, p0:p1] = mins
+        rows = np.flatnonzero(counts > 0)
+        local_firsts = firsts[rows]
+        # One contiguous 1-D pass per permutation.  numpy's strided uint64
+        # multiply loop (a 2-D broadcast hs[:,None]*a[None,:]) is ~80× slower
+        # than the contiguous 1-D SIMD loop on this build, so the per-perm
+        # formulation wins despite touching `hashes` num_perm times; the
+        # temporary is a single shingles-sized uint64 vector.
+        hv = np.empty_like(hashes)
+        for p in range(num_perm):
+            np.multiply(hashes, a[p], out=hv)  # uint64 wrap mixing
+            hv += b[p]
+            sig[rows, p] = np.minimum.reduceat(hv, local_firsts)
     return sig
 
 
@@ -282,22 +268,30 @@ def simhash64(
     tok_hashes = (tok_hashes * mix) ^ (tok_hashes >> np.uint64(13))
     tok_hashes *= np.uint64(0xC2B2AE3D27D4EB4F)
 
-    bits = ((tok_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    bits = bits * 2 - 1  # ±1
     n = len(tok_counts)
     out = np.zeros(n, dtype=np.uint64)
     nonzero = tok_counts > 0
     firsts = np.zeros(n, dtype=np.int64)
     np.cumsum(tok_counts[:-1], out=firsts[1:])
     if len(flat):
-        sums = np.add.reduceat(bits, firsts[nonzero], axis=0)
-        sim_bits = (sums > 0).astype(np.uint64)
-        vals = (sim_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
-        out[nonzero] = vals
+        # SIMD bit unpack (the strided uint64 shift-broadcast alternative is
+        # ~80× slower on this numpy build): (tokens, 64) 0/1 matrix with
+        # column j = bit j of the hash, little-endian throughout.
+        bits = np.unpackbits(
+            tok_hashes.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        ).astype(np.int32)
+        # segmented column sums via cumsum-diff: 2-D ufunc.reduceat(axis=0)
+        # is ~20× slower than one contiguous cumsum on this numpy build.
+        csum = np.cumsum(bits, axis=0, dtype=np.int32)
+        f = firsts[nonzero]
+        ends = np.append(f[1:], len(bits)) - 1
+        sums = csum[ends]
+        sums[1:] -= csum[f[1:] - 1]
+        # majority vote: bit set iff #ones > #zeros  ⇔  2·#ones > count
+        sim_bits = (2 * sums > tok_counts[nonzero, None]).astype(np.uint8)
+        out[nonzero] = np.packbits(sim_bits, axis=1, bitorder="little").reshape(
+            -1, 8
+        ).copy().view(np.uint64).reshape(-1)
     return out
 
 
