@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "qf_corpus_keep",
     "bpe_token_stats_docs",
     "winnow_fingerprint_docs",
+    "repetition_docs",
+    "decontaminate_docs",
 ]
 
 

@@ -1439,6 +1439,88 @@ def q_fingerprint_overlap_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition & word-quality signals per document
+    (stages/repetition.py) — top-{2,3,4}-gram char fraction, duplicated-
+    5-gram char fraction, word count / mean word length.  Embarrassingly
+    parallel: one vectorized map_batches, no shuffle."""
+    from great_expectations_ray.stages.repetition import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        repetition_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_gram_cte(n: int) -> str:
+    """CTE pair computing per-doc gram (count, len) stats for word n-grams."""
+    return f"""
+g{n} AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-{n}+1, 0) + 1),
+        i -> array_to_string(toks[i:i+{n}-1], ' '))) AS gram FROM d),
+c{n} AS (SELECT doc_id, gram, count(*) AS c, length(gram) AS l
+         FROM g{n} GROUP BY 1, 2)"""
+
+
+SQL_REPETITION_DOCS = (
+    r"""
+WITH d AS (SELECT doc_id, length(text) AS total_chars,
+                  regexp_extract_all(text, '\S+') AS toks
+           FROM documents),"""
+    + ",".join(_sql_gram_cte(n) for n in (2, 3, 4, 5))
+    + r""",
+t2 AS (SELECT doc_id, arg_max(c*l, c*2097152 + l) AS cov FROM c2 GROUP BY doc_id),
+t3 AS (SELECT doc_id, arg_max(c*l, c*2097152 + l) AS cov FROM c3 GROUP BY doc_id),
+t4 AS (SELECT doc_id, arg_max(c*l, c*2097152 + l) AS cov FROM c4 GROUP BY doc_id),
+u5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c*l ELSE 0 END) AS cov
+       FROM c5 GROUP BY doc_id)
+SELECT d.doc_id,
+       len(toks) AS n_words,
+       round(coalesce(list_sum(list_transform(toks, t -> length(t))) * 1.0
+             / greatest(len(toks), 1), 0), 6) AS mean_word_len,
+       round(coalesce(t2.cov * 1.0 / greatest(d.total_chars, 1), 0), 6) AS top2_char_frac,
+       round(coalesce(t3.cov * 1.0 / greatest(d.total_chars, 1), 0), 6) AS top3_char_frac,
+       round(coalesce(t4.cov * 1.0 / greatest(d.total_chars, 1), 0), 6) AS top4_char_frac,
+       round(coalesce(u5.cov * 1.0 / greatest(d.total_chars, 1), 0), 6) AS dup5_char_frac
+FROM d
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id) LEFT JOIN u5 USING (doc_id)
+ORDER BY d.doc_id
+"""
+)
+
+
+def q_decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (stages/decontaminate.py): docs with
+    doc_id %% 37 == 0 act as the 'benchmark set'; every other doc is flagged
+    iff it shares a word 5-gram with any benchmark doc.  The benchmark gram
+    hash set is broadcast via ray.put and fetched once per actor."""
+    from great_expectations_ray.stages.decontaminate import mark_contaminated
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _mod(tbl: pa.Table, keep_zero: bool) -> pa.Table:
+        ids = np.asarray(tbl.column("doc_id")) % 37
+        return tbl.filter(pa.array((ids == 0) if keep_zero else (ids != 0)))
+
+    bench = ds.map_batches(lambda t: _mod(t, True), batch_format="pyarrow")
+    corpus = ds.map_batches(lambda t: _mod(t, False), batch_format="pyarrow")
+    out = mark_contaminated(corpus, bench, n=5, concurrency=2)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-4, 0) + 1),
+      i -> array_to_string(toks[i:i+4], ' '))) AS gram FROM d),
+b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hit AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram) WHERE g.doc_id % 37 <> 0)
+SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+FROM d LEFT JOIN hit ON d.doc_id = hit.doc_id
+WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1484,6 +1566,8 @@ QUERIES = {
     "zscore_quantity": q_zscore_quantity,
     "kl_event_types": q_kl_event_types,
     "cramers_events": q_cramers_events,
+    "repetition_docs": q_repetition_docs,
+    "decontaminate_docs": q_decontaminate_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1540,6 +1624,8 @@ ORACLE_SQL = {
     "kl_event_types": SQL_KL_EVENT_TYPES,
     "cramers_events": SQL_CRAMERS_EVENTS,
     "bpe_token_stats_docs": SQL_BPE_TOKEN_STATS_DOCS,
+    "repetition_docs": SQL_REPETITION_DOCS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
