@@ -76,12 +76,16 @@ CRAMERS_TYPES = {"expect_column_pair_cramers_phi_value_to_be_less_than"}
 
 CROSS_TABLE_TYPES = {"expect_table_row_count_to_equal_other_table"}
 
-#: stubs in the reference snapshot as well (27-33 LoC class shells — see
-#: SURVEY §2.1 #47/#49); they fail with a clear message, matching status
-STUB_TYPES = {
+#: KS expectations (#47/#49) — 27-33 LoC STUBS in the reference snapshot;
+#: implemented for real here (functions/ks.py: exact distributed D via one
+#: sort + offset-linear per-batch summaries; asymptotic p with Stephens'
+#: finite-n correction)
+KS_TYPES = {
     "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
 }
+
+STUB_TYPES: set = set()  # (r1 had the two KS stubs; none remain)
 
 #: map-style rules whose condition is a GLOBAL property -> phase W
 UNIQUE_TYPES = {
@@ -122,6 +126,7 @@ class _CompiledSuite:
     dist_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     cramers_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     cross_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    ks_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     agg_columns: set = field(default_factory=set)       # numeric agg partials
     count_columns: set = field(default_factory=set)     # (total, nonnull) counters
     vc_columns: set = field(default_factory=set)        # exact value-count partials
@@ -169,11 +174,9 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
                 plan.cramers_rules.append((idx, cfg))
             elif t in CROSS_TABLE_TYPES:
                 plan.cross_rules.append((idx, cfg))
-            elif t in STUB_TYPES:
-                raise NotImplementedError(
-                    f"{t} is a stub in the reference (scipy-based, semi-deprecated) "
-                    "and not implemented here either"
-                )
+            elif t in KS_TYPES:
+                plan.ks_rules.append((idx, cfg))
+                plan.count_columns.add(cfg.kwargs["column"])
             elif t in CONDITION_KERNELS:
                 plan.map_rules.append((idx, cfg))
             else:
@@ -522,7 +525,7 @@ def validate(
     merged: Optional[dict] = None
     need_pass1 = bool(
         plan.map_rules or plan.agg_rules or plan.two_phase_rules or plan.vc_rules
-        or plan.unique_rules or plan.table_rules or plan.dist_rules
+        or plan.unique_rules or plan.table_rules or plan.dist_rules or plan.ks_rules
     )
     if need_pass1:
         evaluator = _PartialEvaluator(
@@ -739,6 +742,17 @@ def validate(
     for idx, cfg in plan.cramers_rules:
         try:
             evrs[idx] = _finish_cramers_rule(ds, cfg)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- KS tests (#47/#49): sort shuffle -> offset-linear summaries ------ #
+    for idx, cfg in plan.ks_rules:
+        err = col_error(("count", cfg.kwargs["column"]))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
+        try:
+            evrs[idx] = _finish_ks_rule(ds, cfg, merged)
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 
@@ -997,6 +1011,50 @@ def _finish_continuous_kl(
         success=ok,
         expectation_config=cfg.to_json_dict(),
         result={"observed_value": None if math.isinf(kl) else kl},
+    )
+
+
+def _finish_ks_rule(ds, cfg: ExpectationConfiguration, merged) -> ExpectationValidationResult:
+    """#47/#49 — real KS tests over the column (stubs in the reference;
+    functions/ks.py documents the distributed-exact-D construction)."""
+    from great_expectations_ray.functions.ks import (
+        bootstrapped_ks_test,
+        parameterized_ks_test,
+    )
+
+    col = cfg.kwargs["column"]
+    _, nonnull = merged["counts"].get(col, (0, 0))
+    threshold = float(cfg.kwargs.get("p", cfg.kwargs.get("p_value", 0.05)))
+    if cfg.expectation_type == (
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than"
+    ):
+        res = parameterized_ks_test(
+            ds, col,
+            distribution=cfg.kwargs["distribution"],
+            params=cfg.kwargs.get("params", {}),
+            n=nonnull,
+        )
+        p = res["p_value"]
+        result = {"observed_value": p, "details": {
+            "expected_params": cfg.kwargs.get("params", {}),
+            "observed_ks_result": [res["ks_statistic"], p],
+            "n": res["n"],
+        }}
+    else:
+        res = bootstrapped_ks_test(
+            ds, col,
+            partition_object=cfg.kwargs["partition_object"],
+            n=nonnull,
+            bootstrap_samples=int(cfg.kwargs.get("bootstrap_samples") or 100),
+            bootstrap_sample_size=int(cfg.kwargs.get("bootstrap_sample_size") or 100),
+            seed=int(cfg.kwargs.get("seed", 11)),
+        )
+        p = res["mean_p_value"]
+        result = {"observed_value": p, "details": res}
+    return ExpectationValidationResult(
+        success=bool(p > threshold),
+        expectation_config=cfg.to_json_dict(),
+        result=result,
     )
 
 

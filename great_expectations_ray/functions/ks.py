@@ -1,0 +1,217 @@
+"""Distributed one-sample Kolmogorov-Smirnov machinery.
+
+Backs the two KS expectations the reference snapshot leaves as stubs
+(``expectations/core/expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than.py``
+and ``..._bootstrapped_ks_test_...`` — 27-33 LoC shells; SURVEY §2.1 #47/#49):
+here they are real.
+
+The KS statistic D = sup_x |ECDF(x) − F(x)| is computed EXACTLY and fully
+distributed:
+
+1. one Ray-native ``sort`` of the (single-column, null-filtered) dataset —
+   the only shuffle;
+2. each batch of the range-partitioned output emits a 5-number summary
+   ``(count, min, max, A⁺, A⁻)`` where, with local 1-based index j and
+   global n, ``A⁺ = max_j(j/n − F(x_j))`` and ``A⁻ = max_j(F(x_j) − (j−1)/n)``.
+   Both one-sided deviations are LINEAR in the batch's unknown global row
+   offset c₀ (they shift by ±c₀/n), so the driver only needs the tiny
+   per-batch summaries: order them by (min, max), prefix-sum the counts to
+   recover each c₀, and take ``D = max_b max(c₀/n + A⁺_b, A⁻_b − c₀/n)``.
+
+Equal values straddling a batch boundary are harmless: every (j, x_j) pair
+is a valid term of the one-sided maxima, and the binding terms (last
+occurrence for D⁺, first for D⁻) each live entirely in one batch.
+
+The driver-side work is O(#batches); nothing but the sort touches the data
+twice.  At 100 TB this is one range-shuffle plus a streaming scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from great_expectations_ray.functions.stats_math import (
+    gammainc_upper_regularized,
+    ks_p_value,
+)
+
+_erf_vec = np.frompyfunc(math.erf, 1, 1)
+
+
+def _erf(x: np.ndarray) -> np.ndarray:
+    # math.erf per element (C-speed libm, ~double precision); numpy has no
+    # erf kernel and an approximation would poison oracle comparisons.  This
+    # runs on the post-sort scan only.
+    return _erf_vec(x).astype(np.float64)
+
+
+def make_cdf(distribution: str, params: dict):
+    """Vectorized CDF for a scipy-style (shape, loc, scale) parameterization.
+
+    Supported: norm, uniform, expon, lognorm, chi2, gamma.  (beta is
+    omitted — no incomplete-beta in the sandbox; the reference stub supports
+    nothing at all.)"""
+    loc = float(params.get("loc", 0.0))
+    scale = float(params.get("scale", 1.0))
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+
+    if distribution == "norm":
+        def cdf(x):
+            z = (np.asarray(x, dtype=np.float64) - loc) / scale
+            return 0.5 * (1.0 + _erf(z / math.sqrt(2.0)))
+    elif distribution == "uniform":
+        def cdf(x):
+            z = (np.asarray(x, dtype=np.float64) - loc) / scale
+            return np.clip(z, 0.0, 1.0)
+    elif distribution == "expon":
+        def cdf(x):
+            z = (np.asarray(x, dtype=np.float64) - loc) / scale
+            return np.where(z > 0, -np.expm1(-np.maximum(z, 0.0)), 0.0)
+    elif distribution == "lognorm":
+        s = float(params["s"])
+        def cdf(x):
+            z = (np.asarray(x, dtype=np.float64) - loc) / scale
+            out = np.zeros_like(z)
+            pos = z > 0
+            out[pos] = 0.5 * (1.0 + _erf(np.log(z[pos]) / (s * math.sqrt(2.0))))
+            return out
+    elif distribution in ("chi2", "gamma"):
+        a = float(params["df"]) / 2.0 if distribution == "chi2" else float(params["a"])
+        xscale = 2.0 * scale if distribution == "chi2" else scale
+        _ginc = np.frompyfunc(
+            lambda t: 1.0 - gammainc_upper_regularized(a, t) if t > 0 else 0.0, 1, 1
+        )
+        def cdf(x):
+            z = (np.asarray(x, dtype=np.float64) - loc) / xscale
+            return _ginc(np.maximum(z, 0.0)).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported distribution {distribution!r}")
+    return cdf
+
+
+def piecewise_cdf_from_partition(partition_object: dict):
+    """Continuous piecewise-linear CDF from a GX partition_object
+    ``{"bins": [b0..bk], "weights": [w1..wk]}`` (reference:
+    ``great_expectations/dataset/util.py`` continuous partitions)."""
+    bins = np.asarray(partition_object["bins"], dtype=np.float64)
+    weights = np.asarray(partition_object["weights"], dtype=np.float64)
+    if len(bins) != len(weights) + 1:
+        raise ValueError("partition_object: len(bins) must equal len(weights)+1")
+    total = weights.sum()
+    if total <= 0:
+        raise ValueError("partition_object: weights sum to zero")
+    cum = np.concatenate(([0.0], np.cumsum(weights / total)))
+
+    def cdf(x):
+        x = np.asarray(x, dtype=np.float64)
+        idx = np.clip(np.searchsorted(bins, x, side="right") - 1, 0, len(weights) - 1)
+        width = bins[idx + 1] - bins[idx]
+        frac = np.where(width > 0, (x - bins[idx]) / np.where(width > 0, width, 1.0), 1.0)
+        return np.clip(cum[idx] + frac * (cum[idx + 1] - cum[idx]), 0.0, 1.0)
+
+    return cdf
+
+
+def distributed_ks_statistic(ds, column: str, cdf, n: int) -> float:
+    """Exact D = sup|ECDF − F| over ``ds[column]`` (n = nonnull count,
+    already known from the engine's fused pass)."""
+    if n <= 0:
+        raise ValueError("empty column")
+
+    filtered = ds.select_columns([column]).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column(column))), batch_format="pyarrow"
+    )
+    sorted_ds = filtered.sort(column)
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column(column), dtype=np.float64)
+        m = len(x)
+        if m == 0:
+            return pa.table({"cnt": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "ap": pa.array([], pa.float64()),
+                             "am": pa.array([], pa.float64())})
+        f = np.asarray(cdf(x), dtype=np.float64)
+        j = np.arange(1, m + 1, dtype=np.float64)
+        ap = float(np.max(j / n - f))          # + c0/n at the driver
+        am = float(np.max(f - (j - 1.0) / n))  # − c0/n at the driver
+        return pa.table({"cnt": pa.array([m], pa.int64()),
+                         "lo": pa.array([x[0]]), "hi": pa.array([x[-1]]),
+                         "ap": pa.array([ap]), "am": pa.array([am])})
+
+    parts = sorted_ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("empty column")
+    parts.sort(key=lambda r: (r["lo"], r["hi"]))
+    d = 0.0
+    c0 = 0
+    for r in parts:
+        d = max(d, c0 / n + r["ap"], r["am"] - c0 / n)
+        c0 += r["cnt"]
+    if c0 != n:
+        raise RuntimeError(f"KS row count drift: sorted {c0} vs counted {n}")
+    return d
+
+
+def parameterized_ks_test(ds, column: str, *, distribution: str, params: dict,
+                          n: int) -> dict:
+    """(d_statistic, p_value, n) for the column against the named
+    distribution."""
+    cdf = make_cdf(distribution, params)
+    d = distributed_ks_statistic(ds, column, cdf, n)
+    return {"ks_statistic": d, "p_value": ks_p_value(d, n), "n": n}
+
+
+_BASE_SAMPLE_CAP = 100_000
+
+
+def _systematic_sample(ds, column: str, n: int, cap: int = _BASE_SAMPLE_CAP) -> np.ndarray:
+    """Deterministic ≤cap-value sample: every k-th nonnull value within each
+    batch (k = ⌈n/cap⌉).  Uniform for unordered blocks; documented
+    approximation feeding the bootstrap when n > cap."""
+    k = max(1, -(-n // cap))
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(tbl.column(column).drop_null(), dtype=np.float64)
+        return pa.table({column: pa.array(x[::k])})
+
+    parts = ds.select_columns([column]).map_batches(pick, batch_format="pyarrow").take_all()
+    return np.array([r[column] for r in parts], dtype=np.float64)
+
+
+def bootstrapped_ks_test(ds, column: str, *, partition_object: dict, n: int,
+                         bootstrap_samples: int = 100,
+                         bootstrap_sample_size: int = 100,
+                         seed: int = 11) -> dict:
+    """Mean bootstrap KS p-value of the column against a continuous
+    partition_object (GX v2 dataset-util semantics: resample, KS-test each
+    resample against the piecewise-linear partition CDF, average the
+    p-values).  Resampling happens on a ≤100k deterministic base sample;
+    each bootstrap draws with replacement from it (seeded)."""
+    cdf = piecewise_cdf_from_partition(partition_object)
+    base = _systematic_sample(ds, column, n)
+    if len(base) == 0:
+        raise ValueError("empty column")
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(base), size=(bootstrap_samples, bootstrap_sample_size))
+    samples = np.sort(base[idx], axis=1)
+    f = cdf(samples)
+    m = bootstrap_sample_size
+    j = np.arange(1, m + 1, dtype=np.float64)
+    d = np.maximum(
+        (j / m - f).max(axis=1), (f - (j - 1.0) / m).max(axis=1)
+    )
+    pvals = [ks_p_value(float(di), m) for di in d]
+    return {
+        "mean_p_value": float(np.mean(pvals)),
+        "bootstrap_samples": bootstrap_samples,
+        "bootstrap_sample_size": bootstrap_sample_size,
+        "base_sample_size": int(len(base)),
+        "n": n,
+    }

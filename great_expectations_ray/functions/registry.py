@@ -12,6 +12,7 @@ def list_expectations() -> dict[str, list[str]]:
         CRAMERS_TYPES,
         CROSS_TABLE_TYPES,
         DIST_TYPES,
+        KS_TYPES,
         ORDERED_TYPES,
         STUB_TYPES,
         TWO_PHASE_TYPES,
@@ -34,6 +35,7 @@ def list_expectations() -> dict[str, list[str]]:
         "ordered (partition_by/order_by)": sorted(ORDERED_TYPES),
         "distributional": sorted(DIST_TYPES | CRAMERS_TYPES),
         "cross-table": sorted(CROSS_TABLE_TYPES),
+        "wide: KS tests (sort + offset-linear summaries)": sorted(KS_TYPES),
         "stubs (stub in reference too)": sorted(STUB_TYPES),
     }
     return families

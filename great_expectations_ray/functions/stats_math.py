@@ -100,3 +100,42 @@ def kl_divergence_discrete(p_obs: dict, p_exp: dict) -> float:
             return math.inf
         kl += p * math.log(p / q)
     return kl
+
+
+# --------------------------------------------------------------------------- #
+# Kolmogorov-Smirnov machinery (expectations #47/#49 — real implementations;
+# the reference snapshot ships 27-33 LoC stubs for both, see SURVEY §2.1)
+# --------------------------------------------------------------------------- #
+
+
+def kolmogorov_sf(lam: float) -> float:
+    """Q_KS(λ) = 2 Σ_{j>=1} (-1)^{j-1} e^{-2 j² λ²} — the asymptotic KS
+    survival function (Numerical Recipes probks, both θ-function forms for
+    accuracy at small and large λ)."""
+    if lam <= 0:
+        return 1.0
+    if lam < 1.18:
+        # small-λ theta transform: P = (√(2π)/λ) Σ exp(-(2j-1)²π²/(8λ²))
+        t = math.exp(-math.pi * math.pi / (8.0 * lam * lam))
+        p = (math.sqrt(2.0 * math.pi) / lam) * (t + t ** 9 + t ** 25 + t ** 49)
+        return max(0.0, min(1.0, 1.0 - p))
+    q = 0.0
+    sign = 1.0
+    for j in range(1, 101):
+        term = sign * math.exp(-2.0 * j * j * lam * lam)
+        q += term
+        if abs(term) < 1e-16:
+            break
+        sign = -sign
+    return max(0.0, min(1.0, 2.0 * q))
+
+
+def ks_p_value(d: float, n: int) -> float:
+    """Asymptotic one-sample KS p-value with Stephens' finite-n correction
+    λ = (√n + 0.12 + 0.11/√n)·D  (documented deviation: scipy's kstest uses
+    the exact kstwo distribution; the two agree to well under 1% for n ≳ 50,
+    far inside any p-threshold decision margin)."""
+    if n <= 0:
+        return 1.0
+    sn = math.sqrt(n)
+    return kolmogorov_sf((sn + 0.12 + 0.11 / sn) * d)

@@ -1521,6 +1521,30 @@ WHERE d.doc_id % 37 <> 0 ORDER BY d.doc_id
 """
 
 
+def q_ks_uniform_quantity(sf_dir: str) -> pd.DataFrame:
+    """Distributed-exact KS statistic (#49 machinery, functions/ks.py):
+    l_quantity against uniform(loc=1, scale=49).  One Ray sort + tiny
+    offset-linear per-batch summaries; the oracle recomputes D with a SQL
+    window over the full sort."""
+    from great_expectations_ray.functions.ks import distributed_ks_statistic, make_cdf
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    n = ds.count()
+    cdf = make_cdf("uniform", {"loc": 1.0, "scale": 49.0})
+    d = distributed_ks_statistic(ds, "l_quantity", cdf, n)
+    return pd.DataFrame([{"d_stat": round(d, 9), "n": n}])
+
+
+SQL_KS_UNIFORM_QUANTITY = """
+WITH v AS (SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem WHERE l_quantity IS NOT NULL),
+r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n FROM v),
+f AS (SELECT rn, n, least(greatest((x - 1.0)/49.0, 0), 1) AS fx FROM r)
+SELECT round(max(greatest(rn*1.0/n - fx, fx - (rn-1.0)/n)), 9) AS d_stat,
+       CAST(max(n) AS BIGINT) AS n
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1568,6 +1592,7 @@ QUERIES = {
     "cramers_events": q_cramers_events,
     "repetition_docs": q_repetition_docs,
     "decontaminate_docs": q_decontaminate_docs,
+    "ks_uniform_quantity": q_ks_uniform_quantity,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1626,6 +1651,7 @@ ORACLE_SQL = {
     "bpe_token_stats_docs": SQL_BPE_TOKEN_STATS_DOCS,
     "repetition_docs": SQL_REPETITION_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "ks_uniform_quantity": SQL_KS_UNIFORM_QUANTITY,
 }
 
 # --------------------------------------------------------------------------- #

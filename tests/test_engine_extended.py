@@ -180,14 +180,16 @@ def test_unexpected_rows_callable(fixture_ds):
     assert r.result["unexpected_count"] == 90  # mc_3 == 3 in 90 rows
 
 
-def test_ks_stub_fails_cleanly(fixture_ds):
+def test_ks_missing_partition_object_fails_cleanly(fixture_ds):
+    # bootstrapped KS (now a real implementation — see tests/test_ks.py)
+    # still yields a failed EVR, not a crash, on bad config
     suite = ExpectationSuite("ks").add(
         "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
         column="n_float",
     )
     r = validate(fixture_ds, suite).results[0]
     assert not r.success
-    assert "stub" in r.exception_info["exception_message"]
+    assert "partition_object" in r.exception_info["exception_message"]
 
 
 def test_catch_exceptions_false_raises(fixture_ds):

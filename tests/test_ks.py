@@ -1,0 +1,144 @@
+"""Kolmogorov-Smirnov expectations (#47/#49) — real implementations over
+the distributed-exact-D construction in functions/ks.py.
+
+The reference snapshot stubs both
+(expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than.py
+and the bootstrapped variant are 27-33 LoC shells), so correctness is gated
+against an independent single-node brute force here instead of parity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray.core.suite import ExpectationSuite
+from great_expectations_ray.engine import validate
+from great_expectations_ray.functions.ks import (
+    distributed_ks_statistic,
+    make_cdf,
+    piecewise_cdf_from_partition,
+)
+from great_expectations_ray.functions.stats_math import ks_p_value
+
+
+def _brute_d(values, cdf):
+    """Single-node textbook D = max(D+, D-) over the order statistics."""
+    x = np.sort(np.asarray(values, dtype=np.float64))
+    n = len(x)
+    f = cdf(x)
+    j = np.arange(1, n + 1)
+    return max((j / n - f).max(), (f - (j - 1) / n).max())
+
+
+@pytest.mark.parametrize("dist,params,gen", [
+    ("norm", {"loc": 5.0, "scale": 2.0}, lambda r, n: r.normal(5, 2, n)),
+    ("uniform", {"loc": 0.0, "scale": 10.0}, lambda r, n: r.uniform(0, 10, n)),
+    ("expon", {"loc": 0.0, "scale": 3.0}, lambda r, n: r.exponential(3, n)),
+])
+def test_distributed_d_matches_bruteforce(ray_session, dist, params, gen):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vals = gen(rng, 5_000)
+    cdf = make_cdf(dist, params)
+    # many small blocks so batches genuinely straddle value ranges
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(16)
+    d = distributed_ks_statistic(ds, "x", cdf, len(vals))
+    assert d == pytest.approx(_brute_d(vals, cdf), abs=1e-12)
+
+
+def test_distributed_d_with_heavy_ties(ray_session):
+    import ray.data as rd
+
+    # discrete values -> massive ties straddling sorted-block boundaries
+    rng = np.random.default_rng(3)
+    vals = rng.integers(1, 6, size=4_000).astype(float)
+    cdf = make_cdf("uniform", {"loc": 0.0, "scale": 6.0})
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(11)
+    d = distributed_ks_statistic(ds, "x", cdf, len(vals))
+    assert d == pytest.approx(_brute_d(vals, cdf), abs=1e-12)
+
+
+def test_parameterized_ks_expectation_accepts_and_rejects(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    good = rng.normal(0, 1, 8_000)
+    ds = rd.from_arrow(pa.table({"x": good})).repartition(8)
+    suite = ExpectationSuite("ks").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="x", distribution="norm", params={"loc": 0.0, "scale": 1.0}, p=0.05,
+    )
+    r = validate(ds, suite).results[0]
+    assert r.success, r.result
+    assert r.result["observed_value"] > 0.05
+    # same data against a shifted distribution must reject decisively
+    suite_bad = ExpectationSuite("ks2").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="x", distribution="norm", params={"loc": 2.0, "scale": 1.0}, p=0.05,
+    )
+    r2 = validate(ds, suite_bad).results[0]
+    assert not r2.success
+    assert r2.result["observed_value"] < 1e-6
+
+
+def test_ks_p_value_reference_points():
+    # lambda = (sqrt(n)+0.12+0.11/sqrt(n)) * D; Q_KS spot values checked in
+    # stats_math against published tables; here: monotonicity + bounds
+    assert ks_p_value(0.0, 100) == 1.0
+    assert 0 < ks_p_value(0.2, 100) < ks_p_value(0.1, 100) < 1.0
+
+
+def test_bootstrapped_ks_expectation(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 10, 6_000)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(6)
+    part = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0], "weights": [0.25, 0.25, 0.25, 0.25]}
+    suite = ExpectationSuite("bks").add(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="x", partition_object=part, p=0.05,
+        bootstrap_samples=50, bootstrap_sample_size=100, seed=11,
+    )
+    r = validate(ds, suite).results[0]
+    assert r.success, r.result
+    # deterministic given the seed
+    r2 = validate(ds, suite).results[0]
+    assert r.result["observed_value"] == r2.result["observed_value"]
+    # badly wrong partition must reject
+    part_bad = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0], "weights": [0.97, 0.01, 0.01, 0.01]}
+    suite_bad = ExpectationSuite("bks2").add(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="x", partition_object=part_bad, p=0.05,
+        bootstrap_samples=50, bootstrap_sample_size=100, seed=11,
+    )
+    assert not validate(ds, suite_bad).results[0].success
+
+
+def test_piecewise_cdf():
+    cdf = piecewise_cdf_from_partition(
+        {"bins": [0.0, 1.0, 3.0], "weights": [0.5, 0.5]}
+    )
+    np.testing.assert_allclose(
+        cdf(np.array([-1.0, 0.0, 0.5, 1.0, 2.0, 3.0, 4.0])),
+        [0.0, 0.0, 0.25, 0.5, 0.75, 1.0, 1.0],
+    )
+
+
+def test_ks_nulls_are_ignored(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vals = list(rng.normal(0, 1, 2_000)) + [None] * 200
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(5)
+    suite = ExpectationSuite("ksn").add(
+        "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
+        column="x", distribution="norm", params={"loc": 0.0, "scale": 1.0}, p=0.05,
+    )
+    r = validate(ds, suite).results[0]
+    assert r.success
+    assert r.result["details"]["n"] == 2_000
