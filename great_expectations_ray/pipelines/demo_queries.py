@@ -1545,6 +1545,40 @@ FROM f
 """
 
 
+def q_pack_docs(sf_dir: str) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing (stages/packing.py): global token
+    offset + sequence id per document via a distributed prefix sum (one sort
+    + per-block 2-tuples to the driver)."""
+    from great_expectations_ray.stages.packing import global_token_offsets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def tok(tbl: pa.Table) -> pa.Table:
+        t = pc.count_substring_regex(tbl.column("text"), r"\S+")
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "tokens": pc.cast(t, pa.int64()),
+        })
+
+    with_tokens = ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+    out = global_token_offsets(
+        with_tokens, token_col="tokens", order_col="doc_id", seq_len=2048
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PACK_DOCS = r"""
+WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS tokens FROM documents),
+c AS (SELECT doc_id, tokens,
+             coalesce(CAST(sum(tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prior
+      FROM t)
+SELECT doc_id, CAST(tokens AS BIGINT) AS tokens, prior AS token_offset,
+       CAST(prior // 2048 AS BIGINT) AS seq_id
+FROM c ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1593,6 +1627,7 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "decontaminate_docs": q_decontaminate_docs,
     "ks_uniform_quantity": q_ks_uniform_quantity,
+    "pack_docs": q_pack_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1652,6 +1687,7 @@ ORACLE_SQL = {
     "repetition_docs": SQL_REPETITION_DOCS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "ks_uniform_quantity": SQL_KS_UNIFORM_QUANTITY,
+    "pack_docs": SQL_PACK_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
