@@ -1579,6 +1579,29 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_stratified_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample (stages/stratified.py): exactly 5
+    docs per language by smallest md5(doc_id) rank — map-side top-k bounds
+    the one groupby(lang) exchange to ≤5 rows per (batch, lang)."""
+    from great_expectations_ray.stages.stratified import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    out = stratified_sample(ds, strata_cols=["lang"], id_col="doc_id", k=5)
+    return (
+        out.to_pandas()[["lang", "doc_id"]]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_STRATIFIED_DOCS = """
+SELECT lang, doc_id FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+ORDER BY lang, doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1628,6 +1651,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "ks_uniform_quantity": q_ks_uniform_quantity,
     "pack_docs": q_pack_docs,
+    "stratified_docs": q_stratified_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1688,6 +1712,7 @@ ORACLE_SQL = {
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
     "ks_uniform_quantity": SQL_KS_UNIFORM_QUANTITY,
     "pack_docs": SQL_PACK_DOCS,
+    "stratified_docs": SQL_STRATIFIED_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
