@@ -168,9 +168,33 @@ def run_bench() -> dict:
         "queries": queries,
         "sf": sf,
         "num_cpus": ncpus,
+        "host_health": _host_health(),
     }
     ray.shutdown()
     return result
+
+
+def _host_health() -> dict:
+    """Single-core memory-subsystem probes, recorded with every bench JSON.
+
+    This box's effective memory bandwidth swings >10× between sessions
+    (warm 64 MB float multiply measured 42 ms and 434 ms on the same day;
+    identical flagship legs 17.7-47.9 s).  The probes let a reader normalize
+    a bench result against the environment it actually ran in:
+    healthy ≈ first_touch ≳ 2000 MB/s and warm_bw ≳ 3000 MB/s."""
+    import numpy as np
+
+    a = np.empty(256_000_000, dtype=np.uint8)
+    t0 = time.time()
+    a[::4096] = 1  # one write per 4 KiB page -> page-population rate
+    ft = 256.0 / max(time.time() - t0, 1e-9)
+    x = np.random.rand(8_000_000)
+    x * 2.0  # warm the buffers
+    t0 = time.time()
+    for _ in range(5):
+        x * 2.0
+    warm = (5 * 128.0) / max(time.time() - t0, 1e-9)  # 64 MB read + 64 MB write
+    return {"first_touch_mbps": round(ft), "warm_bw_mbps": round(warm)}
 
 
 def run_scaling() -> dict:
