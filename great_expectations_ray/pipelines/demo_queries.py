@@ -1602,6 +1602,38 @@ ORDER BY lang, doc_id
 """
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Onboarding profiler metrics (pipelines/profiler.py one-pass profile):
+    per-column row/null counts + min/max/mean for lineitem numerics."""
+    from great_expectations_ray.pipelines.profiler import profile
+
+    ds = _read(sf_dir, "lineitem", columns=_PROFILE_COLS)
+    profs = profile(ds)
+    rows = []
+    for c in _PROFILE_COLS:
+        p = profs[c]
+        rows.append({
+            "col": c, "row_count": p.row_count, "null_count": p.null_count,
+            "min_v": round(p.agg.min, 6), "max_v": round(p.agg.max, 6),
+            "mean_v": round(p.agg.mean, 4),
+        })
+    return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+
+
+SQL_PROFILE_LINEITEM = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col, count(*) AS row_count,
+        count(*) - count({c}) AS null_count,
+        round(min(CAST({c} AS DOUBLE)), 6) AS min_v,
+        round(max(CAST({c} AS DOUBLE)), 6) AS max_v,
+        round(avg(CAST({c} AS DOUBLE)), 4) AS mean_v
+        FROM lineitem"""
+    for c in _PROFILE_COLS
+) + " ORDER BY col"
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1652,6 +1684,7 @@ QUERIES = {
     "ks_uniform_quantity": q_ks_uniform_quantity,
     "pack_docs": q_pack_docs,
     "stratified_docs": q_stratified_docs,
+    "profile_lineitem": q_profile_lineitem,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1713,6 +1746,7 @@ ORACLE_SQL = {
     "ks_uniform_quantity": SQL_KS_UNIFORM_QUANTITY,
     "pack_docs": SQL_PACK_DOCS,
     "stratified_docs": SQL_STRATIFIED_DOCS,
+    "profile_lineitem": SQL_PROFILE_LINEITEM,
 }
 
 # --------------------------------------------------------------------------- #

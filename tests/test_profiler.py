@@ -1,0 +1,72 @@
+"""Onboarding profiler: one-pass profile → suggested suite → validates green
+on the profiled data (the reference's data-assistant contract)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray.engine import validate
+from great_expectations_ray.pipelines.profiler import (
+    profile,
+    profile_and_suggest,
+    suggest_suite,
+)
+
+
+def test_profile_metrics_multi_partition(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "num": pa.array([1.0, 2.0, None, 4.0, 10.0], pa.float64()),
+        "cat": pa.array(["a", "b", "a", None, "c"]),
+        "flag": pa.array([True, False, True, True, False]),
+    })
+    profs = profile(rd.from_arrow(t).repartition(3))
+    p = profs["num"]
+    assert p.row_count == 5 and p.null_count == 1
+    assert p.agg.min == 1.0 and p.agg.max == 10.0
+    assert p.agg.mean == pytest.approx(17 / 4)
+    c = profs["cat"]
+    assert c.value_set == {"a", "b", "c"}
+    assert c.len_min == 1 and c.len_max == 1
+    assert c.distinct_estimate() == 3.0
+
+
+def test_value_set_overflow_falls_back_to_hll(ray_session):
+    import ray.data as rd
+
+    vals = [f"v{i:05d}" for i in range(5_000)]
+    profs = profile(rd.from_arrow(pa.table({"s": vals})).repartition(4))
+    p = profs["s"]
+    assert p.value_set is None
+    est = p.distinct_estimate()
+    assert 4_500 <= est <= 5_500  # HLL within ~10%
+
+
+def test_suggested_suite_validates_green_on_source(ray_session):
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    suite = profile_and_suggest(ds, name="lineitem_onboard")
+    assert len(suite.expectations) > 20
+    res = validate(ds, suite)
+    failed = [r for r in res.results if not r.success]
+    assert res.success, [
+        (f.expectation_config["type"], f.expectation_config["kwargs"], f.result)
+        for f in failed
+    ]
+
+
+def test_suite_json_round_trip(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.core.suite import ExpectationSuite
+
+    ds = rd.from_arrow(pa.table({"x": [1, 2, 3]}))
+    suite = profile_and_suggest(ds)
+    back = ExpectationSuite.from_json_dict(suite.to_json_dict())
+    assert [e.to_json_dict() for e in back.expectations] == [
+        e.to_json_dict() for e in suite.expectations
+    ]
