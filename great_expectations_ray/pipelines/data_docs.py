@@ -9,6 +9,8 @@ import json
 import os
 from typing import Any, Optional
 
+from great_expectations_ray.pipelines.prescriptive import describe
+
 
 def write_data_docs(output_root: str, checkpoint_result: Any) -> str:
     """Write ``docs/index.html`` + ``docs/summary.json`` under the run's
@@ -79,6 +81,7 @@ _CSS = (
     ".banner{padding:8px 14px;border-radius:6px;display:inline-block}"
     ".banner.ok{background:#e4f5e9}.banner.fail{background:#fbe9e7}"
     "code{background:#f4f4f4;padding:1px 4px}"
+    "code.dim{color:#777;background:none;font-size:0.85em}"
 )
 
 
@@ -118,14 +121,16 @@ def _evr_rows(results: list[dict]) -> str:
             f"<div class='fail'>{_esc(exc.get('exception_message', ''))}</div>"
             if exc.get("raised_exception") else ""
         )
+        etype = cfg.get("expectation_type") or cfg.get("type", "?")
         rows.append(
             f"<tr><td>{icon}</td>"
-            f"<td><code>{_esc(cfg.get('expectation_type', '?'))}</code></td>"
-            f"<td><code>{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td>"
+            f"<td>{_esc(describe(etype, cfg.get('kwargs') or {}))}"
+            f"<br><code class='dim'>{_esc(etype)} "
+            f"{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td>"
             f"<td>{_fmt_result_cell(evr.get('result') or {})}{exc_html}</td></tr>"
         )
     return (
-        "<table><tr><th></th><th>expectation</th><th>kwargs</th>"
+        "<table><tr><th></th><th>expectation</th>"
         "<th>result</th></tr>" + "".join(rows) + "</table>"
     )
 
@@ -178,9 +183,11 @@ def render_suite_page(suite_dict: dict) -> str:
     rows = []
     for cfg in suite_dict.get("expectations", []):
         kwargs = {k: v for k, v in (cfg.get("kwargs") or {}).items()}
+        etype = cfg.get("expectation_type") or cfg.get("type", "?")
         rows.append(
-            f"<tr><td><code>{_esc(cfg.get('expectation_type', '?'))}</code></td>"
-            f"<td><code>{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td></tr>"
+            f"<tr><td>{_esc(describe(etype, kwargs))}</td>"
+            f"<td><code>{_esc(etype)} "
+            f"{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td></tr>"
         )
     params = suite_dict.get("suite_parameters") or {}
     return (
@@ -190,7 +197,7 @@ def render_suite_page(suite_dict: dict) -> str:
         f"<h1>Expectation suite: {_esc(suite_dict.get('name', 'suite'))}</h1>"
         + (f"<p>parameters: <code>{_esc(json.dumps(params, sort_keys=True))}"
            "</code></p>" if params else "")
-        + "<table><tr><th>expectation</th><th>kwargs</th></tr>"
+        + "<table><tr><th>expectation</th><th>config</th></tr>"
         + "".join(rows)
         + "</table></body></html>"
     )
