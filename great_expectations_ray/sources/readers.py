@@ -215,3 +215,52 @@ def from_memory(data: Any):
     if isinstance(data, pd.DataFrame):
         return rd.from_pandas(data)
     raise TypeError(f"unsupported in-memory batch type {type(data)}")
+
+
+# --------------------------------------------------------------------------- #
+# file-name regex partitioners (reference core/partitioners.py:83-110 —
+# FileNamePartitionerYearly/Monthly/Daily/Path group files into batches by
+# named regex groups over the file NAME)
+# --------------------------------------------------------------------------- #
+
+_FILE_PARTITION_PATTERNS = {
+    "yearly": r"(?P<year>\d{4})",
+    "monthly": r"(?P<year>\d{4})-(?P<month>\d{2})",
+    "daily": r"(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})",
+}
+
+
+def partition_files_by_regex(
+    paths: list[str], regex: str, *, sort_ascending: bool = True
+) -> dict[tuple, list[str]]:
+    """Group file paths into batches keyed by the regex's groups over the
+    file NAME (not the directory).  Named shorthands ``yearly`` / ``monthly``
+    / ``daily`` expand to the reference's date patterns.  Non-matching files
+    are skipped (reference behavior: only matching files become batches)."""
+    import re as _re
+
+    pattern = _FILE_PARTITION_PATTERNS.get(regex, regex)
+    rx = _re.compile(pattern)
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        m = rx.search(os.path.basename(p))
+        if m is None:
+            continue
+        key = tuple(m.groups()) if m.groups() else (m.group(0),)
+        groups.setdefault(key, []).append(p)
+    for v in groups.values():
+        v.sort()
+    return dict(sorted(groups.items(), reverse=not sort_ascending))
+
+
+def read_partitioned_files(
+    paths: list[str], regex: str, reader=None, **reader_kwargs
+):
+    """(key, Dataset) pairs — one lazy Dataset per file-name partition
+    (the reference's BatchDefinition over FileNamePartitioner, recast: each
+    partition reads only its own files; downstream validates per batch)."""
+    import ray.data as rd
+
+    reader = reader or rd.read_parquet
+    for key, group in partition_files_by_regex(paths, regex).items():
+        yield key, reader(group, **reader_kwargs)

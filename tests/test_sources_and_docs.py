@@ -282,3 +282,31 @@ def test_site_renders_suite_pages(tmp_path):
                              "expectations", "site_suite.html")).read()
     assert "expect_column_values_to_be_between" in page
     assert "$PARAMETER" in page  # unresolved config is what the suite stores
+
+
+def test_partition_files_by_regex(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.sources.readers import (
+        partition_files_by_regex,
+        read_partitioned_files,
+    )
+
+    for name, val in [("data_2023-01.parquet", 1), ("data_2023-02.parquet", 2),
+                      ("data_2023-02_b.parquet", 3), ("notes.txt", 0)]:
+        p = tmp_path / name
+        if name.endswith(".parquet"):
+            pq.write_table(pa.table({"v": [val]}), p)
+        else:
+            p.write_text("skip me")
+    paths = [str(p) for p in sorted(tmp_path.iterdir())]
+    groups = partition_files_by_regex(paths, "monthly")
+    assert set(groups) == {("2023", "01"), ("2023", "02")}
+    assert len(groups[("2023", "02")]) == 2  # non-matching notes.txt skipped
+
+    batches = dict(read_partitioned_files(paths, "monthly"))
+    assert sorted(batches[("2023", "02")].to_pandas()["v"].tolist()) == [2, 3]
+
+    # custom regex with one group
+    custom = partition_files_by_regex(paths, r"data_(\d{4})")
+    assert set(custom) == {("2023",)}
