@@ -106,10 +106,11 @@ def word_repetition_stats(
 
     safe_total = np.maximum(total_chars, 1)
     pos = _concat_aranges(counts)  # position of each token within its doc
+    counts_per_tok = counts[tok_doc]
 
     for n in sorted(set(top_ns) | set(dup_ns)):
         # valid n-gram window starts: pos + n <= count(doc)
-        valid = pos + n <= counts[tok_doc]
+        valid = pos + n <= counts_per_tok
         win = np.flatnonzero(valid)
         if len(win):
             g = np.zeros(len(win), dtype=np.uint64)
