@@ -183,8 +183,11 @@ def run_diagnostics(
             {"in": {**(cases[0][1]["in"] if cases else {}),
                     "column": "__no_such_column"}},
         )
-        graceful = (not evr.success) or evr.success is True  # no crash reached here
-        detail = ""
+        # the contract (reference _check_input_validation): a bogus column
+        # must yield a FAILED EVR — success=True on a nonexistent column
+        # means the kernel silently ignored its input
+        graceful = not evr.success
+        detail = "" if graceful else "succeeded on a nonexistent column"
     except Exception as exc:  # noqa: BLE001
         graceful = False
         detail = f"crashed: {type(exc).__name__}: {exc}"

@@ -160,4 +160,14 @@ def parse_suite_parameter(expression: str, params: dict[str, Any]) -> Any:
     tokens = _tokenize(expression)
     if not tokens:
         raise SuiteParameterError("empty suite-parameter expression")
-    return _Parser(tokens, params).parse()
+    try:
+        return _Parser(tokens, params).parse()
+    except SuiteParameterError:
+        raise
+    except Exception as exc:
+        # e.g. a non-numeric parameter value inside arithmetic ('5' * 3.0)
+        # — surface as a SuiteParameterError so suite.sub() turns it into a
+        # per-expectation failed EVR instead of aborting compilation
+        raise SuiteParameterError(
+            f"cannot evaluate {expression!r}: {type(exc).__name__}: {exc}"
+        ) from exc

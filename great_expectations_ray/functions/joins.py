@@ -34,9 +34,13 @@ def broadcast_join(ds, small_df: pd.DataFrame, *, on: list[str] | str, how: str 
         small_df if isinstance(small_df, pa.Table) else pa.Table.from_pandas(small_df)
     )
     ref = ray.put(small_tbl)
-    join_type = {"inner": "inner", "left": "left outer", "right": "right outer"}.get(
-        how, how
-    )
+    # map every pandas-merge spelling (the pre-Arrow API) to Arrow's names;
+    # note "outer" here is per-batch outer vs the small side — unmatched
+    # small-side rows repeat per batch, so prefer how="left" on the big side
+    join_type = {
+        "inner": "inner", "left": "left outer", "right": "right outer",
+        "outer": "full outer", "full": "full outer",
+    }.get(how, how)
 
     class Joiner:
         def __init__(self):

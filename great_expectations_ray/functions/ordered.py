@@ -47,11 +47,15 @@ def grouped_monotonic(
             else:
                 bad = (d <= 0) if strictly else (d < 0)
             # a diff across a key boundary is not a violation (first row of
-            # each group is vacuously conforming)
-            bad &= keys[1:] == keys[:-1]
+            # each group is vacuously conforming); null keys form ONE group
+            # (SQL window PARTITION BY semantics), so null==null here
+            same = keys[1:] == keys[:-1]
+            nulls = pd.isna(keys)
+            same |= nulls[1:] & nulls[:-1]
+            bad &= same
             viol[1:] = bad
         out = pd.DataFrame({partition_by: keys, "__viol": viol})
-        agg = out.groupby(partition_by, sort=True).agg(
+        agg = out.groupby(partition_by, sort=True, dropna=False).agg(
             n_rows=("__viol", "size"), n_violations=("__viol", "sum")
         ).reset_index()
         agg["n_violations"] = agg["n_violations"].astype(int)

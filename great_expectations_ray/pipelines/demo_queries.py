@@ -1529,7 +1529,12 @@ def q_ks_uniform_quantity(sf_dir: str) -> pd.DataFrame:
     from great_expectations_ray.functions.ks import distributed_ks_statistic, make_cdf
 
     ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
-    n = ds.count()
+    # n must be the NONNULL count (the ECDF denominator; the SQL oracle
+    # filters IS NOT NULL) — ds.count() would drift on null-bearing data
+    n = ds.map_batches(
+        lambda t: {"c": [len(t.column("l_quantity").drop_null())]},
+        batch_format="pyarrow",
+    ).sum("c")
     cdf = make_cdf("uniform", {"loc": 1.0, "scale": 49.0})
     d = distributed_ks_statistic(ds, "l_quantity", cdf, n)
     return pd.DataFrame([{"d_stat": round(d, 9), "n": n}])

@@ -11,8 +11,11 @@ from __future__ import annotations
 from typing import Any
 
 
+import math as _math
+
+
 def _fmt(v: Any) -> str:
-    if isinstance(v, float) and v == int(v):
+    if isinstance(v, float) and _math.isfinite(v) and v == int(v):
         return str(int(v))
     if isinstance(v, (list, tuple, set)):
         return "[" + ", ".join(_fmt(x) for x in sorted(v, key=str)) + "]"

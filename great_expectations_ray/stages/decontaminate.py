@@ -25,37 +25,20 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
-from great_expectations_ray.stages.neardup import _concat_aranges, _token_poly_hashes
-
-_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)  # same rolling base as repetition.py
+from great_expectations_ray.stages.neardup import _concat_aranges
+from great_expectations_ray.stages.repetition import ngram_windows, tokenize_nonempty
 
 
 def word_ngram_hashes(
     text: pa.Array | pa.ChunkedArray, n: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """(gram_hash u64, doc_index i64) for all word n-grams of a batch,
-    in document order.  Empty tokens are dropped (\\S+ semantics)."""
-    if isinstance(text, pa.ChunkedArray):
-        text = text.combine_chunks()
-    text = pc.fill_null(text, "")
-    n_docs = len(text)
-    tokens = pc.split_pattern_regex(pc.cast(text, pa.string()), r"\s+")
-    flat = tokens.values
-    tok_counts_raw = np.asarray(pc.list_value_length(tokens), dtype=np.int64)
-    tok_lens = np.asarray(pc.utf8_length(flat), dtype=np.int64)
-    tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), tok_counts_raw)
-    keep = tok_lens > 0
-    tok_hash = _token_poly_hashes(flat)[keep]
-    tok_doc = tok_doc[keep]
-    counts = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+    """(gram_hash u64, doc_index i64) for all word n-grams of a batch, in
+    document order — token and gram semantics shared with
+    ``stages/repetition.py`` (single source, same SQL-oracle contract)."""
+    tok_hash, _tok_len, tok_doc, counts = tokenize_nonempty(text)
     pos = _concat_aranges(counts)
-    win = np.flatnonzero(pos + n <= counts[tok_doc])
-    g = np.zeros(len(win), dtype=np.uint64)
-    for j in range(n):
-        np.multiply(g, _GRAM_MIX, out=g)
-        g += tok_hash[win + j]
+    win, g = ngram_windows(tok_hash, tok_doc, counts, pos, n)
     return g, tok_doc[win]
 
 

@@ -36,8 +36,10 @@ def global_token_offsets(ds, *, token_col: str, order_col: str, seq_len: int):
 
     def block_summary(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
-            return pa.table({"first_key": pa.array([], pa.int64()),
-                             "tok_sum": pa.array([], pa.int64())})
+            return pa.table({
+                "first_key": pa.array([], tbl.schema.field(order_col).type),
+                "tok_sum": pa.array([], pa.int64()),
+            })
         toks = np.asarray(tbl.column(token_col), dtype=np.int64)
         return pa.table({
             "first_key": pa.array([tbl.column(order_col)[0].as_py()]),
@@ -47,21 +49,25 @@ def global_token_offsets(ds, *, token_col: str, order_col: str, seq_len: int):
     summaries = sorted_ds.map_batches(
         block_summary, batch_format="pyarrow", batch_size=None
     ).take_all()
+    # order_col is unique, so each block's first key identifies it for ANY
+    # orderable key type (int, string, timestamp) — offsets keyed directly
     summaries.sort(key=lambda r: r["first_key"])
-    first_keys = np.array([r["first_key"] for r in summaries], dtype=np.int64)
-    sums = np.array([r["tok_sum"] for r in summaries], dtype=np.int64)
-    offsets = np.zeros(len(sums), dtype=np.int64)
-    np.cumsum(sums[:-1], out=offsets[1:])
+    offsets: dict = {}
+    acc = 0
+    for r in summaries:
+        offsets[r["first_key"]] = acc
+        acc += int(r["tok_sum"])
 
     def assign(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
-            return pa.table({order_col: pa.array([], pa.int64()),
-                             token_col: pa.array([], pa.int64()),
-                             "token_offset": pa.array([], pa.int64()),
-                             "seq_id": pa.array([], pa.int64())})
+            return pa.table({
+                order_col: pa.array([], tbl.schema.field(order_col).type),
+                token_col: pa.array([], pa.int64()),
+                "token_offset": pa.array([], pa.int64()),
+                "seq_id": pa.array([], pa.int64()),
+            })
         fk = tbl.column(order_col)[0].as_py()
-        b = int(np.searchsorted(first_keys, fk))
-        if b >= len(first_keys) or first_keys[b] != fk:
+        if fk not in offsets:
             raise RuntimeError(
                 "packing: block boundaries shifted between passes "
                 "(dataset must stay materialized)"
@@ -69,7 +75,7 @@ def global_token_offsets(ds, *, token_col: str, order_col: str, seq_len: int):
         toks = np.asarray(tbl.column(token_col), dtype=np.int64)
         local = np.zeros(len(toks), dtype=np.int64)
         np.cumsum(toks[:-1], out=local[1:])
-        off = offsets[b] + local
+        off = offsets[fk] + local
         return pa.table({
             order_col: tbl.column(order_col),
             token_col: pa.array(toks),

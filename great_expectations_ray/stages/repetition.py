@@ -58,23 +58,16 @@ def _doc_first_index(sorted_doc: np.ndarray, n_docs: int) -> tuple[np.ndarray, n
     return first, has
 
 
-def word_repetition_stats(
+def tokenize_nonempty(
     text: pa.Array | pa.ChunkedArray,
-    *,
-    top_ns: tuple[int, ...] = (2, 3, 4),
-    dup_ns: tuple[int, ...] = (5,),
-) -> dict[str, np.ndarray]:
-    """Per-row repetition signals for a batch of documents.
-
-    Returns a dict of float64/int64 arrays keyed by column name
-    (``n_words``, ``mean_word_len``, ``top{n}_char_frac``,
-    ``dup{n}_char_frac``)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(tok_hash u64, tok_len chars, tok_doc, counts-per-doc) for the \\S+
+    token runs of a batch — THE single source of token semantics shared by
+    the repetition signals and decontamination grams."""
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     text = pc.fill_null(text, "")
     n_docs = len(text)
-    total_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
-
     # tokens = \S+ runs: split on \s+ then drop empties (identical order)
     tokens = pc.split_pattern_regex(pc.cast(text, pa.string()), r"\s+")
     flat = tokens.values
@@ -91,6 +84,42 @@ def word_repetition_stats(
         tok_len = np.empty(0, dtype=np.int64)
         tok_doc = np.empty(0, dtype=np.int64)
     counts = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+    return tok_hash, tok_len, tok_doc, counts
+
+
+def ngram_windows(
+    tok_hash: np.ndarray, tok_doc: np.ndarray, counts: np.ndarray,
+    pos: np.ndarray, n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(window start indices, rolling gram hash) for word n-grams that stay
+    inside one document — shared gram semantics (same _GRAM_MIX rolling
+    combine everywhere, so repetition stats, decontamination and their SQL
+    oracles agree on what an n-gram is)."""
+    win = np.flatnonzero(pos + n <= counts[tok_doc])
+    g = np.zeros(len(win), dtype=np.uint64)
+    for j in range(n):
+        np.multiply(g, _GRAM_MIX, out=g)
+        g += tok_hash[win + j]
+    return win, g
+
+
+def word_repetition_stats(
+    text: pa.Array | pa.ChunkedArray,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5,),
+) -> dict[str, np.ndarray]:
+    """Per-row repetition signals for a batch of documents.
+
+    Returns a dict of float64/int64 arrays keyed by column name
+    (``n_words``, ``mean_word_len``, ``top{n}_char_frac``,
+    ``dup{n}_char_frac``)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    n_docs = len(text)
+    total_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+    tok_hash, tok_len, tok_doc, counts = tokenize_nonempty(text)
 
     out: dict[str, np.ndarray] = {}
     out["n_words"] = counts
@@ -106,17 +135,10 @@ def word_repetition_stats(
 
     safe_total = np.maximum(total_chars, 1)
     pos = _concat_aranges(counts)  # position of each token within its doc
-    counts_per_tok = counts[tok_doc]
 
     for n in sorted(set(top_ns) | set(dup_ns)):
-        # valid n-gram window starts: pos + n <= count(doc)
-        valid = pos + n <= counts_per_tok
-        win = np.flatnonzero(valid)
+        win, g = ngram_windows(tok_hash, tok_doc, counts, pos, n)
         if len(win):
-            g = np.zeros(len(win), dtype=np.uint64)
-            for j in range(n):
-                np.multiply(g, _GRAM_MIX, out=g)
-                g += tok_hash[win + j]
             glen = cum_len[win + n] - cum_len[win] + (n - 1)
             gdoc = tok_doc[win]
             order = np.lexsort((g, gdoc))

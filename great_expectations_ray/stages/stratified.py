@@ -35,7 +35,9 @@ def _rank_table(tbl: pa.Table, strata_cols: list[str], id_col: str) -> pa.Table:
 
 def _topk(df: pd.DataFrame, strata_cols: list[str], id_col: str, k: int) -> pd.DataFrame:
     df = df.sort_values([*strata_cols, "_rank", id_col], kind="mergesort")
-    return df.groupby(list(strata_cols), sort=False).head(k)
+    # dropna=False: a null stratum key is its own stratum with its own quota
+    # (matches the SQL oracle's PARTITION BY, where NULL forms a partition)
+    return df.groupby(list(strata_cols), sort=False, dropna=False).head(k)
 
 
 def stratified_sample(ds, *, strata_cols: list[str], id_col: str, k: int):

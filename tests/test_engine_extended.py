@@ -294,3 +294,28 @@ def test_unexpected_rows_sql_predicate():
     resb = validate(ds, bad)
     assert not resb.results[0].success
     assert resb.results[0].exception_info["raised_exception"]
+
+
+def test_increasing_counts_null_partition_keys(ray_session):
+    """Null partition keys form ONE group (SQL PARTITION BY semantics) and
+    their violations are counted — they must not be silently dropped."""
+    import ray.data as rd
+
+    from great_expectations_ray.functions.ordered import grouped_monotonic
+
+    t = pa.table({
+        "k": pa.array(["a", "a", None, None, None], pa.string()),
+        "o": pa.array([1, 2, 1, 2, 3], pa.int64()),
+        "v": pa.array([1.0, 2.0, 5.0, 3.0, 4.0], pa.float64()),
+    })
+    out = (
+        grouped_monotonic(rd.from_arrow(t).repartition(2), column="v",
+                          partition_by="k", order_by="o")
+        .to_pandas()
+    )
+    assert len(out) == 2  # the "a" group AND the null group
+    null_row = out[out["k"].isna()].iloc[0]
+    assert null_row["n_rows"] == 3
+    assert null_row["n_violations"] == 1  # 5.0 -> 3.0 within the null group
+    a_row = out[out["k"] == "a"].iloc[0]
+    assert a_row["n_violations"] == 0

@@ -62,3 +62,19 @@ def test_bad_k(ray_session):
     t = pa.table({"doc_id": [1], "grp": ["x"]})
     with pytest.raises(ValueError):
         stratified_sample(rd.from_arrow(t), strata_cols=["grp"], id_col="doc_id", k=0)
+
+
+def test_null_stratum_gets_its_own_quota(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "grp": pa.array(["a", "a", None, None, None, "b"]),
+    })
+    out = stratified_sample(
+        rd.from_arrow(t).repartition(3), strata_cols=["grp"], id_col="doc_id", k=2
+    ).to_pandas()
+    # null stratum keeps exactly k=2 of its 3 rows; a/b keep all theirs
+    assert len(out[out["grp"].isna()]) == 2
+    assert len(out[out["grp"] == "a"]) == 2
+    assert len(out[out["grp"] == "b"]) == 1
