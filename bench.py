@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "winnow_fingerprint_docs",
     "repetition_docs",
     "decontaminate_docs",
+    "ks_uniform_quantity",
+    "stratified_docs",
 ]
 
 

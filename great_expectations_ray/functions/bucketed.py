@@ -31,7 +31,11 @@ _POLY_B = np.uint64(1099511628211)
 def poly_hash_strings(arr: pa.Array) -> np.ndarray:
     """uint64 hash per string — vectorized polynomial pass straight off the
     Arrow UTF-8 buffer (Σ byte_j·B^j mod 2^64, then avalanche mixing).  Pure
-    numpy: no per-row Python, no extra imports in the worker hot path."""
+    numpy: no per-row Python, no extra imports in the worker hot path.
+
+    Sibling kernel: ``stages/neardup.py _token_poly_hashes`` (same
+    offsets/cumsum-reduceat construction, no avalanche — keep edge-case
+    fixes in sync)."""
     from great_expectations_ray.stages.scrub import _string_buffer_views
 
     n = len(arr)
