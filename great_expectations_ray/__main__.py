@@ -4,6 +4,8 @@ Commands:
   run       quality-filter checkpoint over parquet input (resumable)
   validate  apply a suite JSON to one table and print the suite result
   docs      build the static Data Docs HTML site from stored results
+  profile   one-pass column profile; optionally emit a suggested suite
+  drift     diff two tables' profiles; exit 1 when drift is detected
 """
 
 from __future__ import annotations
@@ -13,10 +15,14 @@ import json
 import sys
 
 
-def _init_ray(cpus: int | None):
+def _init_ray(cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff WE own the session (callers
+    must only shut down a session they own — killing a host application's
+    session from a library entry point is hostile)."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
         if cpus:
             kwargs["num_cpus"] = cpus
@@ -24,6 +30,14 @@ def _init_ray(cpus: int | None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
+
+
+def _maybe_shutdown(owned: bool) -> None:
+    if owned:
+        import ray
+
+        ray.shutdown()
 
 
 def cmd_run(args) -> int:
@@ -32,7 +46,7 @@ def cmd_run(args) -> int:
     from great_expectations_ray.pipelines.data_docs import write_data_docs
     from great_expectations_ray.pipelines.quality_filter import QualityFilterConfig
 
-    _init_ray(args.cpus)
+    owned = _init_ray(args.cpus)
     cfg_kwargs = dict(
         use_langid=not args.no_langid,
         use_perplexity=not args.no_perplexity,
@@ -60,9 +74,7 @@ def cmd_run(args) -> int:
         "partitions_skipped": res.partitions_skipped,
         **res.combined_counts(),
     }))
-    import ray
-
-    ray.shutdown()
+    _maybe_shutdown(owned)
     return 0
 
 
@@ -71,15 +83,13 @@ def cmd_validate(args) -> int:
     from great_expectations_ray.engine import validate
     from great_expectations_ray.sources.readers import read_batch
 
-    _init_ray(args.cpus)
+    owned = _init_ray(args.cpus)
     with open(args.suite) as f:
         suite = ExpectationSuite.from_json(f.read())
     ds = read_batch(args.input)
     res = validate(ds, suite, result_format=args.result_format)
     print(json.dumps(res.to_json_dict(), indent=1, default=str))
-    import ray
-
-    ray.shutdown()
+    _maybe_shutdown(owned)
     return 0 if res.success else 1
 
 
@@ -91,6 +101,36 @@ def cmd_docs(args) -> int:
     index = build_site(args.root, site_dir=args.site_dir)
     print(json.dumps({"index": index}))
     return 0
+
+
+def cmd_profile(args) -> int:
+    """Onboard a dataset: one-pass profile; optionally emit a suggested
+    suite JSON that validates green on the profiled data."""
+    from great_expectations_ray.pipelines.profiler import profile, suggest_suite
+    from great_expectations_ray.sources.readers import read_batch
+
+    owned = _init_ray(args.cpus)
+    profs = profile(read_batch(args.input))
+    print(json.dumps({c: p.to_json_dict() for c, p in profs.items()},
+                     indent=1, default=str))
+    if args.suggest_suite:
+        suite = suggest_suite(profs, name=args.suite_name)
+        with open(args.suggest_suite, "w") as f:
+            f.write(suite.to_json())
+    _maybe_shutdown(owned)
+    return 0
+
+
+def cmd_drift(args) -> int:
+    """Diff two datasets' profiles; exit 1 when drift is detected."""
+    from great_expectations_ray.pipelines.drift import detect_drift
+    from great_expectations_ray.sources.readers import read_batch
+
+    owned = _init_ray(args.cpus)
+    rep = detect_drift(read_batch(args.baseline), read_batch(args.current))
+    print(json.dumps(rep, indent=1, default=str))
+    _maybe_shutdown(owned)
+    return 1 if rep["drifted"] else 0
 
 
 def main(argv=None) -> int:
@@ -122,6 +162,19 @@ def main(argv=None) -> int:
                    choices=["BOOLEAN_ONLY", "BASIC", "SUMMARY", "COMPLETE"])
     v.add_argument("--cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser("profile", help="profile a table; optionally suggest a suite")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--suggest-suite", help="write suggested suite JSON here")
+    pr.add_argument("--suite-name", default="profiled")
+    pr.add_argument("--cpus", type=int, default=None)
+    pr.set_defaults(fn=cmd_profile)
+
+    dr = sub.add_parser("drift", help="diff two tables' profiles (exit 1 on drift)")
+    dr.add_argument("--baseline", required=True)
+    dr.add_argument("--current", required=True)
+    dr.add_argument("--cpus", type=int, default=None)
+    dr.set_defaults(fn=cmd_drift)
 
     args = p.parse_args(argv)
     return args.fn(args)

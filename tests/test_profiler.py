@@ -70,3 +70,20 @@ def test_suite_json_round_trip(ray_session):
     assert [e.to_json_dict() for e in back.expectations] == [
         e.to_json_dict() for e in suite.expectations
     ]
+
+
+def test_cli_profile_and_drift(ray_session, tmp_path):
+    """CLI: profile --suggest-suite round-trips through validate; drift
+    exits nonzero on schema change."""
+    from great_expectations_ray.__main__ import main
+
+    suite_path = str(tmp_path / "suite.json")
+    rc = main(["profile", "--input", "/root/testdata/sf0.001/region.parquet",
+               "--suggest-suite", suite_path])
+    assert rc == 0
+    rc = main(["validate", "--input", "/root/testdata/sf0.001/region.parquet",
+               "--suite", suite_path])
+    assert rc == 0  # suggested suite validates green on its own data
+    rc = main(["drift", "--baseline", "/root/testdata/sf0.001/region.parquet",
+               "--current", "/root/testdata/sf0.001/nation.parquet"])
+    assert rc == 1  # different schema -> drift
