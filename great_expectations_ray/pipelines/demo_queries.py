@@ -1641,6 +1641,39 @@ SQL_PROFILE_LINEITEM = " UNION ALL ".join(
 ) + " ORDER BY col"
 
 
+def q_asof_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed as-of join (functions/asof.py): for each 'error' event,
+    the latest same-user 'click' at or before it — tagged union, one
+    bucketed key exchange, pd.merge_asof per bucket.  Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from great_expectations_ray.functions.asof import asof_join
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"])
+
+    def typed(tbl: pa.Table, t: str) -> pa.Table:
+        return tbl.filter(pc.equal(tbl.column("event_type"), t))
+
+    left = ds.map_batches(lambda b: typed(b, "error"), batch_format="pyarrow")
+    right = ds.map_batches(lambda b: typed(b, "click"), batch_format="pyarrow")
+    out = asof_join(
+        left, right, by="user_id", on="ts",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+    )
+    df = out.to_pandas()[["event_id", "event_id_r", "value_r"]]
+    df.columns = ["event_id", "match_event_id", "match_value"]
+    df["match_value"] = df["match_value"].round(2)
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
+SQL_ASOF_EVENTS = """
+SELECT l.event_id, r.event_id AS match_event_id, round(r.value, 2) AS match_value
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1692,6 +1725,7 @@ QUERIES = {
     "pack_docs": q_pack_docs,
     "stratified_docs": q_stratified_docs,
     "profile_lineitem": q_profile_lineitem,
+    "asof_events": q_asof_events,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1754,6 +1788,7 @@ ORACLE_SQL = {
     "pack_docs": SQL_PACK_DOCS,
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
+    "asof_events": SQL_ASOF_EVENTS,
 }
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,74 @@
+"""Distributed as-of join (functions/asof.py) vs pandas merge_asof on the
+whole frame."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from great_expectations_ray.functions.asof import asof_join
+
+
+def _frames(seed=11, n_left=400, n_right=300, n_keys=7):
+    rng = np.random.default_rng(seed)
+    l = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_left),
+        "ts": rng.integers(0, 10_000, n_left).astype("datetime64[s]"),
+        "lid": np.arange(n_left),
+    })
+    r = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_right),
+        "ts": rng.integers(0, 10_000, n_right).astype("datetime64[s]"),
+        "rid": np.arange(n_right),
+        "rv": rng.normal(size=n_right).round(3),
+    })
+    # dedupe (k, ts) on the right so the asof winner is unambiguous
+    r = r.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    return l, r
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_matches_pandas_merge_asof(ray_session, direction):
+    import ray.data as rd
+
+    l, r = _frames()
+    out = (
+        asof_join(
+            rd.from_pandas(l).repartition(5), rd.from_pandas(r).repartition(3),
+            by="k", on="ts", left_cols=["lid"], right_cols=["rid", "rv"],
+            direction=direction,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        l.sort_values("ts", kind="mergesort"),
+        r.rename(columns={"rid": "rid_r", "rv": "rv_r"}).sort_values("ts", kind="mergesort"),
+        on="ts", by="k", direction=direction,
+    ).sort_values("lid").reset_index(drop=True)
+    assert np.array_equal(
+        out["rid_r"].to_numpy(), expect["rid_r"].to_numpy(), equal_nan=True
+    )
+    assert np.array_equal(
+        out["rv_r"].to_numpy(), expect["rv_r"].to_numpy(), equal_nan=True
+    )
+
+
+def test_null_timestamps(ray_session):
+    import ray.data as rd
+
+    l = pd.DataFrame({"k": [1, 1], "ts": pd.to_datetime([None, "2024-01-02"]),
+                      "lid": [0, 1]})
+    r = pd.DataFrame({"k": [1, 1], "ts": pd.to_datetime(["2024-01-01", None]),
+                      "rid": [10, 11]})
+    out = (
+        asof_join(rd.from_pandas(l), rd.from_pandas(r), by="k", on="ts",
+                  left_cols=["lid"], right_cols=["rid"])
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert len(out) == 2  # null-ts left row kept (left outer)
+    assert pd.isna(out.loc[0, "rid_r"])  # ...with null payload
+    assert out.loc[1, "rid_r"] == 10  # null-ts right row never matches
