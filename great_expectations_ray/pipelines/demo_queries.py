@@ -1674,6 +1674,51 @@ ORDER BY l.event_id
 """
 
 
+def q_range_join_quantity(sf_dir: str) -> pd.DataFrame:
+    """Broadcast range join (functions/rangejoin.py): lineitem rows vs
+    OVERLAPPING quantity bands (1:N), rolled up per band.  Oracle: plain SQL
+    BETWEEN join against a VALUES interval table."""
+    from great_expectations_ray.functions.rangejoin import range_join_broadcast
+
+    bands = pd.DataFrame({
+        "band": ["low", "mid", "high"],
+        "lo": [1.0, 20.0, 35.0],
+        "hi": [25.0, 40.0, 50.0],
+    })
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    joined = range_join_broadcast(
+        ds, bands, value_col="l_quantity",
+        keep_cols=["l_quantity"], interval_cols=["band"],
+    )
+
+    def rollup(tbl: pa.Table) -> pa.Table:
+        t = pa.table({
+            "band": tbl.column("band"),
+            "n": pa.array(np.ones(len(tbl), dtype=np.int64)),
+            "qty": pc.cast(tbl.column("l_quantity"), pa.int64()),
+        })
+        return t.group_by(["band"]).aggregate([("n", "sum"), ("qty", "sum")])
+
+    grouped = (
+        joined.map_batches(rollup, batch_format="pyarrow")
+        .groupby("band").sum(["n_sum", "qty_sum"])
+    )
+    rows = grouped.take_all()
+    return pd.DataFrame([{
+        "band": r["band"], "n": r["sum(n_sum)"], "sum_qty": r["sum(qty_sum)"],
+    } for r in rows]).sort_values("band").reset_index(drop=True)
+
+
+SQL_RANGE_JOIN_QUANTITY = """
+SELECT b.band, count(*) AS n, CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l
+JOIN (VALUES ('low', 1.0, 25.0), ('mid', 20.0, 40.0), ('high', 35.0, 50.0))
+     b(band, lo, hi)
+  ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+GROUP BY b.band ORDER BY b.band
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1726,6 +1771,7 @@ QUERIES = {
     "stratified_docs": q_stratified_docs,
     "profile_lineitem": q_profile_lineitem,
     "asof_events": q_asof_events,
+    "range_join_quantity": q_range_join_quantity,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1789,6 +1835,7 @@ ORACLE_SQL = {
     "stratified_docs": SQL_STRATIFIED_DOCS,
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "asof_events": SQL_ASOF_EVENTS,
+    "range_join_quantity": SQL_RANGE_JOIN_QUANTITY,
 }
 
 # --------------------------------------------------------------------------- #

@@ -72,3 +72,33 @@ def test_null_timestamps(ray_session):
     assert len(out) == 2  # null-ts left row kept (left outer)
     assert pd.isna(out.loc[0, "rid_r"])  # ...with null payload
     assert out.loc[1, "rid_r"] == 10  # null-ts right row never matches
+
+
+def test_range_join_overlapping_bands(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.functions.rangejoin import range_join_broadcast
+
+    bands = pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 5.0], "hi": [10.0, 15.0]})
+    t = pa.table({"v": pa.array([1.0, 7.0, 12.0, 20.0])})
+    out = (
+        range_join_broadcast(rd.from_arrow(t).repartition(2), bands,
+                             value_col="v", keep_cols=["v"], interval_cols=["band"])
+        .to_pandas()
+    )
+    got = sorted(zip(out["v"], out["band"]))
+    # 7.0 overlaps BOTH bands (1:N); 20.0 matches none (inner semantics)
+    assert got == [(1.0, "a"), (7.0, "a"), (7.0, "b"), (12.0, "b")]
+
+
+def test_range_join_validates_interval_schema(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.functions.rangejoin import range_join_broadcast
+
+    with pytest.raises(ValueError):
+        range_join_broadcast(
+            rd.from_arrow(pa.table({"v": [1.0]})),
+            pd.DataFrame({"band": ["x"], "start": [0.0]}),
+            value_col="v", keep_cols=["v"], interval_cols=["band"],
+        )
