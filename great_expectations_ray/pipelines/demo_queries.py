@@ -1719,6 +1719,39 @@ GROUP BY b.band ORDER BY b.band
 """
 
 
+def q_setops_nations(sf_dir: str) -> pd.DataFrame:
+    """Table-level set ops (functions/setops.py): nation keys with customers
+    INTERSECT/EXCEPT nation keys with suppliers — map-side dedup, one
+    bucketed key exchange each."""
+    from great_expectations_ray.functions.setops import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"]).rename_columns(
+        {"c_nationkey": "n"}
+    )
+    supp = _read(sf_dir, "supplier", columns=["s_nationkey"]).rename_columns(
+        {"s_nationkey": "n"}
+    )
+    both = intersect_distinct(cust, supp, ["n"]).to_pandas()
+    only_cust = except_distinct(cust, supp, ["n"]).to_pandas()
+    both["op"] = "intersect"
+    only_cust["op"] = "except"
+    out = pd.concat([both, only_cust], ignore_index=True)[["op", "n"]]
+    return out.sort_values(["op", "n"]).reset_index(drop=True)
+
+
+SQL_SETOPS_NATIONS = """
+SELECT 'intersect' AS op, n FROM
+  (SELECT c_nationkey AS n FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, n FROM
+  (SELECT c_nationkey AS n FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+ORDER BY op, n
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1772,6 +1805,7 @@ QUERIES = {
     "profile_lineitem": q_profile_lineitem,
     "asof_events": q_asof_events,
     "range_join_quantity": q_range_join_quantity,
+    "setops_nations": q_setops_nations,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1836,6 +1870,7 @@ ORACLE_SQL = {
     "profile_lineitem": SQL_PROFILE_LINEITEM,
     "asof_events": SQL_ASOF_EVENTS,
     "range_join_quantity": SQL_RANGE_JOIN_QUANTITY,
+    "setops_nations": SQL_SETOPS_NATIONS,
 }
 
 # --------------------------------------------------------------------------- #

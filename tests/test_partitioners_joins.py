@@ -106,3 +106,22 @@ def test_native_join_matches_bucketed(small_ds):
     got = out.sort_values("k").reset_index(drop=True)[["k", "mark"]]
     expd = exp.sort_values("k").reset_index(drop=True)[["k", "mark"]]
     pd.testing.assert_frame_equal(got, expd)
+
+
+def test_setops_intersect_except(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.setops import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    a = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3, None]})).repartition(3)
+    b = rd.from_pandas(pd.DataFrame({"k": [2, 2, 4, None]})).repartition(2)
+    inter = sorted(intersect_distinct(a, b, ["k"]).to_pandas()["k"].tolist(),
+                   key=lambda v: (v != v, v))  # NaN sorts last
+    exc = sorted(except_distinct(a, b, ["k"]).to_pandas()["k"].tolist())
+    # SQL set semantics: NULL keys compare equal in INTERSECT/EXCEPT
+    assert inter[0] == 2 and len(inter) == 2  # {2, NULL}
+    assert exc == [1, 3]
