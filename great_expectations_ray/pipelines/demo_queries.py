@@ -1752,6 +1752,34 @@ ORDER BY op, n
 """
 
 
+def q_window_rank_events(sf_dir: str) -> pd.DataFrame:
+    """Partitioned window functions (functions/window_rank.py): per-user
+    row_number by ts plus lag(value) — one bucketed key exchange."""
+    from great_expectations_ray.functions.window_rank import windowed_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = windowed_rank(
+        ds, partition_by="user_id", order_by="ts", value_col="value",
+        outputs=("row_number", "lag"), keep_cols=("event_id",),
+    ).to_pandas()
+    out["lag"] = out["lag"].round(2)
+    return (
+        out[["event_id", "user_id", "row_number", "lag"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+SQL_WINDOW_RANK_EVENTS = """
+SELECT event_id, user_id,
+       CAST(row_number() OVER w AS BIGINT) AS row_number,
+       round(lag(value) OVER w, 2) AS lag
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+ORDER BY event_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1806,6 +1834,7 @@ QUERIES = {
     "asof_events": q_asof_events,
     "range_join_quantity": q_range_join_quantity,
     "setops_nations": q_setops_nations,
+    "window_rank_events": q_window_rank_events,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1871,6 +1900,7 @@ ORACLE_SQL = {
     "asof_events": SQL_ASOF_EVENTS,
     "range_join_quantity": SQL_RANGE_JOIN_QUANTITY,
     "setops_nations": SQL_SETOPS_NATIONS,
+    "window_rank_events": SQL_WINDOW_RANK_EVENTS,
 }
 
 # --------------------------------------------------------------------------- #

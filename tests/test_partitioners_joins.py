@@ -125,3 +125,34 @@ def test_setops_intersect_except(ray_session):
     # SQL set semantics: NULL keys compare equal in INTERSECT/EXCEPT
     assert inter[0] == 2 and len(inter) == 2  # {2, NULL}
     assert exc == [1, 3]
+
+
+def test_window_rank_functions(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.window_rank import windowed_rank
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "o": [3, 1, 1, 10, 5],  # ties within key 'a'
+        "v": [30.0, 10.0, 20.0, 100.0, 50.0],
+        "id": [0, 1, 2, 3, 4],
+    })
+    out = (
+        windowed_rank(rd.from_pandas(df).repartition(3), partition_by="k",
+                      order_by="o", value_col="v",
+                      outputs=("row_number", "rank", "dense_rank", "lag", "lead"),
+                      keep_cols=("id",))
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    by_id = out.set_index("id")
+    assert by_id.loc[0, "row_number"] == 3  # o=3 last within 'a'
+    assert by_id.loc[0, "rank"] == 3 and by_id.loc[0, "dense_rank"] == 2
+    assert by_id.loc[1, "rank"] == 1 and by_id.loc[2, "rank"] == 1  # tie
+    assert by_id.loc[3, "lag"] == 50.0  # prior row of 'b' by o
+    assert pd.isna(by_id.loc[4, "lag"]) and by_id.loc[4, "lead"] == 100.0
+
+    with pytest.raises(ValueError):
+        windowed_rank(rd.from_pandas(df), partition_by="k", order_by="o",
+                      outputs=("lag",))
