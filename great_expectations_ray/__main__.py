@@ -47,34 +47,36 @@ def cmd_run(args) -> int:
     from great_expectations_ray.pipelines.quality_filter import QualityFilterConfig
 
     owned = _init_ray(args.cpus)
-    cfg_kwargs = dict(
-        use_langid=not args.no_langid,
-        use_perplexity=not args.no_perplexity,
-        actor_concurrency=args.actors,
-    )
-    if args.suite:
-        with open(args.suite) as f:
-            cfg_kwargs["suite"] = ExpectationSuite.from_json(f.read())
-    config = QualityFilterConfig(**cfg_kwargs)
-    actions = [] if args.no_docs else [lambda r: write_data_docs(args.output, r)]
-    if args.actions:
-        # serializable notification-action configs (pipelines/actions.py),
-        # e.g. [{"type": "slack", "slack_webhook": "...", "notify_on": "failure"}]
-        from great_expectations_ray.pipelines.actions import ValidationAction
+    try:
+        cfg_kwargs = dict(
+            use_langid=not args.no_langid,
+            use_perplexity=not args.no_perplexity,
+            actor_concurrency=args.actors,
+        )
+        if args.suite:
+            with open(args.suite) as f:
+                cfg_kwargs["suite"] = ExpectationSuite.from_json(f.read())
+        config = QualityFilterConfig(**cfg_kwargs)
+        actions = [] if args.no_docs else [lambda r: write_data_docs(args.output, r)]
+        if args.actions:
+            # serializable notification-action configs (pipelines/actions.py),
+            # e.g. [{"type": "slack", "slack_webhook": "...", "notify_on": "failure"}]
+            from great_expectations_ray.pipelines.actions import ValidationAction
 
-        with open(args.actions) as f:
-            for cfg in json.load(f):
-                actions.append(ValidationAction.from_config(cfg))
-    res = run_checkpoint(
-        args.input, args.output, config=config,
-        n_partitions=args.partitions, actions=actions,
-    )
-    print(json.dumps({
-        "partitions_run": res.partitions_run,
-        "partitions_skipped": res.partitions_skipped,
-        **res.combined_counts(),
-    }))
-    _maybe_shutdown(owned)
+            with open(args.actions) as f:
+                for cfg in json.load(f):
+                    actions.append(ValidationAction.from_config(cfg))
+        res = run_checkpoint(
+            args.input, args.output, config=config,
+            n_partitions=args.partitions, actions=actions,
+        )
+        print(json.dumps({
+            "partitions_run": res.partitions_run,
+            "partitions_skipped": res.partitions_skipped,
+            **res.combined_counts(),
+        }))
+    finally:
+        _maybe_shutdown(owned)
     return 0
 
 
@@ -84,12 +86,14 @@ def cmd_validate(args) -> int:
     from great_expectations_ray.sources.readers import read_batch
 
     owned = _init_ray(args.cpus)
-    with open(args.suite) as f:
-        suite = ExpectationSuite.from_json(f.read())
-    ds = read_batch(args.input)
-    res = validate(ds, suite, result_format=args.result_format)
-    print(json.dumps(res.to_json_dict(), indent=1, default=str))
-    _maybe_shutdown(owned)
+    try:
+        with open(args.suite) as f:
+            suite = ExpectationSuite.from_json(f.read())
+        ds = read_batch(args.input)
+        res = validate(ds, suite, result_format=args.result_format)
+        print(json.dumps(res.to_json_dict(), indent=1, default=str))
+    finally:
+        _maybe_shutdown(owned)
     return 0 if res.success else 1
 
 
@@ -110,14 +114,16 @@ def cmd_profile(args) -> int:
     from great_expectations_ray.sources.readers import read_batch
 
     owned = _init_ray(args.cpus)
-    profs = profile(read_batch(args.input))
-    print(json.dumps({c: p.to_json_dict() for c, p in profs.items()},
-                     indent=1, default=str))
-    if args.suggest_suite:
-        suite = suggest_suite(profs, name=args.suite_name)
-        with open(args.suggest_suite, "w") as f:
-            f.write(suite.to_json())
-    _maybe_shutdown(owned)
+    try:
+        profs = profile(read_batch(args.input))
+        print(json.dumps({c: p.to_json_dict() for c, p in profs.items()},
+                         indent=1, default=str))
+        if args.suggest_suite:
+            suite = suggest_suite(profs, name=args.suite_name)
+            with open(args.suggest_suite, "w") as f:
+                f.write(suite.to_json())
+    finally:
+        _maybe_shutdown(owned)
     return 0
 
 
@@ -127,9 +133,11 @@ def cmd_drift(args) -> int:
     from great_expectations_ray.sources.readers import read_batch
 
     owned = _init_ray(args.cpus)
-    rep = detect_drift(read_batch(args.baseline), read_batch(args.current))
-    print(json.dumps(rep, indent=1, default=str))
-    _maybe_shutdown(owned)
+    try:
+        rep = detect_drift(read_batch(args.baseline), read_batch(args.current))
+        print(json.dumps(rep, indent=1, default=str))
+    finally:
+        _maybe_shutdown(owned)
     return 1 if rep["drifted"] else 0
 
 

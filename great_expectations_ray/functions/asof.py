@@ -50,6 +50,12 @@ def asof_join(
     per left row (left outer semantics)."""
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    overlap = ({by, on} & set(left_cols)) | ({by, on} & set(right_cols))
+    if overlap:
+        raise ValueError(
+            f"by/on columns {sorted(overlap)} must not appear in "
+            "left_cols/right_cols (they are emitted automatically)"
+        )
     out_right = [c + suffix for c in right_cols]
     # the tagged union needs ONE schema: type each side's null-padding
     # columns from the OTHER side's schema (metadata-only for Arrow-backed
@@ -89,9 +95,12 @@ def asof_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0][[by, on, *left_cols]]
         r = g[g["__side"] == 1][[by, on, *out_right]]
-        r = r[r[on].notna()]  # a null right timestamp can never match
-        l_null = l[l[on].isna()]
-        l = l[l[on].notna()]
+        # SQL 'ON l.by = r.by AND l.on >= r.on' semantics: a null key or
+        # null timestamp can never MATCH (pandas merge_asof would happily
+        # pair NaN by-keys), but left rows are still kept (left outer)
+        r = r[r[on].notna() & r[by].notna()]
+        unmatched = l[l[on].isna() | l[by].isna()]
+        l = l[l[on].notna() & l[by].notna()]
         if len(l):
             merged = pd.merge_asof(
                 l.sort_values(on, kind="mergesort"),
@@ -99,11 +108,32 @@ def asof_join(
                 on=on, by=by, direction=direction, allow_exact_matches=True,
             )
         else:
-            merged = pd.DataFrame(columns=keep)
-        if len(l_null):
-            for c in out_right:
-                l_null = l_null.assign(**{c: None})
-            merged = pd.concat([merged, l_null[keep]], ignore_index=True)
+            # typed empty frame (g carries the union's dtypes) — an untyped
+            # pd.DataFrame(columns=...) becomes a pa.null-typed block and
+            # corrupts the dataset's unified schema
+            merged = g[keep].head(0)
+        if len(unmatched):
+            unmatched = unmatched.reindex(columns=keep)  # null payload
+            merged = pd.concat([merged, unmatched], ignore_index=True)
         return merged[keep]
 
-    return grouped_apply_bucketed(tagged, [by], merge_bucket)
+    out = grouped_apply_bucketed(tagged, [by], merge_bucket)
+
+    # the pandas bucket path floatifies nullable ints (Arrow int64+nulls →
+    # pandas float64); restore the declared Arrow types on the way out
+    targets = {**{c: left_types[c] for c in left_cols},
+               **{rc: right_types[c] for c, rc in zip(right_cols, out_right)}}
+
+    def restore(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for name in tbl.column_names:
+            col = tbl.column(name)
+            t = targets.get(name)
+            if t is not None and col.type != t:
+                col = pc.cast(col, t, safe=False)
+            cols[name] = col
+        return pa.table(cols)
+
+    return out.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)

@@ -30,12 +30,18 @@ class _RangeJoiner:
         self.lo = iv["lo"].to_numpy()
         self.hi = iv["hi"].to_numpy()
         self.payload = iv[interval_cols].reset_index(drop=True)
+        # interval-column Arrow types derived from the FULL payload once —
+        # a .head(0) inference yields pa.null types for object columns and
+        # corrupts the dataset's unified schema on no-match batches
+        self.payload_schema = pa.Schema.from_pandas(self.payload, preserve_index=False)
         self.value_col = value_col
         self.keep_cols = list(keep_cols)
         self.interval_cols = list(interval_cols)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        v = np.asarray(tbl.column(self.value_col), dtype=np.float64)
+        # native dtype comparison (a forced float64 cast would round int64
+        # values beyond 2^53 into or out of a band)
+        v = np.asarray(tbl.column(self.value_col))
         pieces = []
         for i in range(len(self.lo)):
             mask = (v >= self.lo[i]) & (v <= self.hi[i])
@@ -49,9 +55,7 @@ class _RangeJoiner:
         if not pieces:
             empty = {c: pa.array([], tbl.schema.field(c).type) for c in self.keep_cols}
             for c in self.interval_cols:
-                empty[c] = pa.array([], pa.Table.from_pandas(
-                    self.payload.head(0), preserve_index=False
-                ).schema.field(c).type)
+                empty[c] = pa.array([], self.payload_schema.field(c).type)
             return pa.table(empty)
         return pa.concat_tables(pieces)
 

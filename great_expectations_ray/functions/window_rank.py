@@ -1,22 +1,28 @@
 """Partitioned window functions — row_number / rank / dense_rank / lag /
-lead over (PARTITION BY key ORDER BY order_col).
+lead over (PARTITION BY key ORDER BY order_cols).
 
 Ray Data has no window functions; this fills the gap with the engine's
 standard wide-op shape: ONE bucketed ``groupby(hash(key))`` exchange (equal
 keys co-locate; high key cardinality costs no per-group overhead — see
-functions/bucketed.py), then one vectorized pandas pass per bucket:
-mergesort by (key, order), ``groupby().cumcount()`` for row numbers,
-``rank()`` for ties, ``shift()`` within groups for lag/lead.
+functions/bucketed.py), then one vectorized pandas pass per bucket.
 
-Ties: ``row_number`` breaks them by the order column's sort stability (pass
-a unique order column for determinism — same requirement SQL has);
-``rank``/``dense_rank`` handle ties exactly like SQL.
+Semantics match SQL:
+
+- ``order_by`` may be one column or a list (composite ordering — pass a
+  unique tie-breaker for a deterministic row_number, same requirement SQL
+  has);
+- null order keys sort LAST and still receive ranks (SQL NULLS LAST) —
+  they never crash the kernel;
+- ``rank`` = row_number of the first peer (method='min'), ``dense_rank``
+  increments once per distinct order tuple; both handle composite
+  orderings via vectorized run detection over the sorted bucket.
 """
 
 from __future__ import annotations
 
 from typing import Iterable
 
+import numpy as np
 import pandas as pd
 
 from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
@@ -24,11 +30,28 @@ from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 _SUPPORTED = ("row_number", "rank", "dense_rank", "lag", "lead")
 
 
+def _run_starts(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    """Boolean mask: row starts a new run of equal values over ``cols``
+    (nulls compare equal to nulls, like SQL grouping)."""
+    n = len(df)
+    start = np.zeros(n, dtype=bool)
+    if n == 0:
+        return start
+    start[0] = True
+    for c in cols:
+        v = df[c].to_numpy()
+        neq = v[1:] != v[:-1]
+        isna = pd.isna(df[c]).to_numpy()
+        neq &= ~(isna[1:] & isna[:-1])  # null == null for peer grouping
+        start[1:] |= neq
+    return start
+
+
 def windowed_rank(
     ds,
     *,
     partition_by: str,
-    order_by: str,
+    order_by: str | list[str],
     value_col: str | None = None,
     outputs: Iterable[str] = ("row_number",),
     keep_cols: Iterable[str] = (),
@@ -36,24 +59,39 @@ def windowed_rank(
     """Dataset of keep_cols + partition/order cols + requested window
     columns (``lag``/``lead`` require ``value_col``)."""
     outputs = list(outputs)
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
     for o in outputs:
         if o not in _SUPPORTED:
             raise ValueError(f"unsupported window function {o!r}")
     if ("lag" in outputs or "lead" in outputs) and value_col is None:
         raise ValueError("lag/lead need value_col")
-    needed = sorted({partition_by, order_by, *keep_cols}
+    needed = sorted({partition_by, *order_cols, *keep_cols}
                     | ({value_col} if value_col else set()))
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([partition_by, order_by], kind="mergesort")
+        g = g.sort_values([partition_by, *order_cols], kind="mergesort",
+                          na_position="last")
         grp = g.groupby(partition_by, sort=False, dropna=False)
         out = g[needed].copy()
+        rn = (grp.cumcount() + 1).to_numpy()
         if "row_number" in outputs:
-            out["row_number"] = grp.cumcount() + 1
-        if "rank" in outputs:
-            out["rank"] = grp[order_by].rank(method="min").astype("int64")
-        if "dense_rank" in outputs:
-            out["dense_rank"] = grp[order_by].rank(method="dense").astype("int64")
+            out["row_number"] = rn
+        if "rank" in outputs or "dense_rank" in outputs:
+            # a new peer run starts where the partition key OR any order
+            # column changes (nulls are peers of nulls — SQL NULLS LAST)
+            starts = _run_starts(g, [partition_by, *order_cols])
+            if "rank" in outputs:
+                # rank = row_number of the run's FIRST row: forward-fill the
+                # index of the latest run start (rn resets per partition, so
+                # accumulate positions, not rn values)
+                idx = np.where(starts, np.arange(len(g)), 0)
+                out["rank"] = rn[np.maximum.accumulate(idx)]
+            if "dense_rank" in outputs:
+                # dense rank restarts at 1 on each partition boundary
+                part_start = _run_starts(g, [partition_by])
+                run_id = np.cumsum(starts)
+                part_run_id = np.where(part_start, run_id, 0)
+                out["dense_rank"] = run_id - np.maximum.accumulate(part_run_id) + 1
         if "lag" in outputs:
             out["lag"] = grp[value_col].shift(1)
         if "lead" in outputs:

@@ -1654,7 +1654,12 @@ def q_asof_events(sf_dir: str) -> pd.DataFrame:
         return tbl.filter(pc.equal(tbl.column("event_type"), t))
 
     left = ds.map_batches(lambda b: typed(b, "error"), batch_format="pyarrow")
-    right = ds.map_batches(lambda b: typed(b, "click"), batch_format="pyarrow")
+    # dedupe right on (user_id, ts) keeping MIN event_id: with ties the asof
+    # winner is engine-arbitrary, so both sides must agree on ONE row
+    right = dedup_exact(
+        ds.map_batches(lambda b: typed(b, "click"), batch_format="pyarrow"),
+        ["user_id", "ts"], order_by="event_id",
+    )
     out = asof_join(
         left, right, by="user_id", on="ts",
         left_cols=["event_id"], right_cols=["event_id", "value"],
@@ -1668,7 +1673,10 @@ def q_asof_events(sf_dir: str) -> pd.DataFrame:
 SQL_ASOF_EVENTS = """
 SELECT l.event_id, r.event_id AS match_event_id, round(r.value, 2) AS match_value
 FROM (SELECT * FROM events WHERE event_type = 'error') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+ASOF LEFT JOIN (
+  SELECT * FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) = 1
+) r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ORDER BY l.event_id
 """
@@ -1758,8 +1766,10 @@ def q_window_rank_events(sf_dir: str) -> pd.DataFrame:
     from great_expectations_ray.functions.window_rank import windowed_rank
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    # (ts, event_id) composite ordering: event_id breaks any ts tie so both
+    # engines' row_number/lag are deterministic at every SF
     out = windowed_rank(
-        ds, partition_by="user_id", order_by="ts", value_col="value",
+        ds, partition_by="user_id", order_by=["ts", "event_id"], value_col="value",
         outputs=("row_number", "lag"), keep_cols=("event_id",),
     ).to_pandas()
     out["lag"] = out["lag"].round(2)
@@ -1775,7 +1785,7 @@ SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS row_number,
        round(lag(value) OVER w, 2) AS lag
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
 

@@ -52,6 +52,11 @@ def _column_drift(
 ) -> ColumnDrift:
     d = ColumnDrift(column=base.name)
 
+    d.signals["dtype"] = {"baseline": base.dtype, "current": cur.dtype}
+    if base.dtype != cur.dtype:
+        # a type change is a harder break than any statistical signal
+        d.flags.append("dtype")
+
     base_null = base.null_count / base.row_count if base.row_count else 0.0
     cur_null = cur.null_count / cur.row_count if cur.row_count else 0.0
     d.signals["null_rate_delta"] = round(cur_null - base_null, 6)

@@ -102,3 +102,64 @@ def test_range_join_validates_interval_schema(ray_session):
             pd.DataFrame({"band": ["x"], "start": [0.0]}),
             value_col="v", keep_cols=["v"], interval_cols=["band"],
         )
+
+
+def test_null_join_keys_never_match(ray_session):
+    import ray.data as rd
+
+    l = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                      "ts": pd.to_datetime(["2024-01-05", "2024-01-05"]),
+                      "lid": [0, 1]})
+    r = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64"),
+                      "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+                      "rid": [10, 11]})
+    out = (
+        asof_join(rd.from_pandas(l), rd.from_pandas(r), by="k", on="ts",
+                  left_cols=["lid"], right_cols=["rid"])
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert pd.isna(out.loc[0, "rid_r"])  # SQL: NULL = NULL is not a match
+    assert out.loc[1, "rid_r"] == 11
+
+
+def test_right_only_keys_keep_schema(ray_session):
+    import ray.data as rd
+
+    # a key existing ONLY on the right produces an empty-left bucket; the
+    # emitted block must stay typed (no pa.null columns / dtype upcasts)
+    l = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-02"]), "lid": [7]})
+    r = pd.DataFrame({"k": [1, 2, 3, 4], "ts": pd.to_datetime(["2024-01-01"] * 4),
+                      "rid": [10, 11, 12, 13]})
+    out = (
+        asof_join(rd.from_pandas(l).repartition(1), rd.from_pandas(r).repartition(2),
+                  by="k", on="ts", left_cols=["lid"], right_cols=["rid"])
+        .to_pandas()
+    )
+    assert out["lid"].tolist() == [7]
+    assert str(out["lid"].dtype).startswith("int")  # not upcast to float
+
+
+def test_asof_rejects_key_overlap(ray_session):
+    import ray.data as rd
+
+    l = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"]), "lid": [0]})
+    with pytest.raises(ValueError):
+        asof_join(rd.from_pandas(l), rd.from_pandas(l), by="k", on="ts",
+                  left_cols=["k", "lid"], right_cols=["lid"])
+
+
+def test_range_join_no_match_batches_keep_schema(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.functions.rangejoin import range_join_broadcast
+
+    bands = pd.DataFrame({"band": ["a"], "lo": [100.0], "hi": [200.0]})
+    t = pa.table({"v": pa.array([1.0, 2.0])})  # nothing matches
+    out = range_join_broadcast(rd.from_arrow(t).repartition(2), bands,
+                               value_col="v", keep_cols=["v"], interval_cols=["band"])
+    tbl = pa.concat_tables(out.to_arrow_refs() and
+                           [pa.Table.from_pandas(out.to_pandas())])
+    assert len(out.to_pandas()) == 0
+    # schema of the empty result keeps the interval column's real type
+    assert out.schema().base_schema.field("band").type == pa.string()
