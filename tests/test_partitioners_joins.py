@@ -156,3 +156,33 @@ def test_window_rank_functions(ray_session):
     with pytest.raises(ValueError):
         windowed_rank(rd.from_pandas(df), partition_by="k", order_by="o",
                       outputs=("lag",))
+
+
+def test_window_rank_composite_order_and_nulls(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.window_rank import windowed_rank
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "b"],
+        "o1": [1, 1, 2, 5, None, 5],
+        "o2": [2, 1, 1, 9, 9, 9],
+        "id": [0, 1, 2, 3, 4, 5],
+    })
+    out = (
+        windowed_rank(rd.from_pandas(df).repartition(2), partition_by="k",
+                      order_by=["o1", "o2"],
+                      outputs=("row_number", "rank", "dense_rank"),
+                      keep_cols=("id",))
+        .to_pandas().set_index("id")
+    )
+    # key 'a': (1,1) < (1,2) < (2,1) — composite ordering, no ties
+    assert out.loc[1, "row_number"] == 1 and out.loc[0, "row_number"] == 2
+    assert out.loc[2, "rank"] == 3 and out.loc[2, "dense_rank"] == 3
+    # key 'b': (5,9) ties twice, null o1 sorts LAST and still gets a rank
+    assert out.loc[3, "rank"] == 1 and out.loc[5, "rank"] == 1
+    assert out.loc[4, "row_number"] == 3 and out.loc[4, "rank"] == 3
+    assert out.loc[4, "dense_rank"] == 2
+    # rank must not leak across partitions (id=3 is b's first row)
+    assert out.loc[3, "row_number"] == 1
