@@ -139,7 +139,16 @@ def hash_bucket_join(
 
 def _arrow_schema(ds):
     sch = ds.schema()
-    return pa.schema(zip(sch.names, sch.types))
+    fields = []
+    for name, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            # pandas-block datasets report numpy dtypes / python classes
+            try:
+                t = pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, pa.ArrowNotImplementedError):
+                t = pa.string()  # object columns: strings in this engine
+        fields.append((name, t))
+    return pa.schema(fields)
 
 
 def native_join(left, right, *, on: str, how: str = "inner", num_partitions: int = 32):

@@ -1790,6 +1790,44 @@ ORDER BY event_id
 """
 
 
+def q_paragraph_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level paragraph dedup (stages/paragraph_dedup.py — Lee et al.
+    2021 shape): every repeated paragraph occurrence beyond its global first
+    is removed and documents are rewritten.  The synthetic docs are
+    single-line, so the separator is a space (word-level classes — high
+    duplicate rate, exercises the hot-key path); min_len=4 keeps short
+    tokens out of dedup entirely."""
+    from great_expectations_ray.stages.paragraph_dedup import dedup_paragraphs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_paragraphs(ds, sep=" ", min_len=4)
+    df = out.to_pandas()[["doc_id", "text", "n_dropped"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_PARAGRAPH_DEDUP_DOCS = """
+WITH paras AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS idx, unnest(l) AS para
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+), marks AS (
+  SELECT doc_id, idx, para,
+         (length(para) < 4)
+         OR (row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) = 1) AS keep
+  FROM paras
+), rebuilt AS (
+  SELECT doc_id,
+         coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE keep), '') AS text,
+         CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_dropped
+  FROM marks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN r.doc_id IS NULL THEN d.text ELSE r.text END AS text,
+       coalesce(r.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1845,6 +1883,7 @@ QUERIES = {
     "range_join_quantity": q_range_join_quantity,
     "setops_nations": q_setops_nations,
     "window_rank_events": q_window_rank_events,
+    "paragraph_dedup_docs": q_paragraph_dedup_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1911,6 +1950,7 @@ ORACLE_SQL = {
     "range_join_quantity": SQL_RANGE_JOIN_QUANTITY,
     "setops_nations": SQL_SETOPS_NATIONS,
     "window_rank_events": SQL_WINDOW_RANK_EVENTS,
+    "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
