@@ -1828,6 +1828,43 @@ ORDER BY d.doc_id
 """
 
 
+def q_tfidf_docs(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF top-5 terms per document (stages/tfidf.py): corpus DF via one
+    bucketed exchange, broadcast idf, batch-local top-k.  Selection ranks by
+    the exact-rational surrogate tf*(N+1)/(1+df) so the chosen row set is
+    bit-deterministic across engines; the reported smooth-idf score rounds
+    to 6dp."""
+    from great_expectations_ray.stages.tfidf import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tfidf_topk(ds, k=5).to_pandas()
+    return (
+        out[["doc_id", "term", "tf", "df", "tfidf"]]
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_TFIDF_DOCS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), filtered AS (
+  SELECT doc_id, term FROM toks WHERE length(term) > 0
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM filtered GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM filtered GROUP BY term
+), n AS (SELECT count(*) AS n FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+       round(tf.tf * (ln((1.0 + n.n) / (1 + dfx.df)) + 1), 6) AS tfidf
+FROM tf JOIN dfx USING (term) CROSS JOIN n
+QUALIFY row_number() OVER (
+  PARTITION BY tf.doc_id
+  ORDER BY tf.tf * (n.n + 1.0) / (1 + dfx.df) DESC, tf.term ASC) <= 5
+ORDER BY doc_id, term
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1884,6 +1921,7 @@ QUERIES = {
     "setops_nations": q_setops_nations,
     "window_rank_events": q_window_rank_events,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
+    "tfidf_docs": q_tfidf_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -1951,6 +1989,7 @@ ORACLE_SQL = {
     "setops_nations": SQL_SETOPS_NATIONS,
     "window_rank_events": SQL_WINDOW_RANK_EVENTS,
     "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP_DOCS,
+    "tfidf_docs": SQL_TFIDF_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
