@@ -1865,6 +1865,22 @@ ORDER BY doc_id, term
 """
 
 
+def q_fasttext_langid_docs(sf_dir: str) -> pd.DataFrame:
+    """fastText-architecture classifier (stages/classifier.py): hashed
+    unigram+bigram features, seeded embedding table, Rocchio centroids
+    trained on the doc_id<200 corpus prefix, actor-pool inference.  Oracle:
+    fixture parquet from an independent per-doc reimplementation."""
+    from great_expectations_ray.stages.classifier import classify
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = classify(ds).to_pandas()
+    return (
+        out[["doc_id", "pred_label", "pred_score"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1922,6 +1938,7 @@ QUERIES = {
     "window_rank_events": q_window_rank_events,
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "tfidf_docs": q_tfidf_docs,
+    "fasttext_langid_docs": q_fasttext_langid_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2041,4 +2058,7 @@ ORACLE_SQL.update({
         "id_a, id_b"),
     "ivf_ann_topk": _fixture_sql(
         "ivf_ann_topk", "vec_id, sim", _FP_EMB, "vec_id"),
+    "fasttext_langid_docs": _fixture_sql(
+        "fasttext_langid_docs", "doc_id, pred_label, pred_score", _FP_DOCS,
+        "doc_id"),
 })

@@ -1,0 +1,94 @@
+"""fastText-shape hashed classifier (stages/classifier.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from great_expectations_ray.stages.classifier import (
+    DIM,
+    FastTextClassifier,
+    _doc_vectors,
+    _feature_ids,
+    classify,
+    embedding_table,
+    train_centroids,
+)
+
+
+def test_feature_ids_unigrams_then_bigrams():
+    ids, counts = _feature_ids(pa.array(["a b c", "xy"]))
+    # doc 0: 3 unigrams + 2 bigrams; doc 1: 1 unigram, 0 bigrams
+    assert counts.tolist() == [5, 1]
+    assert ids.shape == (6,)
+
+
+def test_feature_ids_skips_empty_tokens():
+    ids1, c1 = _feature_ids(pa.array(["a  b"]))  # double space -> empty token
+    ids2, c2 = _feature_ids(pa.array(["a b"]))
+    assert c1.tolist() == c2.tolist() == [3]
+    assert ids1.tolist() == ids2.tolist()
+
+
+def test_doc_vectors_zero_feature_doc():
+    E = embedding_table()
+    ids, counts = _feature_ids(pa.array(["", "hello world"]))
+    vecs = _doc_vectors(E, ids, counts)
+    assert vecs.shape == (2, DIM)
+    assert np.all(vecs[0] == 0.0)
+    assert np.any(vecs[1] != 0.0)
+
+
+def test_classify_end_to_end_deterministic(ray_session):
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": ["red red apple", "red fruit apple", "blue sky cloud",
+                     "cloud blue rain", "red apple pie", "sky blue high",
+                     "apple red", "blue cloud"],
+            "lang": ["fruit", "fruit", "sky", "sky", "fruit", "sky", "fruit", "sky"],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    out1 = classify(ds, sample_n=6).to_pandas().sort_values("doc_id")
+    out2 = classify(ds, sample_n=6).to_pandas().sort_values("doc_id")
+    assert out1.pred_label.tolist() == out2.pred_label.tolist()
+    assert np.array_equal(out1.pred_score.to_numpy(), out2.pred_score.to_numpy())
+    # trained on its own labels the centroid classifier separates the
+    # 6 training docs; the 2-token holdout doc 7 lands on the wrong side of
+    # the random projection (golden-pinned: regression guard, not accuracy)
+    assert out1.pred_label.tolist() == [
+        "fruit", "fruit", "sky", "sky", "fruit", "sky", "fruit", "fruit"
+    ]
+
+
+def test_empty_doc_is_unknown(ray_session):
+    docs = pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["some words here", ""], "lang": ["a", "a"]}
+    )
+    out = classify(rd.from_pandas(docs), sample_n=2).to_pandas().set_index("doc_id")
+    assert out.at[1, "pred_label"] == "unknown"
+    assert out.at[1, "pred_score"] == 0.0
+
+
+def test_classifier_batch_split_invariance(ray_session):
+    """Same predictions whether the corpus arrives as 1 block or 4."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "text": [f"word{i} common thing {'x' * (i % 3)}" for i in range(12)],
+            "lang": ["a", "b"] * 6,
+        }
+    )
+    classes, cents = train_centroids(rd.from_pandas(docs), sample_n=12)
+    clf = FastTextClassifier(classes, cents)
+    whole = clf(pa.Table.from_pandas(docs))
+    parts = [
+        clf(pa.Table.from_pandas(docs.iloc[i : i + 3]))
+        for i in range(0, 12, 3)
+    ]
+    merged = pa.concat_tables(parts)
+    assert whole.column("pred_label").to_pylist() == merged.column("pred_label").to_pylist()
+    assert whole.column("pred_score").to_pylist() == merged.column("pred_score").to_pylist()

@@ -71,7 +71,7 @@ FIXTURE_QUERIES = [
     "langid_docs", "perplexity_docs", "minhash_neardup_docs",
     "simhash_neardup_docs", "embedding_neardup", "lsh_ann_topk",
     "minhash_verified_docs", "winnow_fingerprint_docs",
-    "fingerprint_overlap_docs", "ivf_ann_topk",
+    "fingerprint_overlap_docs", "ivf_ann_topk", "fasttext_langid_docs",
 ]
 SF01_DIR = "/root/testdata/sf0.01"
 

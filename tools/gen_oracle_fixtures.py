@@ -375,6 +375,81 @@ def lsh_ann_fixture(emb: pd.DataFrame, k=10, n_planes=8, seed=7) -> pd.DataFrame
 # --------------------------------------------------------------------------- #
 
 
+# --------------------------------------------------------------------------- #
+# fastText-shape classifier — per-doc python feature loops + sequential
+# float64 accumulation (mirrors the published spec constants only)
+# --------------------------------------------------------------------------- #
+
+CL_DIM, CL_BUCKETS, CL_SEED, CL_SAMPLE_N = 16, 1 << 16, 41, 200
+CL_MIX1, CL_MIX2 = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+CL_BIGRAM = 0x100000001B3
+
+
+def _cl_tok_hash(tok: str) -> int:
+    by = tok.encode("utf-8")
+    h = 0
+    p = 1
+    for b in by:
+        h = (h + b * p) & M64
+        p = (p * FNV_B) & M64
+    h ^= (len(by) * CL_MIX1) & M64
+    h = ((h * CL_MIX1) & M64) ^ (h >> 29)
+    return (h * CL_MIX2) & M64
+
+
+def _cl_doc_vec(text: str, E: np.ndarray) -> tuple[np.ndarray, int]:
+    toks = [t for t in (text or "").split(" ") if t]
+    uh = [_cl_tok_hash(t) for t in toks]
+    bi = [((uh[i] * CL_BIGRAM) + uh[i + 1]) & M64 for i in range(len(uh) - 1)]
+    ids = [u % CL_BUCKETS for u in uh] + [b % CL_BUCKETS for b in bi]
+    s = np.zeros(CL_DIM, dtype=np.float64)
+    for fid in ids:  # sequential float64 accumulation (spec)
+        s += E[fid]
+    if ids:
+        s /= len(ids)
+    return s, len(ids)
+
+
+def fasttext_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    rng = np.random.Generator(np.random.PCG64(CL_SEED))
+    E = (rng.random((CL_BUCKETS, CL_DIM), dtype=np.float32) - 0.5).astype(np.float32)
+    docs = docs.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    sample = docs[docs.doc_id < CL_SAMPLE_N]
+    classes = sorted(sample["lang"].dropna().unique().tolist())
+    sums = {c: np.zeros(CL_DIM) for c in classes}
+    counts = {c: 0 for c in classes}
+    vecs_cache = {}
+    for _, row in sample.iterrows():
+        v, _nf = _cl_doc_vec(row["text"], E)
+        vecs_cache[row["doc_id"]] = v
+        if row["lang"] in sums:
+            sums[row["lang"]] += v
+            counts[row["lang"]] += 1
+    cents = np.array(
+        [sums[c] / counts[c] if counts[c] else np.zeros(CL_DIM) for c in classes]
+    )
+    preds, scores = [], []
+    for _, row in docs.iterrows():
+        v, nf = _cl_doc_vec(row["text"], E)
+        if nf == 0:
+            preds.append("unknown")
+            scores.append(0.0)
+            continue
+        logit = np.zeros(len(classes))
+        for ci in range(len(classes)):
+            s = 0.0
+            for d in range(CL_DIM):  # sequential dot (spec)
+                s += v[d] * cents[ci][d]
+            logit[ci] = s
+        best = int(np.argmax(logit))
+        preds.append(classes[best])
+        scores.append(round(float(logit[best]), 6))
+    return pd.DataFrame(
+        {"doc_id": docs["doc_id"].to_numpy(), "pred_label": preds,
+         "pred_score": np.array(scores, dtype=np.float64)}
+    )
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -395,6 +470,7 @@ def main(sf_dirs: list[str]) -> None:
             ("embedding_neardup", embedding_neardup_fixture(emb), fp_emb),
             ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
             ("ivf_ann_topk", ivf_ann_fixture(emb), fp_emb),
+            ("fasttext_langid_docs", fasttext_fixture(docs), fp_docs),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
