@@ -1327,7 +1327,7 @@ def q_perplexity_docs(sf_dir: str) -> pd.DataFrame:
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    model = build_reference_model(ds, sample_rows=200, column="text")
+    model = build_reference_model(ds, sample_rows=200, column="text", id_col="doc_id")
     ref = ray.put(model)
     scored = ds.map_batches(
         PerplexityScorer,
@@ -1881,6 +1881,17 @@ def q_fasttext_langid_docs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (stages/semdedup.py): seeded k-means clusters + per-cluster
+    greedy cosine pruning at threshold 0.9.  Oracle: fixture parquet from an
+    independent reimplementation."""
+    from great_expectations_ray.stages.semdedup import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semdedup(ds).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1939,6 +1950,7 @@ QUERIES = {
     "paragraph_dedup_docs": q_paragraph_dedup_docs,
     "tfidf_docs": q_tfidf_docs,
     "fasttext_langid_docs": q_fasttext_langid_docs,
+    "semdedup_embeddings": q_semdedup_embeddings,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2061,4 +2073,6 @@ ORACLE_SQL.update({
     "fasttext_langid_docs": _fixture_sql(
         "fasttext_langid_docs", "doc_id, pred_label, pred_score", _FP_DOCS,
         "doc_id"),
+    "semdedup_embeddings": _fixture_sql(
+        "semdedup_embeddings", "vec_id, cluster, is_dup", _FP_EMB, "vec_id"),
 })

@@ -111,6 +111,26 @@ def lsh_topk(
     return [(int(r[id_col]), float(r["cosine"])) for r in best]
 
 
+def _prefix_sample(ds, emb_col: str, id_col: str, sample_rows: int) -> np.ndarray:
+    """Deterministic training sample: rows with ``id_col < sample_rows``,
+    sorted by id on the driver.  An order-free predicate, NOT ``limit()``:
+    Ray's streaming executor delivers blocks in nondeterministic order, and
+    k-means init depends on row order — a ``limit`` sample trains a
+    different quantizer run-to-run."""
+    import pyarrow.compute as pc
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.less(tbl.column(id_col), sample_rows))
+
+    rows = (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    rows.sort(key=lambda r: r[id_col])
+    return np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+
+
 def _kmeans_cosine(sample: np.ndarray, n_centroids: int, seed: int,
                    iters: int) -> np.ndarray:
     """Deterministic spherical k-means (fixed iterations, seeded init,
@@ -154,8 +174,7 @@ def ivf_topk(
     (same deployment shape as ``lsh_topk``)."""
     import ray
 
-    sample_tbl = ds.select_columns([emb_col]).limit(sample_rows).take_all()
-    sample = np.asarray([r[emb_col] for r in sample_tbl], dtype=np.float64)
+    sample = _prefix_sample(ds, emb_col, id_col, sample_rows)
     C = _kmeans_cosine(sample, n_centroids, seed, iters)
 
     q = np.asarray(query, dtype=np.float64)

@@ -179,10 +179,30 @@ class PerplexityScorer:
         return out.astype(np.float64)
 
 
-def build_reference_model(ds, sample_rows: int = 500, column: str = "content") -> np.ndarray:
-    """Train the LM from a deterministic prefix sample of the corpus (the
-    KenLM analog of training on held-out clean text).  ``limit`` streams only
-    the needed blocks."""
-    sample = ds.select_columns([column]).limit(sample_rows).take_all()
+def build_reference_model(
+    ds, sample_rows: int = 500, column: str = "content", id_col: str | None = None
+) -> np.ndarray:
+    """Train the LM from a prefix sample of the corpus (the KenLM analog of
+    training on held-out clean text).
+
+    With ``id_col`` set, the sample is the ORDER-FREE predicate
+    ``id_col < sample_rows`` — block arrival order in Ray's streaming
+    executor is not deterministic, so ``limit()`` picks a different row set
+    run-to-run; a predicate sample is reproducible (and training itself is
+    selection-set-dependent only: trigram counts are exact integer adds, so
+    sample order never matters).  Without an id column, ``limit`` keeps the
+    stream-pruning behavior and the model varies only in WHICH rows train
+    it — fine for threshold-loose filtering, not for oracle parity."""
+    if id_col is not None:
+        def pick(tbl: pa.Table) -> pa.Table:
+            return tbl.filter(pc.less(tbl.column(id_col), sample_rows))
+
+        sample = (
+            ds.select_columns([id_col, column])
+            .map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all()
+        )
+    else:
+        sample = ds.select_columns([column]).limit(sample_rows).take_all()
     texts = [r[column] for r in sample if r[column]]
     return train_char_lm(texts)

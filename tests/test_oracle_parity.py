@@ -72,6 +72,7 @@ FIXTURE_QUERIES = [
     "simhash_neardup_docs", "embedding_neardup", "lsh_ann_topk",
     "minhash_verified_docs", "winnow_fingerprint_docs",
     "fingerprint_overlap_docs", "ivf_ann_topk", "fasttext_langid_docs",
+    "semdedup_embeddings",
 ]
 SF01_DIR = "/root/testdata/sf0.01"
 

@@ -375,6 +375,48 @@ def lsh_ann_fixture(emb: pd.DataFrame, k=10, n_planes=8, seed=7) -> pd.DataFrame
 # --------------------------------------------------------------------------- #
 
 
+def semdedup_fixture(emb: pd.DataFrame, threshold=0.9, n_centroids=16,
+                     sample_rows=2000, seed=13, iters=10) -> pd.DataFrame:
+    """SemDeDup: reimplements the seeded quantizer + per-cluster greedy
+    keep-first prune with plain loops."""
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    sample = M[:sample_rows]
+    rng = np.random.default_rng(seed)
+    S = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    idx = rng.choice(len(S), size=min(n_centroids, len(S)), replace=False)
+    C = S[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(S @ C.T, axis=1)
+        for c in range(len(C)):
+            members = S[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-30:
+                    C[c] = m / n
+    norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+    Mn = M / norms[:, None]
+    assign = np.argmax(Mn @ C.T, axis=1)
+    out_ids, out_cl, out_dup = [], [], []
+    for c in sorted(set(int(a) for a in assign)):
+        rows = np.where(assign == c)[0]
+        rows = rows[np.argsort(ids[rows], kind="stable")]
+        kept = []
+        for r in rows:
+            dup = False
+            if kept:
+                sims = Mn[kept] @ Mn[r]
+                dup = bool((sims >= threshold).any())
+            if not dup:
+                kept.append(r)
+            out_ids.append(int(ids[r]))
+            out_cl.append(c)
+            out_dup.append(dup)
+    df = pd.DataFrame({"vec_id": out_ids, "cluster": out_cl, "is_dup": out_dup})
+    return df.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+
+
 # --------------------------------------------------------------------------- #
 # fastText-shape classifier — per-doc python feature loops + sequential
 # float64 accumulation (mirrors the published spec constants only)
@@ -471,6 +513,7 @@ def main(sf_dirs: list[str]) -> None:
             ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
             ("ivf_ann_topk", ivf_ann_fixture(emb), fp_emb),
             ("fasttext_langid_docs", fasttext_fixture(docs), fp_docs),
+            ("semdedup_embeddings", semdedup_fixture(emb), fp_emb),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
