@@ -1892,6 +1892,26 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_heavy_hitters_words(sf_dir: str) -> pd.DataFrame:
+    """Two-pass exact top-k heavy hitters (stages/heavyhitters.py): bounded
+    per-batch candidate emission (≤capacity+1 values clear the n/(cap+1)
+    bar) → broadcast candidate hashes → exact vectorized verify counts.
+    No value-keyed shuffle; the only exchange is sketch-sized partials."""
+    from great_expectations_ray.stages.heavyhitters import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    df = heavy_hitters(ds, col="text", k=10, mode="words")
+    assert df.attrs["guaranteed"]
+    return df
+
+
+SQL_HEAVY_HITTERS_WORDS = r"""
+WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS value FROM documents)
+SELECT value, count(*) AS cnt FROM t
+GROUP BY value ORDER BY cnt DESC, value LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1951,6 +1971,7 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "fasttext_langid_docs": q_fasttext_langid_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
+    "heavy_hitters_words": q_heavy_hitters_words,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2019,6 +2040,7 @@ ORACLE_SQL = {
     "window_rank_events": SQL_WINDOW_RANK_EVENTS,
     "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP_DOCS,
     "tfidf_docs": SQL_TFIDF_DOCS,
+    "heavy_hitters_words": SQL_HEAVY_HITTERS_WORDS,
 }
 
 # --------------------------------------------------------------------------- #
