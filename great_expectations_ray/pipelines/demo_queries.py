@@ -1912,6 +1912,39 @@ GROUP BY value ORDER BY cnt DESC, value LIMIT 10
 """
 
 
+def q_bloom_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental dedup vs a prior snapshot (stages/bloomdedup.py): docs
+    with doc_id % 3 == 0 act as the snapshot; every other doc is marked
+    is_known iff its 30-char text prefix exists in the snapshot.  Bloom
+    prefilter bounds the verify exchange to overlap + FP sliver; verdicts
+    come from raw-value equality (exact)."""
+    from great_expectations_ray.stages.bloomdedup import mark_known
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(tbl: pa.Table, keep_snap: bool) -> pa.Table:
+        m = np.asarray(tbl.column("doc_id")) % 3 == 0
+        sub = tbl.filter(pa.array(m if keep_snap else ~m))
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "prefix": pc.utf8_slice_codeunits(sub.column("text").combine_chunks(), 0, 30),
+        })
+
+    snap = ds.map_batches(lambda t: prep(t, True), batch_format="pyarrow")
+    new = ds.map_batches(lambda t: prep(t, False), batch_format="pyarrow")
+    out = mark_known(new, snap, key_col="prefix", id_col="doc_id")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BLOOM_INCREMENTAL_DEDUP = """
+SELECT d.doc_id,
+       EXISTS(SELECT 1 FROM documents s
+              WHERE s.doc_id % 3 = 0
+                AND substr(s.text, 1, 30) = substr(d.text, 1, 30)) AS is_known
+FROM documents d WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -1972,6 +2005,7 @@ QUERIES = {
     "fasttext_langid_docs": q_fasttext_langid_docs,
     "semdedup_embeddings": q_semdedup_embeddings,
     "heavy_hitters_words": q_heavy_hitters_words,
+    "bloom_incremental_dedup": q_bloom_incremental_dedup,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2041,6 +2075,7 @@ ORACLE_SQL = {
     "paragraph_dedup_docs": SQL_PARAGRAPH_DEDUP_DOCS,
     "tfidf_docs": SQL_TFIDF_DOCS,
     "heavy_hitters_words": SQL_HEAVY_HITTERS_WORDS,
+    "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
 }
 
 # --------------------------------------------------------------------------- #

@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from great_expectations_ray.stages.bloomdedup import (
+    bloom_maybe,
+    bloom_set,
+    build_bloom,
+    key_hash64,
+    mark_known,
+)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(3)
+    members = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    others = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    others = others[~np.isin(others, members)]
+    words = bloom_set(members, 1 << 18, 4)
+    assert bloom_maybe(words, members, 1 << 18, 4).all()  # zero false negatives
+    fp = bloom_maybe(words, others, 1 << 18, 4).mean()
+    # m/n ≈ 52 bits/key, k=4 → theoretical FP ≈ (1-e^{-4/52})^4 ≈ 3e-5
+    assert fp < 0.01
+
+
+def test_key_hash64_string_vs_int_kinds():
+    s = pa.array(["a", "b", "", "a"])
+    h = key_hash64(s)
+    assert h[0] == h[3] and h[0] != h[1] and h[2] not in (h[0], h[1])
+    i = pa.array([1, 2, 1], pa.int64())
+    hi = key_hash64(i)
+    assert hi[0] == hi[2] and hi[0] != hi[1]
+
+
+def test_mark_known_exact_membership():
+    snap_keys = [f"k{i}" for i in range(0, 100, 2)]  # even keys known
+    new_keys = [f"k{i}" for i in range(100)]
+    snap = rd.from_arrow(pa.table({"k": pa.array(snap_keys)})).repartition(3)
+    new = rd.from_arrow(
+        pa.table({"id": pa.array(range(100), pa.int64()), "k": pa.array(new_keys)})
+    ).repartition(4)
+    out = (
+        mark_known(new, snap, key_col="k", id_col="id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 100
+    expected = pd.Series([i % 2 == 0 for i in range(100)])
+    assert (out["is_known"].reset_index(drop=True) == expected).all()
+
+
+def test_mark_known_all_novel_and_empty_snapshot():
+    snap = rd.from_arrow(pa.table({"k": pa.array([], pa.string())}))
+    new = rd.from_arrow(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "k": pa.array(["x", "y"])})
+    )
+    out = mark_known(new, snap, key_col="k", id_col="id").to_pandas()
+    assert len(out) == 2 and not out["is_known"].any()
+
+
+def test_build_bloom_matches_local():
+    tbl = pa.table({"k": pa.array([f"v{i}" for i in range(500)])})
+    ds = rd.from_arrow(tbl).repartition(5)
+    words = build_bloom(ds, "k", num_bits=1 << 16, num_hashes=3)
+    local = bloom_set(key_hash64(tbl.column("k").combine_chunks()), 1 << 16, 3)
+    assert (words == local).all()
