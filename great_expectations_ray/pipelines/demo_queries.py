@@ -1945,6 +1945,52 @@ FROM documents d WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
 """
 
 
+def q_c4_clean_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style line + document cleaning (stages/c4_filters.py).  The
+    single-line synthetic docs are given line structure by splitting on the
+    word ' batch ' (same replace on both sides); then: keep lines with ≥3
+    words that don't contain 'spark'; keep docs with ≥2 surviving lines and
+    no whole-word 'dup'.  One vectorized map_batches pass, no shuffle."""
+    from great_expectations_ray.stages.c4_filters import C4Config, clean_batch
+
+    cfg = C4Config(
+        min_words_per_line=3,
+        require_terminal_punct=False,
+        boilerplate_regex="spark",
+        min_lines=2,
+        ban_regex=None,
+        bad_words=("dup",),
+    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def run(tbl: pa.Table) -> pa.Table:
+        lined = pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.cast(tbl.column("text").combine_chunks(), pa.string()),
+                " batch ", "\n"),
+        })
+        return clean_batch(lined, config=cfg)
+
+    out = ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_C4_CLEAN_DOCS = r"""
+WITH d AS (SELECT doc_id, replace(text, ' batch ', chr(10)) AS t FROM documents),
+l AS (SELECT doc_id, t,
+             list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                         x -> len(regexp_extract_all(x, '\S+')) >= 3
+                              AND NOT regexp_matches(x, 'spark')) AS kept
+      FROM d)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       (len(kept) >= 2 AND NOT regexp_matches(t, '(?i)\b(dup)\b')) AS keep
+FROM l ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2006,6 +2052,7 @@ QUERIES = {
     "semdedup_embeddings": q_semdedup_embeddings,
     "heavy_hitters_words": q_heavy_hitters_words,
     "bloom_incremental_dedup": q_bloom_incremental_dedup,
+    "c4_clean_docs": q_c4_clean_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2076,6 +2123,7 @@ ORACLE_SQL = {
     "tfidf_docs": SQL_TFIDF_DOCS,
     "heavy_hitters_words": SQL_HEAVY_HITTERS_WORDS,
     "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
+    "c4_clean_docs": SQL_C4_CLEAN_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
