@@ -1991,6 +1991,51 @@ FROM l ORDER BY doc_id
 """
 
 
+def q_bm25_search_docs(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 top-15 for the query 'scan merge window' (stages/bm25.py):
+    query-term-only DF pass (tiny partials, zero shuffle), broadcast idf +
+    avgdl, per-batch vectorized scoring with batch-local top-k, driver merge.
+    Scores rounded half-away at 6dp on BOTH sides before ranking; ties break
+    on doc_id."""
+    from great_expectations_ray.stages.bm25 import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = bm25_topk(ds, ["scan", "merge", "window"], k=15, k1=1.2, b=0.75)
+    return out.astype({"doc_id": "int64"})
+
+
+def _bm25_term_sql(i: int, term: str) -> tuple[str, str, str]:
+    """(df CTE column, tf select column, score addend) for one query term —
+    operation order matches stages/bm25.py exactly."""
+    df = f"(SELECT count(*) FROM d WHERE list_contains(toks, '{term}')) AS df{i}"
+    tf = f"len(list_filter(toks, x -> x = '{term}')) AS tf{i}"
+    score = (
+        f"ln(((st.n - fs.df{i}) + 0.5)/(fs.df{i} + 0.5) + 1.0) * "
+        f"((s.tf{i} * 2.2)/(s.tf{i} + 1.2*((1.0 - 0.75) + (0.75 * s.dl)/st.avgdl)))"
+    )
+    return df, tf, score
+
+
+def _bm25_sql(terms: list[str], k: int) -> str:
+    parts = [_bm25_term_sql(i, t) for i, t in enumerate(terms)]
+    return f"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents),
+st AS (SELECT count(*) AS n,
+              CAST(SUM(len(toks)) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avgdl FROM d),
+fs AS (SELECT {', '.join(p[0] for p in parts)}),
+s AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             {', '.join(p[1] for p in parts)} FROM d)
+SELECT s.doc_id,
+       round({' + '.join(p[2] for p in parts)}, 6) AS score
+FROM s, st, fs
+WHERE {' + '.join('s.tf%d' % i for i in range(len(terms)))} > 0
+ORDER BY score DESC, s.doc_id LIMIT {k}
+"""
+
+
+SQL_BM25_SEARCH_DOCS = _bm25_sql(["scan", "merge", "window"], 15)
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2053,6 +2098,7 @@ QUERIES = {
     "heavy_hitters_words": q_heavy_hitters_words,
     "bloom_incremental_dedup": q_bloom_incremental_dedup,
     "c4_clean_docs": q_c4_clean_docs,
+    "bm25_search_docs": q_bm25_search_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2124,6 +2170,7 @@ ORACLE_SQL = {
     "heavy_hitters_words": SQL_HEAVY_HITTERS_WORDS,
     "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
+    "bm25_search_docs": SQL_BM25_SEARCH_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
