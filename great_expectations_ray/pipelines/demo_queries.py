@@ -12,6 +12,7 @@ sides.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 
 import numpy as np
@@ -2036,6 +2037,49 @@ ORDER BY score DESC, s.doc_id LIMIT {k}
 SQL_BM25_SEARCH_DOCS = _bm25_sql(["scan", "merge", "window"], 15)
 
 
+_MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 1.25, "src3": 0.0}
+
+
+def q_mix_repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Domain mixing with repetition factors (stages/mixing.py): src0×2.0,
+    src1×0.5, src2×1.25, src3×0, all else ×1.0.  Fractional epochs select
+    deterministically by md5(doc_id) rank (the hash-sampler device) — no
+    randomness, no shuffle; rows explode in place with an epoch index."""
+    from great_expectations_ray.stages.mixing import mix_with_repetition
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    out = mix_with_repetition(ds, _MIX_WEIGHTS)
+    return (
+        out.to_pandas()
+        .astype({"epoch": "int64"})
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+    )
+
+
+def _mix_sql(weights: dict[str, float], default: float = 1.0) -> str:
+    from great_expectations_ray.stages.mixing import weight_threshold_hex
+
+    rows = ", ".join(
+        f"('{s}', {math.floor(w)}, '{weight_threshold_hex(w)}')"
+        for s, w in weights.items()
+    )
+    return f"""
+WITH w(source, base, thr) AS (VALUES {rows}),
+d AS (SELECT doc_id, documents.source,
+             coalesce(w.base, {math.floor(default)})
+             + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < coalesce(w.thr, '{weight_threshold_hex(default)}')
+                    THEN 1 ELSE 0 END AS reps
+      FROM documents LEFT JOIN w ON documents.source = w.source)
+SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+FROM d ORDER BY doc_id, epoch
+"""
+
+
+SQL_MIX_REPETITION_DOCS = _mix_sql(_MIX_WEIGHTS)
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2099,6 +2143,7 @@ QUERIES = {
     "bloom_incremental_dedup": q_bloom_incremental_dedup,
     "c4_clean_docs": q_c4_clean_docs,
     "bm25_search_docs": q_bm25_search_docs,
+    "mix_repetition_docs": q_mix_repetition_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2171,6 +2216,7 @@ ORACLE_SQL = {
     "bloom_incremental_dedup": SQL_BLOOM_INCREMENTAL_DEDUP,
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     "bm25_search_docs": SQL_BM25_SEARCH_DOCS,
+    "mix_repetition_docs": SQL_MIX_REPETITION_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
