@@ -2080,6 +2080,53 @@ FROM d ORDER BY doc_id, epoch
 SQL_MIX_REPETITION_DOCS = _mix_sql(_MIX_WEIGHTS)
 
 
+def q_normalize_docs(sf_dir: str) -> pd.DataFrame:
+    """Text normalization (stages/normalize.py).  Deterministic 'dirt' is
+    appended to every doc on BOTH sides (curly quotes, control char, tab,
+    double space, mixed case), then the full pipeline runs: control-strip →
+    NFC → quote straightening → lowercase → whitespace collapse → trim.
+    Both engines are RE2, and the oracle composes identical functions in
+    identical order."""
+    from great_expectations_ray.stages.normalize import (
+        NormalizeConfig,
+        normalize_text,
+    )
+
+    dirt = "  “Mixed”\x07 CASE\t‘tail’–end… "
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_dirt(tbl: pa.Table) -> pa.Table:
+        t = pc.cast(tbl.column("text").combine_chunks(), pa.string())
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "text": pc.binary_join_element_wise(t, dirt, ""),
+        })
+
+    dirty = ds.map_batches(add_dirt, batch_format="pyarrow", zero_copy_batch=True)
+    out = normalize_text(dirty, config=NormalizeConfig(lowercase=True))
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_NORMALIZE_DOCS = r"""
+WITH d AS (SELECT doc_id,
+                  text || concat('  ', chr(8220), 'Mixed', chr(8221), chr(7),
+                                 ' CASE', chr(9), chr(8216), 'tail', chr(8217),
+                                 chr(8211), 'end', chr(8230), ' ') AS dirty
+           FROM documents),
+n AS (SELECT doc_id, dirty,
+             trim(regexp_replace(
+               lower(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   nfc_normalize(regexp_replace(dirty,
+                     '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+                   '[“”„]', '"', 'g'), '[‘’‚]', '''', 'g'),
+                   '[–—]', '-', 'g'), '…', '...', 'g')),
+               '\s+', ' ', 'g')) AS norm_text
+      FROM d)
+SELECT doc_id, norm_text, (norm_text <> dirty) AS changed FROM n ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2144,6 +2191,7 @@ QUERIES = {
     "c4_clean_docs": q_c4_clean_docs,
     "bm25_search_docs": q_bm25_search_docs,
     "mix_repetition_docs": q_mix_repetition_docs,
+    "normalize_docs": q_normalize_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2217,6 +2265,7 @@ ORACLE_SQL = {
     "c4_clean_docs": SQL_C4_CLEAN_DOCS,
     "bm25_search_docs": SQL_BM25_SEARCH_DOCS,
     "mix_repetition_docs": SQL_MIX_REPETITION_DOCS,
+    "normalize_docs": SQL_NORMALIZE_DOCS,
 }
 
 # --------------------------------------------------------------------------- #

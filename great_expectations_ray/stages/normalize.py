@@ -1,0 +1,112 @@
+"""Text normalization — the standard pre-tokenization cleanup pass of a
+training-data pipeline (ftfy/CCNet-style): control-character strip, Unicode
+NFC normalization, typographic-quote straightening, optional lowercasing,
+whitespace collapse + trim.
+
+Every step is an Arrow compute kernel (``pc.replace_substring_regex``,
+``pc.utf8_lower``; NFC via an ASCII-screened fallback, see ``_nfc``)
+applied in ONE stateless ``map_batches`` pass — zero-copy in, no shuffle,
+no Python per row on the ASCII bulk.  At 100 TB this stage runs at
+regex-engine speed and pipelines with the reads.
+
+The step ORDER is part of the contract (strip → NFC → quotes → lower →
+collapse → trim) and the DuckDB oracle composes the identical functions in
+the identical order (both engines use RE2, so ``\\s``/class semantics
+agree).
+
+Reference parity: GX normalizes values only incidentally (e.g. regex
+expectations lowercase via ``(?i)``); a rewrite stage is beyond its surface
+— cited as absent in SURVEY.md §2 notes.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+# typographic -> ASCII: curly double/single quotes, en/em dash, ellipsis
+_QUOTE_MAP = [
+    ("[“”„]", '"'),
+    ("[‘’‚]", "'"),
+    ("[–—]", "-"),
+    ("…", "..."),
+]
+
+
+def _nfc(arr: pa.Array) -> pa.Array:
+    """NFC with an ASCII fast path.  This pyarrow build's ``utf8_normalize``
+    never COMPOSES (every form returns decomposed output), so it can't
+    produce true NFC; instead: a vectorized ``string_is_ascii`` screen (NFC
+    is the identity on ASCII), then CPython's ``unicodedata.normalize`` on
+    only the non-ASCII rows, patched back via ``replace_with_mask``.  Web
+    corpora are overwhelmingly ASCII per row, so the Python path touches a
+    tiny residue and the stage stays batch-vectorized."""
+    need = pc.invert(pc.fill_null(pc.string_is_ascii(arr), True))
+    idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+    if not len(idx):
+        return arr
+    fixed = pa.array(
+        [unicodedata.normalize("NFC", v)
+         for v in arr.take(pa.array(idx)).to_pylist()],
+        pa.string(),
+    )
+    return pc.replace_with_mask(arr, need, fixed)
+
+
+@dataclass(frozen=True)
+class NormalizeConfig:
+    strip_control: bool = True
+    nfc: bool = True
+    straighten_quotes: bool = True
+    lowercase: bool = False
+    collapse_whitespace: bool = True
+
+
+def normalize_array(text: pa.Array | pa.ChunkedArray,
+                    config: NormalizeConfig = NormalizeConfig()) -> pa.Array:
+    """Normalized copy of a string array (nulls preserved)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = pc.cast(text, pa.string())
+    if config.strip_control:
+        out = pc.replace_substring_regex(out, _CONTROL_RE, "")
+    if config.nfc:
+        out = _nfc(out)
+    if config.straighten_quotes:
+        for pat, rep in _QUOTE_MAP:
+            out = pc.replace_substring_regex(out, pat, rep)
+    if config.lowercase:
+        out = pc.utf8_lower(out)
+    if config.collapse_whitespace:
+        out = pc.replace_substring_regex(out, r"\s+", " ")
+        out = pc.utf8_trim_whitespace(out)
+    return out
+
+
+def normalize_text(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    config: NormalizeConfig = NormalizeConfig(),
+    out_col: str = "norm_text",
+):
+    """(id, norm_text, changed) per row — one vectorized pass."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        orig = pc.cast(tbl.column(text_col).combine_chunks(), pa.string())
+        norm = normalize_array(orig, config)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            out_col: norm,
+            "changed": pc.fill_null(pc.not_equal(norm, orig), False),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
