@@ -10,7 +10,8 @@ Semantics match SQL:
 
 - ``order_by`` may be one column or a list (composite ordering — pass a
   unique tie-breaker for a deterministic row_number, same requirement SQL
-  has);
+  has); each entry is ``"col"`` (ASC) or ``("col", "desc")``, nulls LAST
+  either way (mirror with NULLS LAST in oracle SQL for DESC);
 - null order keys sort LAST and still receive ranks (SQL NULLS LAST) —
   they never crash the kernel;
 - ``rank`` = row_number of the first peer (method='min'), ``dense_rank``
@@ -59,7 +60,17 @@ def windowed_rank(
     """Dataset of keep_cols + partition/order cols + requested window
     columns (``lag``/``lead`` require ``value_col``)."""
     outputs = list(outputs)
-    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+    raw = [order_by] if isinstance(order_by, str) else list(order_by)
+    # each entry: "col" (ASC) or ("col", "asc"|"desc")
+    order_cols, order_asc = [], []
+    for entry in raw:
+        if isinstance(entry, tuple):
+            col, direction = entry
+            order_cols.append(col)
+            order_asc.append(direction.lower() != "desc")
+        else:
+            order_cols.append(entry)
+            order_asc.append(True)
     for o in outputs:
         if o not in _SUPPORTED:
             raise ValueError(f"unsupported window function {o!r}")
@@ -70,7 +81,7 @@ def windowed_rank(
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([partition_by, *order_cols], kind="mergesort",
-                          na_position="last")
+                          ascending=[True, *order_asc], na_position="last")
         grp = g.groupby(partition_by, sort=False, dropna=False)
         out = g[needed].copy()
         rn = (grp.cumcount() + 1).to_numpy()

@@ -2128,6 +2128,169 @@ SELECT doc_id, norm_text, (norm_text <> dirty) AS changed FROM n ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------- #
+# code-payload corpus queries (code metrics / imports / licenses)
+# --------------------------------------------------------------------------- #
+
+_MINIFIED_BLOB = "z" * 240
+_AUTOGEN_HDR = "# auto-generated; do not edit\n"
+_LIC_HDRS = ["SPDX-License-Identifier: MIT\n",
+             "Licensed under the Apache License, Version 2.0\n",
+             "GNU General Public License\n", ""]
+
+
+def _derived_code_corpus(sf_dir: str):
+    """documents -> code-corpus shape (repo, content) with deterministic,
+    SQL-re-derivable structure: autogen/license headers, import lines, a
+    require() line, comment lines, and every doc_id%11==0 row a minified
+    blob.  Mirrors _SQL_CODE_CORPUS_CTE exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+
+        def smod(k):
+            return pc.cast(pa.array(ids % k), pa.string())
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        repo = pc.binary_join_element_wise(lit("repo_"), smod(5), "")
+        autogen = pc.if_else(pa.array(ids % 3 == 0), lit(_AUTOGEN_HDR), lit(""))
+        r4 = ids % 4
+        lic = pc.if_else(pa.array(r4 == 0), lit(_LIC_HDRS[0]),
+              pc.if_else(pa.array(r4 == 1), lit(_LIC_HDRS[1]),
+              pc.if_else(pa.array(r4 == 2), lit(_LIC_HDRS[2]), lit(""))))
+        imp1 = pc.binary_join_element_wise(lit("import mod"), smod(7), "\n", "")
+        imp2 = pc.binary_join_element_wise(
+            lit("from pkg"), smod(3), lit(" import thing\n"), "")
+        req = pc.if_else(
+            pa.array(ids % 2 == 1),
+            pc.binary_join_element_wise(
+                lit("const x = require('lib"), smod(5), lit("')\n"), ""),
+            lit(""))
+        cmt = pc.if_else(pa.array(ids % 7 <= 2), lit("// note\n"), lit(""))
+        body = pc.binary_join_element_wise(
+            autogen, lic, imp1, imp2, req, cmt,
+            pc.cast(tbl.column("text").combine_chunks(), pa.string()), lit("\n"), "")
+        content = pc.if_else(pa.array(ids % 11 == 0), lit(_MINIFIED_BLOB), body)
+        return pa.table({
+            "doc_id": doc_id,
+            "repo": repo,
+            "content": pc.cast(content, pa.large_string()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_CODE_CORPUS_CTE = r"""
+code_corpus AS (
+  SELECT doc_id,
+    'repo_' || CAST(doc_id % 5 AS VARCHAR) AS repo,
+    CASE WHEN doc_id % 11 = 0 THEN repeat('z', 240)
+         ELSE
+           (CASE WHEN doc_id % 3 = 0 THEN '# auto-generated; do not edit' || chr(10) ELSE '' END)
+        || (CASE doc_id % 4 WHEN 0 THEN 'SPDX-License-Identifier: MIT' || chr(10)
+                            WHEN 1 THEN 'Licensed under the Apache License, Version 2.0' || chr(10)
+                            WHEN 2 THEN 'GNU General Public License' || chr(10)
+                            ELSE '' END)
+        || 'import mod' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+        || 'from pkg' || CAST(doc_id % 3 AS VARCHAR) || ' import thing' || chr(10)
+        || (CASE WHEN doc_id % 2 = 1 THEN 'const x = require(''lib' || CAST(doc_id % 5 AS VARCHAR) || ''')' || chr(10) ELSE '' END)
+        || (CASE WHEN doc_id % 7 <= 2 THEN '// note' || chr(10) ELSE '' END)
+        || text || chr(10)
+    END AS content
+  FROM documents)
+"""
+
+
+def q_code_metrics_corpus(sf_dir: str) -> pd.DataFrame:
+    """Per-file code quality metrics (stages/code_metrics.py): line
+    structure, comment density, whitespace fraction, autogen/minified
+    flags.  Floats are single divisions of exact ints (oracle-safe)."""
+    from great_expectations_ray.stages.code_metrics import code_metrics
+
+    out = code_metrics(_derived_code_corpus(sf_dir)).select_columns(
+        ["doc_id", "n_lines", "max_line_len", "comment_lines",
+         "comment_frac", "ws_frac", "autogen", "minified"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_CODE_METRICS_CORPUS = ("WITH " + _SQL_CODE_CORPUS_CTE + r""",
+m AS (SELECT doc_id,
+        len(split(content, chr(10))) AS n_lines,
+        list_max(list_transform(split(content, chr(10)), x -> length(x))) AS max_line_len,
+        len(list_filter(split(content, chr(10)),
+                        x -> regexp_matches(x, '^\s*(#|//|--|\*|/\*)'))) AS comment_lines,
+        length(content) AS n_chars,
+        length(content) - length(regexp_replace(content, '[ \t\n\r\f\v]', '', 'g')) AS ws,
+        regexp_matches(content, '(?i)(auto-generated|do not edit|generated by)') AS autogen
+      FROM code_corpus)
+SELECT doc_id,
+  CAST(n_lines AS BIGINT) AS n_lines,
+  CAST(max_line_len AS BIGINT) AS max_line_len,
+  CAST(comment_lines AS BIGINT) AS comment_lines,
+  CASE WHEN n_lines > 0 THEN comment_lines / n_lines ELSE 0.0 END AS comment_frac,
+  CASE WHEN n_chars > 0 THEN ws / n_chars ELSE 0.0 END AS ws_frac,
+  autogen,
+  (max_line_len >= 200 AND (CASE WHEN n_chars > 0 THEN ws / n_chars ELSE 0.0 END) < 0.05
+     AND n_chars > 0) AS minified
+FROM m ORDER BY doc_id
+""")
+
+
+def q_imports_corpus(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide import/dependency counts (stages/imports_extract.py):
+    per-batch line split + RE2 extract + local pre-agg, one small
+    groupby(module) exchange."""
+    from great_expectations_ray.stages.imports_extract import import_counts
+
+    out = import_counts(_derived_code_corpus(sf_dir))
+    return out.to_pandas().sort_values("module").reset_index(drop=True)
+
+
+SQL_IMPORTS_CORPUS = ("WITH " + _SQL_CODE_CORPUS_CTE + r"""
+SELECT module, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT unnest(
+      regexp_extract_all(content, '(?m)^import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)', 1)
+   || regexp_extract_all(content, '(?m)^from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import', 1)
+   || regexp_extract_all(content, 'require\(''([^'']+)''\)', 1)
+  ) AS module FROM code_corpus)
+GROUP BY module ORDER BY module
+""")
+
+
+def q_license_majority_corpus(sf_dir: str) -> pd.DataFrame:
+    """Per-repo majority license (stages/license_detect.py): vectorized
+    first-match-wins tagging, one (repo,license) count exchange, then the
+    distributed row_number window picks the majority (ties -> smallest
+    license name)."""
+    from great_expectations_ray.stages.license_detect import repo_majority_license
+
+    out = repo_majority_license(_derived_code_corpus(sf_dir))
+    df = out.to_pandas()[["repo", "license", "cnt"]]
+    return df.sort_values("repo").reset_index(drop=True)
+
+
+SQL_LICENSE_MAJORITY_CORPUS = ("WITH " + _SQL_CODE_CORPUS_CTE + r""",
+lic AS (SELECT repo,
+          CASE WHEN regexp_matches(content, 'SPDX-License-Identifier: MIT|MIT License') THEN 'mit'
+               WHEN regexp_matches(content, 'Apache License') THEN 'apache-2.0'
+               WHEN regexp_matches(content, 'GNU General Public License') THEN 'gpl'
+               WHEN regexp_matches(content, 'BSD [0-9]-Clause') THEN 'bsd'
+               ELSE 'unknown' END AS license
+        FROM code_corpus),
+cnts AS (SELECT repo, license, CAST(count(*) AS BIGINT) AS cnt
+         FROM lic GROUP BY repo, license)
+SELECT repo, license, cnt FROM cnts
+QUALIFY row_number() OVER (PARTITION BY repo ORDER BY cnt DESC, license ASC) = 1
+ORDER BY repo
+""")
+
+
+# --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
 
@@ -2192,6 +2355,9 @@ QUERIES = {
     "bm25_search_docs": q_bm25_search_docs,
     "mix_repetition_docs": q_mix_repetition_docs,
     "normalize_docs": q_normalize_docs,
+    "code_metrics_corpus": q_code_metrics_corpus,
+    "imports_corpus": q_imports_corpus,
+    "license_majority_corpus": q_license_majority_corpus,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2266,6 +2432,9 @@ ORACLE_SQL = {
     "bm25_search_docs": SQL_BM25_SEARCH_DOCS,
     "mix_repetition_docs": SQL_MIX_REPETITION_DOCS,
     "normalize_docs": SQL_NORMALIZE_DOCS,
+    "code_metrics_corpus": SQL_CODE_METRICS_CORPUS,
+    "imports_corpus": SQL_IMPORTS_CORPUS,
+    "license_majority_corpus": SQL_LICENSE_MAJORITY_CORPUS,
 }
 
 # --------------------------------------------------------------------------- #
