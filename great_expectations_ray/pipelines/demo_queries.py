@@ -2290,6 +2290,112 @@ ORDER BY repo
 """)
 
 
+def _derived_url_corpus(sf_dir: str):
+    """documents -> (doc_id, url) with deterministic 'dirty' URLs (mixed-
+    case host, www, utm params in every position, fragments).  Mirrors
+    _SQL_URL_CORPUS_CTE exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+
+        def smod(k):
+            return pc.cast(pa.array(ids % k), pa.string())
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        r3 = ids % 3
+        query = pc.if_else(
+            pa.array(r3 == 0),
+            pc.binary_join_element_wise(lit("?utm_source=feed&ref="), smod(5), ""),
+            pc.if_else(
+                pa.array(r3 == 1),
+                lit("?utm_campaign=x"),
+                pc.binary_join_element_wise(
+                    lit("?id="), smod(7), lit("&utm_medium=em"), "")))
+        frag = pc.if_else(pa.array(ids % 4 == 0), lit("#sec"), lit(""))
+        url = pc.binary_join_element_wise(
+            lit("https://WWW.Site"), smod(13), lit(".COM/Path/"),
+            pc.cast(doc_id, pa.string()), query, frag, "")
+        return pa.table({"doc_id": doc_id, "url": url})
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SQL_URL_CORPUS_CTE = r"""
+url_corpus AS (
+  SELECT doc_id,
+    'https://WWW.Site' || CAST(doc_id % 13 AS VARCHAR) || '.COM/Path/' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+            WHEN doc_id % 3 = 1 THEN '?utm_campaign=x'
+            ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=em' END
+    || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents)
+"""
+
+_SQL_URL_CANON_STEPS = r"""
+uc0 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u0 FROM url_corpus),
+uc1 AS (SELECT doc_id,
+          CASE WHEN regexp_matches(u0, '^https?://')
+               THEN lower(regexp_extract(u0, '^(https?://[^/?#]*)', 1))
+                    || regexp_replace(u0, '^https?://[^/?#]*', '')
+               ELSE u0 END AS u1 FROM uc0),
+uc2 AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(u1,
+            'utm_[a-z]+=[^&]*&', '', 'g'),
+            '[?&]utm_[a-z]+=[^&]*$', ''),
+            '\?$', '') AS canon_url FROM uc1),
+canon AS (SELECT doc_id, canon_url,
+            regexp_extract(canon_url, '^https?://(?:www\.)?([^/:?#]+)', 1) AS domain
+          FROM uc2)
+"""
+
+
+def q_url_canon_docs(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization + domain extraction (stages/urlops.py):
+    fragment strip, authority-only lowercasing, utm param removal — all
+    RE2 kernels, no shuffle."""
+    from great_expectations_ray.stages.urlops import tag_urls
+
+    out = tag_urls(_derived_url_corpus(sf_dir)).select_columns(
+        ["doc_id", "canon_url", "domain"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_URL_CANON_DOCS = ("WITH " + _SQL_URL_CORPUS_CTE + "," + _SQL_URL_CANON_STEPS + """
+SELECT doc_id, canon_url, domain FROM canon ORDER BY doc_id
+""")
+
+_DOMAIN_BLOCKLIST = ("site0.com", "site5.com")
+_DOMAIN_CAP_K = 30
+
+
+def q_domain_cap_docs(sf_dir: str) -> pd.DataFrame:
+    """Domain policy (stages/urlops.py): blocklist filter (broadcast
+    is_in mask) + per-domain cap of 30 docs by deterministic md5 rank
+    (stages/stratified.py shape: map-side candidate top-k, one bucketed
+    groupby(domain) exchange)."""
+    from great_expectations_ray.stages.urlops import domain_policy
+
+    out = domain_policy(
+        _derived_url_corpus(sf_dir),
+        blocklist=_DOMAIN_BLOCKLIST, cap_k=_DOMAIN_CAP_K)
+    return (out.to_pandas()[["domain", "doc_id"]]
+            .sort_values(["domain", "doc_id"]).reset_index(drop=True))
+
+
+SQL_DOMAIN_CAP_DOCS = ("WITH " + _SQL_URL_CORPUS_CTE + "," + _SQL_URL_CANON_STEPS + f"""
+SELECT domain, doc_id FROM canon
+WHERE domain NOT IN ('{_DOMAIN_BLOCKLIST[0]}', '{_DOMAIN_BLOCKLIST[1]}')
+QUALIFY row_number() OVER (
+    PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_DOMAIN_CAP_K}
+ORDER BY domain, doc_id
+""")
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2358,6 +2464,8 @@ QUERIES = {
     "code_metrics_corpus": q_code_metrics_corpus,
     "imports_corpus": q_imports_corpus,
     "license_majority_corpus": q_license_majority_corpus,
+    "url_canon_docs": q_url_canon_docs,
+    "domain_cap_docs": q_domain_cap_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2435,6 +2543,8 @@ ORACLE_SQL = {
     "code_metrics_corpus": SQL_CODE_METRICS_CORPUS,
     "imports_corpus": SQL_IMPORTS_CORPUS,
     "license_majority_corpus": SQL_LICENSE_MAJORITY_CORPUS,
+    "url_canon_docs": SQL_URL_CANON_DOCS,
+    "domain_cap_docs": SQL_DOMAIN_CAP_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
