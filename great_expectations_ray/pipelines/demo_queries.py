@@ -2396,6 +2396,74 @@ ORDER BY domain, doc_id
 """)
 
 
+def q_toxicity_docs(sf_dir: str) -> pd.DataFrame:
+    """Toxicity scoring + masking scrub (stages/toxicity.py): merged
+    word-boundary alternation, count + rewrite per batch, md5 of the
+    masked content proves rewrite parity row-for-row."""
+    from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.toxicity import score_toxicity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+        r5 = ids % 5
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        suffix = pc.if_else(pa.array(r5 == 0), lit(" damn idiot spam"),
+                 pc.if_else(pa.array(r5 == 1), lit(" Hell no"),
+                 pc.if_else(pa.array(r5 == 2), lit(" hellish tale"), lit(""))))
+        content = pc.binary_join_element_wise(
+            pc.cast(tbl.column("text").combine_chunks(), pa.string()), suffix, "")
+        return pa.table({"doc_id": doc_id, "content": content})
+
+    scored = score_toxicity(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        mask=True)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "tox_matches": tbl.column("tox_matches"),
+            "word_cnt": tbl.column("word_cnt"),
+            "tox_score": tbl.column("tox_score"),
+            "toxic": tbl.column("toxic"),
+            "masked_md5": md5_column(tbl.column("masked")),
+        })
+
+    out = scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+_TOX_PAT_SQL = r"(?i)\b(?:damn|hell|crap|idiot|stupid|moron|jerk)\b"
+
+SQL_TOXICITY_DOCS = rf"""
+WITH tox_corpus AS (
+  SELECT doc_id,
+         text || CASE doc_id % 5 WHEN 0 THEN ' damn idiot spam'
+                                 WHEN 1 THEN ' Hell no'
+                                 WHEN 2 THEN ' hellish tale'
+                                 ELSE '' END AS content
+  FROM documents),
+m AS (SELECT doc_id,
+        len(regexp_extract_all(content, '{_TOX_PAT_SQL}')) AS tox_matches,
+        len(regexp_extract_all(content, '\S+')) AS word_cnt,
+        md5(regexp_replace(content, '{_TOX_PAT_SQL}', '****', 'g')) AS masked_md5
+      FROM tox_corpus)
+SELECT doc_id,
+  CAST(tox_matches AS BIGINT) AS tox_matches,
+  CAST(word_cnt AS BIGINT) AS word_cnt,
+  CASE WHEN word_cnt > 0 THEN CAST(tox_matches AS DOUBLE) / word_cnt ELSE 0.0 END AS tox_score,
+  (CASE WHEN word_cnt > 0 THEN CAST(tox_matches AS DOUBLE) / word_cnt ELSE 0.0 END) > 0.01 AS toxic,
+  masked_md5
+FROM m ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2466,6 +2534,7 @@ QUERIES = {
     "license_majority_corpus": q_license_majority_corpus,
     "url_canon_docs": q_url_canon_docs,
     "domain_cap_docs": q_domain_cap_docs,
+    "toxicity_docs": q_toxicity_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2545,6 +2614,7 @@ ORACLE_SQL = {
     "license_majority_corpus": SQL_LICENSE_MAJORITY_CORPUS,
     "url_canon_docs": SQL_URL_CANON_DOCS,
     "domain_cap_docs": SQL_DOMAIN_CAP_DOCS,
+    "toxicity_docs": SQL_TOXICITY_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
