@@ -2464,6 +2464,72 @@ FROM m ORDER BY doc_id
 """
 
 
+_BP_MIN_DOCS = 50
+
+
+def q_boilerplate_docs(sf_dir: str) -> pd.DataFrame:
+    """Boilerplate line removal (stages/boilerplate.py): corpus-wide
+    document-frequency pass -> broadcast frequent-line set -> vectorized
+    per-batch rewrite.  md5 of the cleaned content proves the rewrite."""
+    from great_expectations_ray.stages.boilerplate import remove_boilerplate
+    from great_expectations_ray.stages.dedup import md5_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        cookies = pc.if_else(pa.array(ids % 2 == 0),
+                             lit("please accept our cookies\n"), lit(""))
+        rights = pc.if_else(pa.array(ids % 3 == 0),
+                            lit("all rights reserved\n"), lit(""))
+        content = pc.binary_join_element_wise(
+            cookies, rights, lit("marker "), pc.cast(doc_id, pa.string()),
+            lit("\n"), pc.cast(tbl.column("text").combine_chunks(), pa.string()), "")
+        return pa.table({"doc_id": doc_id, "content": content})
+
+    corpus = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    cleaned = remove_boilerplate(corpus, min_docs=_BP_MIN_DOCS)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "clean_md5": md5_column(tbl.column("content")),
+            "n_dropped": tbl.column("n_dropped"),
+        })
+
+    out = cleaned.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_BOILERPLATE_DOCS = f"""
+WITH bp_corpus AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'please accept our cookies' || chr(10) ELSE '' END)
+ || (CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved' || chr(10) ELSE '' END)
+ || 'marker ' || CAST(doc_id AS VARCHAR) || chr(10) || text AS content
+  FROM documents),
+lines AS (SELECT doc_id, unnest(split(content, chr(10))) AS line FROM bp_corpus),
+dl AS (SELECT DISTINCT doc_id, line FROM lines),
+freq AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= {_BP_MIN_DOCS}),
+fl AS (SELECT coalesce(list(line), []) AS f FROM freq),
+outp AS (SELECT doc_id,
+           array_to_string(list_filter(split(content, chr(10)),
+                                       x -> NOT list_contains(f, x)), chr(10)) AS clean,
+           len(split(content, chr(10)))
+             - len(list_filter(split(content, chr(10)),
+                               x -> NOT list_contains(f, x))) AS n_dropped
+         FROM bp_corpus, fl)
+SELECT doc_id, md5(clean) AS clean_md5, CAST(n_dropped AS BIGINT) AS n_dropped
+FROM outp ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2535,6 +2601,7 @@ QUERIES = {
     "url_canon_docs": q_url_canon_docs,
     "domain_cap_docs": q_domain_cap_docs,
     "toxicity_docs": q_toxicity_docs,
+    "boilerplate_docs": q_boilerplate_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2615,6 +2682,7 @@ ORACLE_SQL = {
     "url_canon_docs": SQL_URL_CANON_DOCS,
     "domain_cap_docs": SQL_DOMAIN_CAP_DOCS,
     "toxicity_docs": SQL_TOXICITY_DOCS,
+    "boilerplate_docs": SQL_BOILERPLATE_DOCS,
 }
 
 # --------------------------------------------------------------------------- #

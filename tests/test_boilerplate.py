@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from great_expectations_ray.stages.boilerplate import (
+    frequent_lines,
+    remove_boilerplate,
+)
+
+
+def _corpus():
+    return rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "content": [
+            "cookie banner\nunique a\nfooter",
+            "cookie banner\nunique b",
+            "unique c\nfooter",
+            "cookie banner\nfooter\nunique d",
+        ],
+    }))
+
+
+def test_frequent_lines_df_counts(ray_session):
+    freq = {r["line"]: r["df"] for r in
+            frequent_lines(_corpus(), min_docs=3).take_all()}
+    assert freq == {"cookie banner": 3, "footer": 3}
+
+
+def test_line_counted_once_per_doc(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "content": ["dup\ndup\ndup", "dup", "x"],
+    }))
+    freq = {r["line"]: r["df"] for r in
+            frequent_lines(ds, min_docs=2).take_all()}
+    assert freq == {"dup": 2}  # 3 occurrences in doc 0 count once
+
+
+def test_remove_rewrites_and_counts(ray_session):
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(_corpus(), min_docs=3).take_all()}
+    assert out[0]["content"] == "unique a" and out[0]["n_dropped"] == 2
+    assert out[1]["content"] == "unique b" and out[1]["n_dropped"] == 1
+    assert out[3]["content"] == "unique d" and out[3]["n_dropped"] == 2
+
+
+def test_no_frequent_lines_is_identity(ray_session):
+    out = remove_boilerplate(_corpus(), min_docs=10).take_all()
+    assert all(r["n_dropped"] == 0 for r in out)
+
+
+def test_max_set_size_guard(ray_session):
+    with pytest.raises(ValueError, match="max_set_size"):
+        remove_boilerplate(_corpus(), min_docs=1, max_set_size=2)
