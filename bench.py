@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "decontaminate_docs",
     "ks_uniform_quantity",
     "stratified_docs",
+    "c4_clean_docs",
+    "normalize_docs",
+    "code_metrics_corpus",
+    "toxicity_docs",
+    "boilerplate_docs",
 ]
 
 
