@@ -2530,6 +2530,58 @@ FROM outp ORDER BY doc_id
 """
 
 
+def q_substr_dup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-substring detection (stages/substr_dedup.py,
+    ExactSubstr / Lee et al. 2022): every 40-char window, cross-document
+    collisions only; per-doc duplicated-window count + first position."""
+    from great_expectations_ray.stages.substr_dedup import duplicate_substrings
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        r10 = ids % 10
+        suffix = pc.if_else(pa.array(r10 < 2),
+                 lit(" COMMON LICENSE HEADER BLOCK COPIED VERBATIM ACROSS FILES"),
+                 pc.if_else(pa.array(r10 == 5),
+                 lit(" ANOTHER SHARED DISCLAIMER PARAGRAPH REPEATED IN SOME FILES TOO"),
+                 lit("")))
+        content = pc.binary_join_element_wise(
+            pc.cast(tbl.column("text").combine_chunks(), pa.string()), suffix, "")
+        return pa.table({"doc_id": doc_id, "content": content})
+
+    corpus = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = duplicate_substrings(corpus, content_col="content", window=40, stride=1)
+    return (out.to_pandas()[["doc_id", "dup_windows", "first_dup_pos"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+SQL_SUBSTR_DUP_DOCS = r"""
+WITH sd_corpus AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 10 < 2 THEN ' COMMON LICENSE HEADER BLOCK COPIED VERBATIM ACROSS FILES'
+                 WHEN doc_id % 10 = 5 THEN ' ANOTHER SHARED DISCLAIMER PARAGRAPH REPEATED IN SOME FILES TOO'
+                 ELSE '' END AS content
+  FROM documents),
+wins AS (SELECT doc_id, content,
+           unnest(generate_series(0, greatest(length(content) - 40, -1), 1)) AS p
+         FROM sd_corpus),
+ww AS (SELECT doc_id, p, substr(content, p + 1, 40) AS win FROM wins),
+dup AS (SELECT win FROM ww GROUP BY win HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS dup_windows,
+  CAST(min(p) AS BIGINT) AS first_dup_pos
+FROM ww WHERE win IN (SELECT win FROM dup)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2602,6 +2654,7 @@ QUERIES = {
     "domain_cap_docs": q_domain_cap_docs,
     "toxicity_docs": q_toxicity_docs,
     "boilerplate_docs": q_boilerplate_docs,
+    "substr_dup_docs": q_substr_dup_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2683,6 +2736,7 @@ ORACLE_SQL = {
     "domain_cap_docs": SQL_DOMAIN_CAP_DOCS,
     "toxicity_docs": SQL_TOXICITY_DOCS,
     "boilerplate_docs": SQL_BOILERPLATE_DOCS,
+    "substr_dup_docs": SQL_SUBSTR_DUP_DOCS,
 }
 
 # --------------------------------------------------------------------------- #

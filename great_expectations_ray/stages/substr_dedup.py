@@ -1,0 +1,134 @@
+"""Exact duplicate-substring detection — the ExactSubstr pass of
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ACL 2022), re-expressed for Ray Data.
+
+The paper builds a corpus-wide suffix array; the equivalent Ray shape is
+fixed ``window``-char windows at EVERY position (stride=1, the default):
+any cross-document substring of length >= window produces colliding
+windows, exactly.  ``stride > 1`` cuts the explode volume by that factor
+but is position-SENSITIVE (two docs sample a shared span at different
+alignments unless its offsets agree mod stride) — for robust sampled
+detection at 100 TB use the content-defined winnowing fingerprints
+(stages/fingerprint.py, ``fingerprint_overlap_docs``), which pick the
+same positions inside a shared span regardless of alignment; this stage
+is the exact verifier.
+
+Pipeline (two exchanges, both bucketed):
+
+1. explode: per batch, windows are sliced straight off the Arrow byte
+   buffer with one numpy 2-D gather (no per-row Python) ->
+   (doc_id, pos, win) rows; shuffle volume = len(text)/stride rows/doc.
+2. ``groupby(win)`` [bucketed]: keep rows whose window occurs in >= 2
+   DISTINCT docs (within-doc repeats alone don't mark — cross-document
+   duplication only, the variant CCNet/RefinedWeb apply).
+3. ``groupby(doc_id)`` [bucketed, with map-side partial agg]: per-doc
+   duplicated-window count and first duplicated position — this second
+   exchange only carries the (usually tiny) duplicated subset.
+
+Positions are 0-based BYTE offsets; for ASCII corpora they equal the
+1-based-minus-1 character offsets DuckDB's ``substr`` uses, which is what
+the oracle asserts (TESTDATA documents are ASCII).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+from great_expectations_ray.stages.scrub import _string_buffer_views
+
+
+def window_table(
+    content: pa.Array | pa.ChunkedArray,
+    doc_ids: pa.Array | pa.ChunkedArray,
+    *,
+    window: int,
+    stride: int,
+) -> pa.Table:
+    """(doc_id, pos, win) for every sampled window — one numpy gather."""
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    s = pc.cast(pc.fill_null(content, ""), pa.large_string())
+    offs, mv = _string_buffer_views(s)
+    offs = offs.astype(np.int64)
+    data = np.frombuffer(mv, dtype=np.uint8)
+    lens = offs[1:] - offs[:-1]
+    n_wins = np.maximum((lens - window) // stride + 1, 0)
+    total = int(n_wins.sum())
+    empty = pa.table({
+        "doc_id": pa.array([], doc_ids.type),
+        "pos": pa.array([], pa.int64()),
+        "win": pa.array([], pa.large_string()),
+    })
+    if total == 0:
+        return empty
+    row = np.repeat(np.arange(len(lens), dtype=np.int64), n_wins)
+    # window index within its row
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(n_wins, out=starts[1:])
+    widx = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], n_wins)
+    pos = widx * stride
+    abs_start = offs[:-1][row] + pos
+    # n x window uint8 gather -> one contiguous buffer
+    win_bytes = data[abs_start[:, None] + np.arange(window, dtype=np.int64)]
+    win_buf = pa.py_buffer(np.ascontiguousarray(win_bytes).tobytes())
+    win_offs = pa.py_buffer(
+        (np.arange(total + 1, dtype=np.int64) * window).tobytes())
+    wins = pa.Array.from_buffers(
+        pa.large_string(), total, [None, win_offs, win_buf])
+    return pa.table({
+        "doc_id": doc_ids.take(pa.array(row)),
+        "pos": pa.array(pos),
+        "win": wins,
+    })
+
+
+def duplicate_substrings(
+    ds,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 1,
+):
+    """Dataset[(doc_id, dup_windows, first_dup_pos)] for documents holding
+    at least one window shared with ANOTHER document."""
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        return window_table(
+            tbl.column(content_col), tbl.column(id_col),
+            window=window, stride=stride)
+
+    exploded = ds.select_columns([id_col, content_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_cross_doc_dups(g: pd.DataFrame) -> pd.DataFrame:
+        shared = g.groupby("win", sort=False)[id_col].transform("nunique") >= 2
+        return g.loc[shared, [id_col, "pos"]]
+
+    dup_rows = grouped_apply_bucketed(exploded, ["win"], keep_cross_doc_dups)
+
+    def local_agg(tbl: pa.Table) -> pa.Table:
+        g = tbl.group_by(id_col).aggregate([("pos", "count"), ("pos", "min")])
+        return pa.table({
+            id_col: g.column(id_col),
+            "dup_windows": pc.cast(g.column("pos_count"), pa.int64()),
+            "first_dup_pos": pc.cast(g.column("pos_min"), pa.int64()),
+        })
+
+    partials = dup_rows.map_batches(
+        local_agg, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, sort=False).agg(
+            dup_windows=("dup_windows", "sum"),
+            first_dup_pos=("first_dup_pos", "min"),
+        ).reset_index()
+        return out
+
+    return grouped_apply_bucketed(partials, [id_col], merge)
