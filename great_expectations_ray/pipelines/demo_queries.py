@@ -2582,6 +2582,34 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_lm_trained_ppl_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed LM training + scoring (stages/perplexity.py
+    ``distributed_train_char_lm``): corpus-wide trigram counts via sparse
+    per-batch partials and one bucketed groupby(cell) exchange, then the
+    trained model broadcasts once for actor-pool scoring.  Fixture oracle
+    retrains the same model with an independent pure-python pass."""
+    import ray as _ray
+
+    from great_expectations_ray.stages.perplexity import (
+        PerplexityScorer,
+        distributed_train_char_lm,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    model = distributed_train_char_lm(ds, column="text")
+    ref = _ray.put(model)
+    scored = ds.map_batches(
+        PerplexityScorer,
+        fn_constructor_kwargs={"model_ref": ref, "column": "text", "precise": True},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    rows = scored.select_columns(["doc_id", "perplexity"]).take_all()
+    df = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    df["perplexity"] = df["perplexity"].round(6)
+    return df
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2655,6 +2683,7 @@ QUERIES = {
     "toxicity_docs": q_toxicity_docs,
     "boilerplate_docs": q_boilerplate_docs,
     "substr_dup_docs": q_substr_dup_docs,
+    "lm_trained_ppl_docs": q_lm_trained_ppl_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2770,6 +2799,8 @@ ORACLE_SQL.update({
         "langid_docs", "doc_id, lang_pred", _FP_DOCS, "doc_id"),
     "perplexity_docs": _fixture_sql(
         "perplexity_docs", "doc_id, perplexity", _FP_DOCS, "doc_id"),
+    "lm_trained_ppl_docs": _fixture_sql(
+        "lm_trained_ppl_docs", "doc_id, perplexity", _FP_DOCS, "doc_id"),
     "minhash_neardup_docs": _fixture_sql(
         "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "simhash_neardup_docs": _fixture_sql(

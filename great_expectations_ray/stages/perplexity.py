@@ -206,3 +206,74 @@ def build_reference_model(
         sample = ds.select_columns([column]).limit(sample_rows).take_all()
     texts = [r[column] for r in sample if r[column]]
     return train_char_lm(texts)
+
+
+class _TrigramCounter:
+    """map_batches callable: batch -> sparse (cell, cnt) trigram partials.
+
+    Trigrams never cross row boundaries (same contract as
+    ``train_char_lm``'s per-text loop).  One numpy pass per batch: absolute
+    trigram start offsets via the repeat/cumsum construction, three strided
+    byte gathers, ``ctx_bucket``, then ``np.unique`` collapses the batch to
+    at most |distinct (ctx, next)| <= N_CTX*256 rows — the map-side
+    pre-aggregation that bounds the single shuffle."""
+
+    def __init__(self, column: str = "content"):
+        self.column = column
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from great_expectations_ray.stages.scrub import _string_buffer_views
+
+        s = tbl.column(self.column)
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.cast(pc.fill_null(s, ""), pa.large_string())
+        offs, mv = _string_buffer_views(s)
+        offs = offs.astype(np.int64)
+        data = np.frombuffer(mv, dtype=np.uint8)
+        lens = offs[1:] - offs[:-1]
+        n_tri = np.maximum(lens - 2, 0)
+        total = int(n_tri.sum())
+        if total == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(n_tri, out=starts[1:])
+        widx = np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], n_tri)
+        abs_start = np.repeat(offs[:-1], n_tri) + widx
+        ctx = ctx_bucket(data[abs_start], data[abs_start + 1]).astype(np.int64)
+        cells = ctx * V + data[abs_start + 2].astype(np.int64)
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uniq), "cnt": pa.array(cnt)})
+
+
+def distributed_train_char_lm(ds, *, column: str = "content",
+                              add_k: float = 0.1) -> np.ndarray:
+    """Corpus-wide LM training as a Ray pipeline — the distributed
+    equivalent of ``train_char_lm`` over EVERY row (bit-identical table:
+    trigram counts are exact integer sums, so partitioning and order are
+    irrelevant; smoothing/log happen once on the final counts).
+
+    Shape: sparse per-batch partials -> ONE bucketed ``groupby(cell)``
+    exchange -> the <= N_CTX*256-row count table materializes on the
+    driver only to build the dense model (which is then ``ray.put``
+    broadcast for scoring, never re-shipped per batch)."""
+    import pandas as _pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    partials = ds.select_columns([column]).map_batches(
+        _TrigramCounter(column), batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+        return g.groupby("cell", sort=False)["cnt"].sum().reset_index()
+
+    rows = grouped_apply_bucketed(partials, ["cell"], merge).take_all()
+    counts = np.zeros(N_CTX * V, dtype=np.float64)
+    if rows:
+        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
+        cnts = np.array([r["cnt"] for r in rows], dtype=np.float64)
+        counts[cells] = cnts
+    counts = counts.reshape(N_CTX, V)
+    sm = counts + add_k
+    return np.log2(sm / sm.sum(axis=1, keepdims=True)).astype(np.float16)

@@ -117,6 +117,41 @@ def perplexity_fixture(docs: pd.DataFrame, sample_rows: int = 200) -> pd.DataFra
     return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(), "perplexity": out})
 
 
+def lm_trained_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    # full-corpus-trained LM (the distributed-training query): same model
+    # family as perplexity_fixture but counts accumulate over EVERY row
+    from collections import Counter
+
+    counts = Counter()
+    for text in docs["text"]:
+        if not text:
+            continue
+        b = text.encode("utf-8", "replace")
+        for i in range(len(b) - 2):
+            counts[(_bucket(b[i], b[i + 1]), b[i + 2])] += 1
+    mat = np.zeros((N_CTX, 256), dtype=np.float64)
+    for (ctx, nxt), c in counts.items():
+        mat[ctx, nxt] = c
+    sm = mat + 0.1
+    table = np.log2(sm / sm.sum(axis=1, keepdims=True)).astype(np.float16)
+
+    out = []
+    for text in docs["text"]:
+        b = (text or "").encode("utf-8", "replace")[:65536]
+        if len(b) == 0:
+            out.append(1e9)
+            continue
+        if len(b) < 3:
+            out.append(256.0)
+            continue
+        lp = 0.0
+        for i in range(len(b) - 2):
+            lp += float(table[_bucket(b[i], b[i + 1]), b[i + 2]])
+        h = -(lp / (len(b) - 2))
+        out.append(round(float(2.0 ** h), 6))
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(), "perplexity": out})
+
+
 # --------------------------------------------------------------------------- #
 # minhash — per-doc window hashing, global python-dict LSH grouping
 # --------------------------------------------------------------------------- #
@@ -504,6 +539,7 @@ def main(sf_dirs: list[str]) -> None:
         for name, df, fp in [
             ("langid_docs", langid_fixture(docs), fp_docs),
             ("perplexity_docs", perplexity_fixture(docs), fp_docs),
+            ("lm_trained_ppl_docs", lm_trained_fixture(docs), fp_docs),
             ("minhash_neardup_docs", minhash_fixture(docs), fp_docs),
             ("minhash_verified_docs", minhash_verified_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
