@@ -159,3 +159,50 @@ def exact_quantiles_distributed(
     for r in ds.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True).take_all():
         best[r["i"]] = min(best[r["i"]], r["v"])
     return [float(v) for v in best]
+
+
+def grouped_quantiles_disc(ds, *, group_cols, value_col, qs):
+    """Per-group EXACT discrete quantiles (SQL ``quantile_disc``: the
+    element at 1-based rank ceil(q*n) within the sorted group).
+
+    Rank arithmetic is exact integer math via ``Fraction(str(q))`` — never
+    ``ceil(q*n)`` in floats, where 0.95*20 == 19.000000000000004 would
+    off-by-one the rank (DuckDB itself resolves ranks exactly; verified
+    n=7..100).
+
+    Scale shape: one bucketed ``groupby(group_cols)`` exchange
+    (functions/bucketed.py — per-group overhead-free at high cardinality),
+    then a single mergesort + vectorized rank gather per bucket.  For a
+    quantile over the WHOLE table use the engine's VC/rank-selection paths
+    instead; this is the per-group (per-language, per-repo) variant.
+
+    Output columns: group_cols + ``p<percent>`` per requested q.
+    """
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    group_cols = list(group_cols)
+    fracs = [Fraction(str(q)) for q in qs]
+    names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs]
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*group_cols, value_col], kind="mergesort",
+                          na_position="last")
+        sizes = g.groupby(group_cols, sort=False, dropna=False).size()
+        n = sizes.to_numpy()
+        starts = np.concatenate(([0], np.cumsum(n)[:-1]))
+        vals = g[value_col].to_numpy()
+        out = sizes.reset_index()[group_cols].copy()
+        for frac, name in zip(fracs, names):
+            # 1-based rank ceil(q*n) == -(-q.num*n // q.den), exact
+            rank = -(-frac.numerator * n // frac.denominator)
+            idx = starts + np.clip(rank - 1, 0, n - 1)
+            out[name] = vals[idx]
+        return out
+
+    return grouped_apply_bucketed(
+        ds.select_columns([*group_cols, value_col]), group_cols, bucket
+    )

@@ -2610,6 +2610,27 @@ def q_lm_trained_ppl_docs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_grouped_quantiles_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact discrete quantiles (functions/quantiles.py
+    ``grouped_quantiles_disc``): doc-length p25/p50/p95 per language, one
+    bucketed exchange, exact integer rank arithmetic."""
+    from great_expectations_ray.functions.quantiles import grouped_quantiles_disc
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = grouped_quantiles_disc(
+        ds, group_cols=["lang"], value_col="n_chars", qs=[0.25, 0.5, 0.95])
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+SQL_GROUPED_QUANTILES_DOCS = """
+SELECT lang,
+  quantile_disc(n_chars, 0.25) AS p25,
+  quantile_disc(n_chars, 0.5)  AS p50,
+  quantile_disc(n_chars, 0.95) AS p95
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2684,6 +2705,7 @@ QUERIES = {
     "boilerplate_docs": q_boilerplate_docs,
     "substr_dup_docs": q_substr_dup_docs,
     "lm_trained_ppl_docs": q_lm_trained_ppl_docs,
+    "grouped_quantiles_docs": q_grouped_quantiles_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2766,6 +2788,7 @@ ORACLE_SQL = {
     "toxicity_docs": SQL_TOXICITY_DOCS,
     "boilerplate_docs": SQL_BOILERPLATE_DOCS,
     "substr_dup_docs": SQL_SUBSTR_DUP_DOCS,
+    "grouped_quantiles_docs": SQL_GROUPED_QUANTILES_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
