@@ -189,19 +189,22 @@ def grouped_quantiles_disc(ds, *, group_cols, value_col, qs):
     names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in qs]
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([*group_cols, value_col], kind="mergesort",
-                          na_position="last")
-        sizes = g.groupby(group_cols, sort=False, dropna=False).size()
+        # SQL aggregate semantics: NULL values are ignored by quantile_disc
+        # but the GROUP itself survives (all-null group -> NULL quantiles)
+        nn = g[g[value_col].notna()].sort_values(
+            [*group_cols, value_col], kind="mergesort")
+        sizes = nn.groupby(group_cols, sort=False, dropna=False).size()
         n = sizes.to_numpy()
         starts = np.concatenate(([0], np.cumsum(n)[:-1]))
-        vals = g[value_col].to_numpy()
+        vals = nn[value_col].to_numpy()
         out = sizes.reset_index()[group_cols].copy()
         for frac, name in zip(fracs, names):
             # 1-based rank ceil(q*n) == -(-q.num*n // q.den), exact
             rank = -(-frac.numerator * n // frac.denominator)
             idx = starts + np.clip(rank - 1, 0, n - 1)
             out[name] = vals[idx]
-        return out
+        all_groups = g[group_cols].drop_duplicates()
+        return all_groups.merge(out, on=group_cols, how="left")
 
     return grouped_apply_bucketed(
         ds.select_columns([*group_cols, value_col]), group_cols, bucket

@@ -81,7 +81,10 @@ class _BoilerplateRewriter:
         self.drop_set = pc.cast(lines, pa.large_string())
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        lines = _line_list(tbl.column(self.content_col))
+        orig = tbl.column(self.content_col)
+        if isinstance(orig, pa.ChunkedArray):
+            orig = orig.combine_chunks()
+        lines = _line_list(orig)
         loff = np.asarray(lines.offsets, dtype=np.int64)
         flat = lines.values
         keep = pc.invert(pc.is_in(flat, value_set=self.drop_set))
@@ -92,11 +95,17 @@ class _BoilerplateRewriter:
             pa.array(new_off, pa.int64()), flat.filter(keep)
         )
         clean = pc.binary_join(rebuilt, pa.scalar("\n", pa.large_string()))
-        n_dropped = np.diff(loff) - np.diff(new_off)
+        n_dropped = pa.array(np.diff(loff) - np.diff(new_off))
+        # SQL null semantics: string ops on NULL content yield NULL — never
+        # silently rewrite a null row to ''
+        null_mask = pc.is_null(orig)
+        clean = pc.if_else(null_mask, pa.scalar(None, pa.large_string()), clean)
+        n_dropped = pc.if_else(null_mask, pa.scalar(None, pa.int64()),
+                               pc.cast(n_dropped, pa.int64()))
         return (
             tbl.drop_columns([self.content_col])
             .append_column(self.content_col, clean)
-            .append_column("n_dropped", pa.array(n_dropped))
+            .append_column("n_dropped", n_dropped)
         )
 
 

@@ -37,8 +37,9 @@ def extract_import_modules(
     content: pa.Array | pa.ChunkedArray,
     patterns: tuple[str, ...] = DEFAULT_IMPORT_PATTERNS,
 ) -> tuple[pa.Array, np.ndarray]:
-    """(modules, row_ids): one entry per matched import line, in pattern
-    order then line order — row_ids maps each module back to its row."""
+    """(modules, row_ids): one entry per import MATCH (a line can hold
+    several) — row_ids maps each module back to its row; output order is
+    unspecified beyond per-pattern grouping."""
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()
     s = pc.cast(pc.fill_null(content, ""), pa.large_string())
@@ -50,16 +51,35 @@ def extract_import_modules(
     mods: list[pa.Array] = []
     rows: list[np.ndarray] = []
     for pat in patterns:
-        ext = pc.extract_regex(flat, pat)  # struct<m> or null per line
+        # hot path: vectorized FIRST match per line.  extract_regex only
+        # returns one match, so lines holding several (minified JS with
+        # many require() per line) are completed by a python findall over
+        # just those rare lines — count_substring_regex finds them.
+        ext = pc.extract_regex(flat, pat)
         ok = pc.is_valid(ext)
         idx = np.flatnonzero(ok.to_numpy(zero_copy_only=False))
         if len(idx):
             hit = ext.take(pa.array(idx))
-            mods.append(pc.struct_field(hit, "m"))
+            mods.append(pc.cast(pc.struct_field(hit, "m"), pa.large_string()))
             rows.append(line_row[idx])
+        n_match = pc.count_substring_regex(flat, pat).to_numpy(zero_copy_only=False)
+        multi = np.flatnonzero(n_match > 1)
+        if len(multi):
+            import re as _re
+
+            rx = _re.compile(pat)
+            extra_mods, extra_rows = [], []
+            for li in multi:
+                found = rx.findall(flat[int(li)].as_py())
+                for m in found[1:]:  # first match already captured above
+                    extra_mods.append(m)
+                    extra_rows.append(line_row[li])
+            if extra_mods:
+                mods.append(pa.array(extra_mods, pa.large_string()))
+                rows.append(np.array(extra_rows, dtype=np.int64))
     if not mods:
         return pa.array([], pa.large_string()), np.array([], dtype=np.int64)
-    return pa.concat_arrays([pc.cast(m, pa.large_string()) for m in mods]), np.concatenate(rows)
+    return pa.concat_arrays(mods), np.concatenate(rows)
 
 
 class ImportCounter:

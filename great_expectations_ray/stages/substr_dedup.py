@@ -25,9 +25,10 @@ Pipeline (two exchanges, both bucketed):
    duplicated-window count and first duplicated position — this second
    exchange only carries the (usually tiny) duplicated subset.
 
-Positions are 0-based BYTE offsets; for ASCII corpora they equal the
-1-based-minus-1 character offsets DuckDB's ``substr`` uses, which is what
-the oracle asserts (TESTDATA documents are ASCII).
+Positions are 0-based BYTE offsets and windows are raw byte slices
+(``large_binary`` — a byte window may split a multi-byte UTF-8 sequence);
+for ASCII corpora byte and character semantics coincide, which is what
+the DuckDB ``substr`` oracle asserts (TESTDATA documents are ASCII).
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def window_table(
     empty = pa.table({
         "doc_id": pa.array([], doc_ids.type),
         "pos": pa.array([], pa.int64()),
-        "win": pa.array([], pa.large_string()),
+        "win": pa.array([], pa.large_binary()),
     })
     if total == 0:
         return empty
@@ -75,12 +76,15 @@ def window_table(
     pos = widx * stride
     abs_start = offs[:-1][row] + pos
     # n x window uint8 gather -> one contiguous buffer
+    # windows are raw BYTE slices: typed large_binary, because a byte-offset
+    # window may split a multi-byte UTF-8 sequence — binary equality is the
+    # dedup contract and never produces an invalid string array
     win_bytes = data[abs_start[:, None] + np.arange(window, dtype=np.int64)]
-    win_buf = pa.py_buffer(np.ascontiguousarray(win_bytes).tobytes())
+    win_buf = pa.py_buffer(win_bytes.tobytes())
     win_offs = pa.py_buffer(
         (np.arange(total + 1, dtype=np.int64) * window).tobytes())
     wins = pa.Array.from_buffers(
-        pa.large_string(), total, [None, win_offs, win_buf])
+        pa.large_binary(), total, [None, win_offs, win_buf])
     return pa.table({
         "doc_id": doc_ids.take(pa.array(row)),
         "pos": pa.array(pos),

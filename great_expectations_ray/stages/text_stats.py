@@ -195,3 +195,21 @@ class TokenCounter:
         tbl = tbl.append_column("n_tokens_ws", ws)
         tbl = tbl.append_column("n_tokens_bpe", bpe)
         return tbl
+
+
+# shared segment-reduce kernels (cumsum-diff / reduceat over row offsets) —
+# single home so sibling stages (code_metrics, substr_dedup) don't drift
+def segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment sum of ``values`` delimited by ``offsets`` (int64)."""
+    cum = np.concatenate(([0], np.cumsum(values, dtype=np.int64)))
+    return cum[offsets[1:]] - cum[offsets[:-1]]
+
+
+def segment_max(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment max (0 for empty segments)."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=values.dtype)
+    nonempty = offsets[:-1] < offsets[1:]
+    if nonempty.any():
+        out[nonempty] = np.maximum.reduceat(values, offsets[:-1][nonempty])
+    return out

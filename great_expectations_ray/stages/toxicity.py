@@ -30,8 +30,12 @@ MASK = "****"
 
 
 def badword_pattern(words: tuple[str, ...] = DEFAULT_BADWORDS) -> str:
-    """(?i) word-boundary alternation over the list."""
-    return r"(?i)\b(?:" + "|".join(words) + r")\b"
+    """(?i) word-boundary alternation over the list.  Words are
+    regex-escaped — production lists contain entries like ``f*ck`` whose
+    metacharacters would otherwise corrupt the alternation."""
+    import re
+
+    return r"(?i)\b(?:" + "|".join(re.escape(w) for w in words) + r")\b"
 
 
 def toxicity_scrub_rules(

@@ -28,7 +28,7 @@ from typing import Iterable
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_AUTHORITY_RE = r"^(?P<a>https?://[^/?#]*)(?P<b>.*)$"
+_AUTHORITY_RE = r"^(?P<a>https?://[^/?#]*)"
 _DOMAIN_RE = r"^https?://(?:www\.)?(?P<d>[^/:?#]+)"
 
 
@@ -37,11 +37,15 @@ def canonicalize_url_array(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
         urls = urls.combine_chunks()
     s = pc.cast(pc.fill_null(urls, ""), pa.large_string())
     s = pc.replace_substring_regex(s, r"#.*$", "")
+    # lowercase prefix + strip prefix, exactly as the SQL mirror does — a
+    # trailing `.*$` capture would fail to span embedded newlines in RE2
+    # and silently skip the lowercasing on messy crawl URLs
     ext = pc.extract_regex(s, _AUTHORITY_RE)
     valid = pc.is_valid(ext)
+    rest = pc.replace_substring_regex(s, _AUTHORITY_RE, "")
     lowered = pc.binary_join_element_wise(
-        pc.utf8_lower(pc.struct_field(ext, "a")),
-        pc.struct_field(ext, "b"),
+        pc.utf8_lower(pc.cast(pc.struct_field(ext, "a"), pa.large_string())),
+        rest,
         pa.scalar("", pa.large_string()),
     )
     s = pc.if_else(valid, lowered, s)

@@ -53,3 +53,14 @@ def test_no_frequent_lines_is_identity(ray_session):
 def test_max_set_size_guard(ray_session):
     with pytest.raises(ValueError, match="max_set_size"):
         remove_boilerplate(_corpus(), min_docs=1, max_set_size=2)
+
+
+def test_null_content_stays_null(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "content": ["dup\nx", "dup\ny", None],
+    }))
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(ds, min_docs=2).take_all()}
+    assert out[2]["content"] is None and out[2]["n_dropped"] is None
+    assert out[0]["content"] == "x"

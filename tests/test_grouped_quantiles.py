@@ -41,3 +41,19 @@ def test_single_element_groups(ray_session):
         group_cols=["g"], value_col="v", qs=[0.5, 0.95]).take_all()}
     assert out["a"]["p50"] == 5 and out["a"]["p95"] == 5
     assert out["b"]["p50"] == 9
+
+
+def test_nulls_ignored_like_sql(ray_session):
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "a", "b"],
+        "v": [1.0, 2.0, 3.0, None, None],
+    })
+    out = {r["g"]: r for r in grouped_quantiles_disc(
+        rd.from_arrow(pa.Table.from_pandas(df)),
+        group_cols=["g"], value_col="v", qs=[0.95]).take_all()}
+    ref = duckdb.sql(
+        "SELECT g, quantile_disc(v, 0.95) AS p95 FROM df GROUP BY g ORDER BY g"
+    ).fetchdf()
+    assert out["a"]["p95"] == ref["p95"][0] == 3.0
+    # all-null group survives with a NULL quantile
+    assert "b" in out and pd.isna(out["b"]["p95"]) and pd.isna(ref["p95"][1])

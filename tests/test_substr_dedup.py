@@ -14,7 +14,7 @@ SHARED = "SHARED LICENSE BLOCK THAT IS WELL OVER FORTY CHARS LONG INDEED"  # 62
 def test_window_table_positions_and_content():
     t = window_table(pa.array(["abcdefghij"]), pa.array([7]), window=4, stride=3)
     assert t.column("pos").to_pylist() == [0, 3, 6]
-    assert t.column("win").to_pylist() == ["abcd", "defg", "ghij"]
+    assert t.column("win").to_pylist() == [b"abcd", b"defg", b"ghij"]
     assert t.column("doc_id").to_pylist() == [7, 7, 7]
 
 
@@ -22,7 +22,7 @@ def test_window_table_short_and_null_rows():
     t = window_table(pa.array(["ab", None, "abcd"]), pa.array([0, 1, 2]),
                      window=4, stride=1)
     assert t.column("doc_id").to_pylist() == [2]
-    assert t.column("win").to_pylist() == ["abcd"]
+    assert t.column("win").to_pylist() == [b"abcd"]
 
 
 def test_exact_detection(ray_session):
@@ -46,3 +46,15 @@ def test_within_doc_repeats_do_not_mark(ray_session):
         "text": [rep * 3, "completely unrelated other document body text okay"],
     }))
     assert duplicate_substrings(ds, window=40).take_all() == []
+
+
+def test_non_ascii_content_does_not_crash(ray_session):
+    shared = "SHARED LICENSE BLOCK THAT IS WELL OVER FORTY CHARS LONG INDEED"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1],
+        "text": ["héllo wörld prefix " + shared, shared + " suffix é çontent"],
+    }))
+    out = {r["doc_id"]: r for r in
+           duplicate_substrings(ds, window=40).take_all()}
+    assert set(out) == {0, 1}
+    assert out[0]["dup_windows"] == 23

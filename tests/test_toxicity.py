@@ -68,3 +68,12 @@ def test_fused_with_pii_rules(ray_session):
     }))
     out = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True).take_all()
     assert out[0]["content"] == "write to <EMAIL> you ****"
+
+
+def test_metacharacter_words_are_escaped():
+    import pyarrow.compute as pc
+
+    pat = badword_pattern(("f*ck",))
+    hits = pc.count_substring_regex(
+        pa.array(["f*ck this", "fck fine", "ck ok", "ffck nope"]), pat)
+    assert hits.to_pylist() == [1, 0, 0, 0]

@@ -69,3 +69,8 @@ def test_tag_urls_appends_columns(ray_session):
     row = tag_urls(ds).take_all()[0]
     assert row["canon_url"] == "https://www.x.com/a"
     assert row["domain"] == "x.com"
+
+
+def test_newline_in_url_still_lowercases_authority():
+    out = canonicalize_url_array(pa.array(["https://A.COM/x\ny"]))
+    assert out.to_pylist() == ["https://a.com/x\ny"]
