@@ -2631,6 +2631,42 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_chunk_docs(sf_dir: str) -> pd.DataFrame:
+    """Document chunking (stages/chunking.py): 120-char chunks with
+    20-char overlap, vectorized byte slicing on the ASCII fast path; md5
+    of each chunk proves content + boundaries."""
+    from great_expectations_ray.stages.chunking import chunk_documents
+    from great_expectations_ray.stages.dedup import md5_column
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, chunk_size=120, overlap=20)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "chunk_idx": tbl.column("chunk_idx"),
+            "start": tbl.column("start"),
+            "chunk_md5": md5_column(tbl.column("chunk")),
+        })
+
+    out = chunks.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return (out.to_pandas().sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
+SQL_CHUNK_DOCS = """
+WITH ch AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(length(text) AS BIGINT) - 1, 100)) AS p
+  FROM documents)
+SELECT doc_id,
+  CAST(p // 100 AS BIGINT) AS chunk_idx,
+  CAST(p AS BIGINT) AS start,
+  md5(substr(text, CAST(p AS INTEGER) + 1, 120)) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_idx
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2706,6 +2742,7 @@ QUERIES = {
     "substr_dup_docs": q_substr_dup_docs,
     "lm_trained_ppl_docs": q_lm_trained_ppl_docs,
     "grouped_quantiles_docs": q_grouped_quantiles_docs,
+    "chunk_docs": q_chunk_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2789,6 +2826,7 @@ ORACLE_SQL = {
     "boilerplate_docs": SQL_BOILERPLATE_DOCS,
     "substr_dup_docs": SQL_SUBSTR_DUP_DOCS,
     "grouped_quantiles_docs": SQL_GROUPED_QUANTILES_DOCS,
+    "chunk_docs": SQL_CHUNK_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
