@@ -2667,6 +2667,167 @@ FROM ch ORDER BY doc_id, chunk_idx
 """
 
 
+_WEB_CAP_K = 30
+
+
+def q_web_pipeline_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END web curation chain — the composition capstone: URL
+    canonicalization + blocklist + per-domain cap (stages/urlops.py,
+    full rows kept through ONE bucketed cap exchange), boilerplate line
+    removal over the survivors (stages/boilerplate.py), text
+    normalization (stages/normalize.py), toxicity filter
+    (stages/toxicity.py).  The SQL oracle re-runs the identical chain."""
+    import ray as _ray
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.stages.boilerplate import remove_boilerplate
+    from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.normalize import NormalizeConfig, normalize_array
+    from great_expectations_ray.stages.toxicity import ToxicityScorer
+    from great_expectations_ray.stages.urlops import tag_urls
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+
+        def smod(k):
+            return pc.cast(pa.array(ids % k), pa.string())
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        url = pc.binary_join_element_wise(
+            lit("https://WWW.Site"), smod(13), lit(".COM/Doc/"),
+            pc.cast(doc_id, pa.string()), "")
+        cookie = pc.if_else(pa.array(ids % 2 == 0),
+                            lit("please accept our cookies\n"), lit(""))
+        quotes = pc.if_else(pa.array(ids % 3 == 0),
+                            lit(" “Quoted”  text…"), lit(""))
+        tox = pc.if_else(pa.array(ids % 5 == 0), lit(" damn idiot spam"), lit(""))
+        content = pc.binary_join_element_wise(
+            cookie, pc.cast(tbl.column("text").combine_chunks(), pa.string()),
+            quotes, tox, "")
+        return pa.table({"doc_id": doc_id, "url": url, "content": content})
+
+    corpus = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = tag_urls(corpus)
+
+    banned = pa.array(["site0.com", "site5.com"], pa.large_string())
+
+    def drop_banned(tbl: pa.Table) -> pa.Table:
+        return tbl.filter(pc.invert(pc.is_in(tbl.column("domain"), value_set=banned)))
+
+    tagged = tagged.map_batches(drop_banned, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # per-domain cap keeping FULL rows: map-side per-batch top-k prune,
+    # then one bucketed groupby(domain) exchange finishes the exact top-k
+    keep_cols = ["doc_id", "domain", "content"]
+
+    def add_rank(tbl: pa.Table) -> pa.Table:
+        rank = md5_column(pc.cast(tbl.column("doc_id"), pa.string()))
+        return tbl.select(keep_cols).append_column("_rank", rank)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain", "_rank", "doc_id"], kind="mergesort")
+        return df.groupby("domain", sort=False).head(_WEB_CAP_K)
+
+    pruned = (tagged.map_batches(add_rank, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .map_batches(topk, batch_format="pandas"))
+    capped = grouped_apply_bucketed(pruned, ["domain"],
+                                    lambda g: topk(g)[keep_cols])
+
+    cleaned = remove_boilerplate(capped, content_col="content", min_docs=40)
+
+    def norm_batch(tbl: pa.Table) -> pa.Table:
+        norm = normalize_array(tbl.column("content"), NormalizeConfig())
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "domain": tbl.column("domain"),
+            "norm_content": norm,
+        })
+
+    normed = cleaned.map_batches(norm_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    scored = normed.map_batches(
+        ToxicityScorer("norm_content"),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        keep = pc.invert(tbl.column("toxic").combine_chunks())
+        tbl = tbl.filter(keep)
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "domain": tbl.column("domain"),
+            "clean_md5": md5_column(tbl.column("norm_content")),
+            "word_cnt": tbl.column("word_cnt"),
+        })
+
+    out = scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_WEB_PIPELINE_DOCS = rf"""
+WITH raw AS (
+  SELECT doc_id,
+    'https://WWW.Site' || CAST(doc_id % 13 AS VARCHAR) || '.COM/Doc/' || CAST(doc_id AS VARCHAR) AS url,
+    (CASE WHEN doc_id % 2 = 0 THEN 'please accept our cookies' || chr(10) ELSE '' END)
+      || text
+      || (CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(8220) || 'Quoted' || chr(8221) || '  text' || chr(8230) ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN ' damn idiot spam' ELSE '' END) AS content
+  FROM documents),
+canon AS (
+  SELECT doc_id, content,
+    regexp_extract(
+      regexp_replace(
+        CASE WHEN regexp_matches(url, '^https?://')
+             THEN lower(regexp_extract(url, '^(https?://[^/?#]*)', 1))
+                  || regexp_replace(url, '^https?://[^/?#]*', '')
+             ELSE url END,
+        '#.*$', ''),
+      '^https?://(?:www\.)?([^/:?#]+)', 1) AS domain
+  FROM raw),
+pol AS (
+  SELECT doc_id, domain, content FROM canon
+  WHERE domain NOT IN ('site0.com', 'site5.com')
+  QUALIFY row_number() OVER (
+      PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_WEB_CAP_K}),
+lines AS (SELECT doc_id, unnest(split(content, chr(10))) AS line FROM pol),
+dl AS (SELECT DISTINCT doc_id, line FROM lines),
+freq AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 40),
+fl AS (SELECT coalesce(list(line), []) AS f FROM freq),
+bp AS (SELECT doc_id, domain,
+         array_to_string(list_filter(split(content, chr(10)),
+                                     x -> NOT list_contains(f, x)), chr(10)) AS content
+       FROM pol, fl),
+norm AS (SELECT doc_id, domain,
+           trim(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               nfc_normalize(regexp_replace(content,
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g')),
+               '[{chr(8220)}{chr(8221)}{chr(8222)}]', '"', 'g'),
+               '[{chr(8216)}{chr(8217)}{chr(8218)}]', '''', 'g'),
+               '[{chr(8211)}{chr(8212)}]', '-', 'g'),
+               '{chr(8230)}', '...', 'g'),
+             '\s+', ' ', 'g')) AS norm_content
+         FROM bp),
+tox AS (SELECT doc_id, domain, norm_content,
+          len(regexp_extract_all(norm_content, '{_TOX_PAT_SQL}')) AS tox_matches,
+          len(regexp_extract_all(norm_content, '\S+')) AS word_cnt
+        FROM norm)
+SELECT doc_id, domain, md5(norm_content) AS clean_md5,
+       CAST(word_cnt AS BIGINT) AS word_cnt
+FROM tox
+WHERE NOT (CASE WHEN word_cnt > 0
+                THEN CAST(tox_matches AS DOUBLE) / word_cnt ELSE 0.0 END) > 0.01
+ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2743,6 +2904,7 @@ QUERIES = {
     "lm_trained_ppl_docs": q_lm_trained_ppl_docs,
     "grouped_quantiles_docs": q_grouped_quantiles_docs,
     "chunk_docs": q_chunk_docs,
+    "web_pipeline_docs": q_web_pipeline_docs,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2827,6 +2989,7 @@ ORACLE_SQL = {
     "substr_dup_docs": SQL_SUBSTR_DUP_DOCS,
     "grouped_quantiles_docs": SQL_GROUPED_QUANTILES_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "web_pipeline_docs": SQL_WEB_PIPELINE_DOCS,
 }
 
 # --------------------------------------------------------------------------- #
