@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "code_metrics_corpus",
     "toxicity_docs",
     "boilerplate_docs",
+    "chunk_docs",
+    "web_pipeline_docs",
 ]
 
 

@@ -2677,8 +2677,6 @@ def q_web_pipeline_docs(sf_dir: str) -> pd.DataFrame:
     removal over the survivors (stages/boilerplate.py), text
     normalization (stages/normalize.py), toxicity filter
     (stages/toxicity.py).  The SQL oracle re-runs the identical chain."""
-    import ray as _ray
-
     from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
     from great_expectations_ray.stages.boilerplate import remove_boilerplate
     from great_expectations_ray.stages.dedup import md5_column
@@ -2741,6 +2739,10 @@ def q_web_pipeline_docs(sf_dir: str) -> pd.DataFrame:
     capped = grouped_apply_bucketed(pruned, ["domain"],
                                     lambda g: topk(g)[keep_cols])
 
+    # remove_boilerplate streams its input TWICE (df pass + rewrite);
+    # materialize the capped survivors so the derive + canon + bucketed cap
+    # don't re-execute for the second pass
+    capped = capped.materialize()
     cleaned = remove_boilerplate(capped, content_col="content", min_docs=40)
 
     def norm_batch(tbl: pa.Table) -> pa.Table:

@@ -45,7 +45,13 @@ class _LineDocFreq:
         self.content_col = content_col
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        lines = _line_list(tbl.column(self.content_col))
+        # SQL semantics: split(NULL) yields no lines — a NULL doc must not
+        # count an empty line toward any document frequency
+        col = tbl.column(self.content_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        lines = _line_list(col)
         loff = np.asarray(lines.offsets, dtype=np.int64)
         rid = np.repeat(np.arange(len(loff) - 1, dtype=np.int64), np.diff(loff))
         pairs = pa.table({"rid": pa.array(rid), "line": lines.values})

@@ -64,8 +64,6 @@ def _chunk_py(s: pa.Array, doc_ids: pa.Array, chunk_size: int,
     for did, v in zip(doc_ids.to_pylist(), s.to_pylist()):
         t = v or ""
         for i, p in enumerate(range(0, len(t), step)):
-            if p >= len(t):
-                break
             ids.append(did)
             cidx.append(i)
             start.append(p)
@@ -95,8 +93,9 @@ def chunk_table(
     overlap: int = 0,
 ) -> pa.Table:
     """(doc_id, chunk_idx, start, chunk) rows for one batch."""
-    if overlap >= chunk_size:
-        raise ValueError("overlap must be smaller than chunk_size")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_size "
+                         "(a negative overlap would silently drop characters)")
     step = chunk_size - overlap
     if isinstance(content, pa.ChunkedArray):
         content = content.combine_chunks()

@@ -103,7 +103,8 @@ def md5_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         col = col.combine_chunks()
     from great_expectations_ray.stages.scrub import _string_buffer_views
 
-    views = _string_buffer_views(col) if pa.types.is_string(col.type) else None
+    is_str = pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    views = _string_buffer_views(col) if is_str else None
     if views is not None and col.null_count == 0:
         offs, mv = views
         _md5 = hashlib.md5

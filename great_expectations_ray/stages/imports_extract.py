@@ -62,6 +62,9 @@ def extract_import_modules(
             hit = ext.take(pa.array(idx))
             mods.append(pc.cast(pc.struct_field(hit, "m"), pa.large_string()))
             rows.append(line_row[idx])
+        if pat.startswith("^"):
+            # anchored, non-(?m): at most one match per line — skip the sweep
+            continue
         n_match = pc.count_substring_regex(flat, pat).to_numpy(zero_copy_only=False)
         multi = np.flatnonzero(n_match > 1)
         if len(multi):

@@ -64,3 +64,15 @@ def test_null_content_stays_null(ray_session):
            remove_boilerplate(ds, min_docs=2).take_all()}
     assert out[2]["content"] is None and out[2]["n_dropped"] is None
     assert out[0]["content"] == "x"
+
+
+def test_null_docs_do_not_inflate_empty_line_df(ray_session):
+    """SQL split(NULL) emits no lines: NULL docs must not make '' frequent."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "content": [None, None, "a\n\nb"],
+    }))
+    freq = frequent_lines(ds, min_docs=2).take_all()
+    assert freq == []
+    out = {r["doc_id"]: r for r in remove_boilerplate(ds, min_docs=2).take_all()}
+    assert out[2]["content"] == "a\n\nb" and out[2]["n_dropped"] == 0

@@ -48,3 +48,8 @@ def test_dataset_wrapper(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abcdef"]}))
     rows = chunk_documents(ds, chunk_size=3, overlap=0).take_all()
     assert [r["chunk"] for r in rows] == ["abc", "def"]
+
+
+def test_negative_overlap_rejected():
+    with pytest.raises(ValueError):
+        chunk_table(pa.array(["abcdefgh"]), pa.array([0]), chunk_size=3, overlap=-2)
