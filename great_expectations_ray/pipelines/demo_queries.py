@@ -2830,6 +2830,59 @@ ORDER BY doc_id
 """
 
 
+def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
+    """REAL multimodal decode (stages/multimodal.py): constructs valid
+    binary PPM images / PCM WAV audio per row, decodes them in the
+    MediaStats actor pool, and the oracle checks the decoded statistics
+    in closed form — an end-to-end bytes->pixels/samples proof."""
+    from great_expectations_ray.stages.multimodal import (
+        MediaStats,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        payloads, mtypes = [], []
+        for i in ids:
+            if i % 2 == 0:
+                v = (i * 7) % 256
+                payloads.append(encode_ppm(np.full((6, 8, 3), v, np.uint8)))
+                mtypes.append("image/ppm")
+            else:
+                s = (i * 13) % 1000 - 500
+                payloads.append(encode_wav_pcm16(np.full(400, s, np.int16)))
+                mtypes.append("audio/wav")
+        return pa.table({
+            "doc_id": doc_id,
+            "media_type": pa.array(mtypes, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    media = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = media.map_batches(
+        MediaStats, batch_format="pyarrow", concurrency=(1, 2), batch_size=256,
+    ).select_columns(["doc_id", "media_type", "mean_val",
+                      "width_dec", "height_dec", "n_samples"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_MEDIA_DECODE_STATS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'image/ppm' ELSE 'audio/wav' END AS media_type,
+  CASE WHEN doc_id % 2 = 0
+       THEN CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0
+       ELSE CAST((doc_id * 13) % 1000 - 500 AS DOUBLE) / 32768.0 END AS mean_val,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 0 END AS INTEGER) AS width_dec,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 6 ELSE 0 END AS INTEGER) AS height_dec,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 400 END AS BIGINT) AS n_samples
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2907,6 +2960,7 @@ QUERIES = {
     "grouped_quantiles_docs": q_grouped_quantiles_docs,
     "chunk_docs": q_chunk_docs,
     "web_pipeline_docs": q_web_pipeline_docs,
+    "media_decode_stats": q_media_decode_stats,
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
@@ -2992,6 +3046,7 @@ ORACLE_SQL = {
     "grouped_quantiles_docs": SQL_GROUPED_QUANTILES_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
     "web_pipeline_docs": SQL_WEB_PIPELINE_DOCS,
+    "media_decode_stats": SQL_MEDIA_DECODE_STATS,
 }
 
 # --------------------------------------------------------------------------- #

@@ -1,10 +1,16 @@
-"""Multimodal column plumbing — binary payloads with typed metadata.
+"""Multimodal columns — binary payloads with typed metadata, REAL decoders
+for the container-native formats, actor-pool decode/feature stages.
 
-Images/audio/video are opaque ``binary`` columns plus metadata columns; the
-Ray-side contract (schemas, batch sizing, actor signatures, output layout) is
-real and tested, while the codec itself is STUBBED behind
-``DecodeNotAvailable`` (no image/audio libraries in this container) with a
-deterministic fake decoder for tests.
+Images/audio/video are opaque ``binary`` columns plus metadata columns.
+Formats that need no external codec are decoded for REAL, pure
+numpy/stdlib: **PPM (P6) / PGM (P5)** images (``decode_ppm``) and **PCM
+WAV** audio (``decode_wav``, stdlib ``wave``).  Encoders for both
+(``encode_ppm`` / ``encode_wav_pcm16``) round-trip in tests and back the
+oracled ``media_decode_stats`` catalog query (bytes -> decode -> pixel/
+sample statistics, verified against a DuckDB closed-form).  Only formats
+whose codecs aren't in this container (png/jpeg/mp4) raise
+``DecodeNotAvailable``; the deterministic fake decoder remains for
+exercising plumbing without real payloads.
 
 Scale notes baked into the design:
 - binary payloads make rows WIDE: callers should drop ``batch_size`` to keep
@@ -34,13 +40,110 @@ MEDIA_SCHEMA = pa.schema(
 
 
 class DecodeNotAvailable(NotImplementedError):
-    """Raised by the real decode path: codec libraries are not installed."""
+    """Raised for formats whose codec libraries are not installed."""
+
+
+# --------------------------------------------------------------------------- #
+# real codecs (pure numpy / stdlib — no external libraries)
+# --------------------------------------------------------------------------- #
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) or (H, W) uint8 -> binary PPM (P6) / PGM (P5) bytes."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim == 3:
+        h, w, c = pixels.shape
+        if c != 3:
+            raise ValueError("P6 needs 3 channels")
+        magic = b"P6"
+    elif pixels.ndim == 2:
+        h, w = pixels.shape
+        magic = b"P5"
+    else:
+        raise ValueError("pixels must be (H, W[, 3])")
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (H, W, 3) uint8; PGM (P5) -> (H, W) uint8."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {payload[:2]!r}")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (with optional '#' comment lines); pixel data starts after the single
+    # whitespace byte that terminates maxval
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":
+            while i < len(payload) and payload[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    return arr.reshape(h, w, 3) if ch == 3 else arr.reshape(h, w)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """1-D int16 samples -> mono PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (int16 samples of shape (n, channels), rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise DecodeNotAvailable("only 16-bit PCM WAV is decoded natively")
+        ch = f.getnchannels()
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+        return data.reshape(-1, ch), f.getframerate()
 
 
 def _real_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """bytes -> 2-D float32 array in [0, 1] (the pooling contract).
+
+    Container-native formats decode for real; anything else raises
+    ``DecodeNotAvailable`` (png/jpeg/mp4 need external codec libraries)."""
+    mt = (media_type or "").lower()
+    if mt in ("image/ppm", "image/x-portable-pixmap",
+              "image/pgm", "image/x-portable-graymap"):
+        img = decode_ppm(payload)
+        if img.ndim == 3:  # grayscale for the 2-D pooling contract
+            img = img.mean(axis=2)
+        return (img.astype(np.float32)) / 255.0
+    if mt in ("audio/wav", "audio/x-wav", "audio/wave"):
+        samples, _ = decode_wav(payload)
+        mono = samples.astype(np.float32).mean(axis=1) / 32768.0
+        n = len(mono)
+        frame = 256
+        pad = (-n) % frame
+        if pad:
+            mono = np.concatenate([mono, np.zeros(pad, dtype=np.float32)])
+        return mono.reshape(-1, frame) if len(mono) else np.zeros((1, frame), np.float32)
     raise DecodeNotAvailable(
-        f"no codec available for {media_type}; install an image/audio library "
-        "and replace MediaDecoder.decode"
+        f"no codec available for {media_type}; PPM/PGM images and PCM WAV "
+        "audio decode natively — other formats need an image/audio library"
     )
 
 
@@ -189,3 +292,40 @@ class FrameSampler:
             "frame_ms": pa.array(out_ms, pa.int32()),
             "frame_feat": pa.array(out_feat, pa.list_(pa.float32())),
         })
+
+
+class MediaStats:
+    """Actor-pool stage: REAL decode -> exact per-payload statistics.
+
+    For PPM/PGM images: ``mean_val`` = mean pixel / 255.0, plus width and
+    height.  For WAV audio: ``mean_val`` = mean int16 sample / 32768.0,
+    plus sample count.  Means are exact float64 over the raw decoded
+    values (no framing/padding), which is what the SQL oracle of
+    ``media_decode_stats`` recomputes in closed form."""
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column("payload").combine_chunks()
+        types = tbl.column("media_type").combine_chunks()
+        mean_val, width, height, n_samples = [], [], [], []
+        for i in range(len(payloads)):
+            raw = payloads[i].as_py() if payloads[i].is_valid else b""
+            mt = (types[i].as_py() or "").lower()
+            if mt.startswith("image/"):
+                img = decode_ppm(raw)
+                mean_val.append(float(img.astype(np.float64).mean()) / 255.0)
+                height.append(img.shape[0])
+                width.append(img.shape[1])
+                n_samples.append(0)
+            else:
+                samples, _ = decode_wav(raw)
+                m = float(samples.astype(np.float64).mean()) if samples.size else 0.0
+                mean_val.append(m / 32768.0)
+                height.append(0)
+                width.append(0)
+                n_samples.append(int(samples.shape[0]))
+        return (
+            tbl.append_column("mean_val", pa.array(mean_val, pa.float64()))
+            .append_column("width_dec", pa.array(width, pa.int32()))
+            .append_column("height_dec", pa.array(height, pa.int32()))
+            .append_column("n_samples", pa.array(n_samples, pa.int64()))
+        )

@@ -42,11 +42,66 @@ def test_fake_decode_pipeline():
     assert all(list(x) == list(y) for x, y in zip(a.feat, b.feat))
 
 
-def test_real_decode_raises_clearly():
-    dec = MediaDecoder(use_fake=False)
-    t = make_fake_media_table(2)
+def test_real_decode_raises_clearly_for_codec_formats():
+    # png/jpeg/mp4 still need external codecs; PPM/WAV now decode natively
+    from great_expectations_ray.stages.multimodal import _real_decode
+
     with pytest.raises(DecodeNotAvailable):
-        dec(t)
+        _real_decode(b"\x89PNG...", "image/png")
+    with pytest.raises(DecodeNotAvailable):
+        _real_decode(b"....", "video/mp4")
+
+
+def test_real_ppm_and_wav_decode_end_to_end():
+    import numpy as np
+
+    from great_expectations_ray.stages.multimodal import (
+        _real_decode,
+        decode_ppm,
+        decode_wav,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    img = (np.arange(6 * 8 * 3) % 256).astype(np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    gray = (np.arange(48) % 256).astype(np.uint8).reshape(6, 8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # comment lines in the header are skipped
+    with_comment = b"P5\n# a comment\n8 6\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), gray)
+
+    s = (np.arange(1000) % 500 - 250).astype(np.int16)
+    dec, rate = decode_wav(encode_wav_pcm16(s, 8000))
+    assert rate == 8000 and np.array_equal(dec[:, 0], s)
+    d = _real_decode(encode_wav_pcm16(s, 8000), "audio/wav")
+    assert d.ndim == 2 and d.shape[1] == 256
+
+
+def test_media_decoder_real_path_on_native_formats(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from great_expectations_ray.stages.multimodal import (
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    t = pa.table({
+        "media_id": ["a", "b"],
+        "media_type": ["image/ppm", "audio/wav"],
+        "payload": pa.array([
+            encode_ppm(np.full((4, 4, 3), 128, np.uint8)),
+            encode_wav_pcm16(np.zeros(300, np.int16)),
+        ], pa.large_binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        MediaDecoder, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"use_fake": False}).take_all()
+    # a 4-wide image pools to 4 values (feat is at most feat_dim)
+    assert len(out[0]["feat"]) == 4
+    assert abs(out[0]["feat"][0] - 128 / 255) < 1e-6
+    assert all(abs(v) < 1e-9 for v in out[1]["feat"])  # silent wav -> zeros
 
 
 def test_resize_nearest_math():
