@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class _RangeJoiner:
@@ -40,8 +41,15 @@ class _RangeJoiner:
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         # native dtype comparison (a forced float64 cast would round int64
-        # values beyond 2^53 into or out of a band)
-        v = np.asarray(tbl.column(self.value_col))
+        # values beyond 2^53 into or out of a band).  Null rows match no
+        # interval, so drop them at the Arrow level FIRST — np.asarray on an
+        # int64 column containing any null floatifies the whole batch and
+        # reintroduces exactly that rounding
+        col = tbl.column(self.value_col)
+        if col.null_count:
+            tbl = tbl.filter(pc.is_valid(col))
+            col = tbl.column(self.value_col)
+        v = np.asarray(col)
         pieces = []
         for i in range(len(self.lo)):
             mask = (v >= self.lo[i]) & (v <= self.hi[i])

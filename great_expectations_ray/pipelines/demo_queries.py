@@ -1743,11 +1743,17 @@ def q_setops_nations(sf_dir: str) -> pd.DataFrame:
     supp = _read(sf_dir, "supplier", columns=["s_nationkey"]).rename_columns(
         {"s_nationkey": "n"}
     )
+    # source key dtype, read off the parquet schema (cheap — no execution);
+    # used below to undo the empty-side concat upcast
+    n_dtype = cust.schema().base_schema.field("n").type.to_pandas_dtype()
     both = intersect_distinct(cust, supp, ["n"]).to_pandas()
     only_cust = except_distinct(cust, supp, ["n"]).to_pandas()
     both["op"] = "intersect"
     only_cust["op"] = "except"
     out = pd.concat([both, only_cust], ignore_index=True)[["op", "n"]]
+    # an empty EXCEPT side upcasts `n` to float64 in the concat — restore
+    # the source integer dtype so the value hash matches the oracle
+    out["n"] = out["n"].astype(n_dtype)
     return out.sort_values(["op", "n"]).reset_index(drop=True)
 
 
@@ -1832,9 +1838,8 @@ ORDER BY d.doc_id
 def q_tfidf_docs(sf_dir: str) -> pd.DataFrame:
     """TF-IDF top-5 terms per document (stages/tfidf.py): corpus DF via one
     bucketed exchange, broadcast idf, batch-local top-k.  Selection ranks by
-    the exact-rational surrogate tf*(N+1)/(1+df) so the chosen row set is
-    bit-deterministic across engines; the reported smooth-idf score rounds
-    to 6dp."""
+    the smooth tf-idf value itself, rounded to 6dp so the key reproduces
+    across engines, with term as the tie-break."""
     from great_expectations_ray.stages.tfidf import tfidf_topk
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1861,7 +1866,8 @@ SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
 FROM tf JOIN dfx USING (term) CROSS JOIN n
 QUALIFY row_number() OVER (
   PARTITION BY tf.doc_id
-  ORDER BY tf.tf * (n.n + 1.0) / (1 + dfx.df) DESC, tf.term ASC) <= 5
+  ORDER BY round(tf.tf * (ln((1.0 + n.n) / (1 + dfx.df)) + 1), 6) DESC,
+           tf.term ASC) <= 5
 ORDER BY doc_id, term
 """
 

@@ -205,9 +205,12 @@ def mark_known(
         lambda t: t.append_column("__side", pa.array(np.zeros(len(t), dtype=np.int8))),
         batch_format="pyarrow", zero_copy_batch=True,
     )
+    # id padding typed from the candidate schema — ids may be string/UUID,
+    # not just int64, and a mistyped pad breaks the union's unified schema
+    id_type = candidates.schema().base_schema.field(id_col).type
     snap_tagged = snap_pruned.map_batches(
         lambda t: pa.table({
-            id_col: pa.nulls(len(t), pa.int64()),
+            id_col: pa.nulls(len(t), id_type),
             key_col: t.column(key_col),
             "__side": pa.array(np.ones(len(t), dtype=np.int8)),
         }),
@@ -219,11 +222,14 @@ def mark_known(
     def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
         snap_keys = df.loc[df["__side"] == 1, key_col].unique()
         cand = df[df["__side"] == 0]
+        ids = cand[id_col]
+        # the union introduced nulls (snapshot rows) into id_col, so an
+        # integer id column may floatify in the bucket frame — restore it;
+        # non-numeric id dtypes pass through untouched
+        if pa.types.is_integer(id_type) and ids.dtype.kind == "f":
+            ids = ids.astype(id_type.to_pandas_dtype())
         return pd.DataFrame({
-            # the union introduced nulls (snapshot rows) into id_col, so the
-            # bucket frame may carry it as float — restore int64 for the
-            # surviving (all non-null) candidate ids
-            id_col: cand[id_col].astype("int64").to_numpy(),
+            id_col: ids.to_numpy(),
             "is_known": cand[key_col].isin(snap_keys).to_numpy(),
         })
 

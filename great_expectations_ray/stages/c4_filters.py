@@ -29,6 +29,7 @@ shape via ``expect_column_values_to_match_regex`` + row conditions
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -94,7 +95,9 @@ def clean_batch(
     if config.ban_regex:
         keep_doc &= ~np.asarray(pc.match_substring_regex(text, config.ban_regex))
     if config.bad_words:
-        pat = r"(?i)\b(" + "|".join(config.bad_words) + r")\b"
+        # escape each word: entries like "c++" or "f*ck" must match literally,
+        # and a stray "|" inside an entry must not widen the alternation
+        pat = r"(?i)\b(" + "|".join(re.escape(w) for w in config.bad_words) + r")\b"
         keep_doc &= ~np.asarray(pc.match_substring_regex(text, pat))
 
     return pa.table({

@@ -119,19 +119,20 @@ def tfidf_topk(
             tf["df"] = tf["term"].map(self.df)
             tf = tf.dropna(subset=["df"])
             tf["df"] = tf["df"].astype(np.int64)
-            # exact-rational selection key: bit-identical in any engine
-            sel = (tf["tf"].to_numpy() * (n_docs + 1.0)) / (1 + tf["df"].to_numpy())
-            tf["__sel"] = sel
-            tf = tf.sort_values(
-                [id_col, "__sel", "term"], ascending=[True, False, True],
-                kind="mergesort",
-            )
-            top = tf.groupby(id_col, sort=False).head(k).drop(columns="__sel")
-            top["tfidf"] = np.round(
-                top["tf"].to_numpy()
-                * (np.log((1.0 + n_docs) / (1 + top["df"].to_numpy())) + 1.0),
+            # rank by the tf-idf value itself (rounded to 6dp so the key is
+            # reproducible across engines), term as tie-break — a rational
+            # surrogate like tf*(N+1)/(1+df) is NOT monotone in tf-idf
+            # across differing tf, so it can select lower-scoring terms
+            tf["tfidf"] = np.round(
+                tf["tf"].to_numpy()
+                * (np.log((1.0 + n_docs) / (1 + tf["df"].to_numpy())) + 1.0),
                 6,
             )
+            tf = tf.sort_values(
+                [id_col, "tfidf", "term"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            top = tf.groupby(id_col, sort=False).head(k)
             return top.reset_index(drop=True)
 
     return ds.map_batches(TopK, batch_format="pyarrow", concurrency=(1, 8))

@@ -127,6 +127,37 @@ def test_setops_intersect_except(ray_session):
     assert exc == [1, 3]
 
 
+def test_setops_empty_except_side_keeps_integer_dtype(ray_session):
+    """Regression for the r2 red row: when EXCEPT returns zero rows, a
+    pd.concat with the empty frame must not leave the key as float64
+    downstream — the query-glue pattern in q_setops_nations restores the
+    source dtype.  Here we exercise the engine on an empty result and the
+    concat-restore pattern directly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.setops import (
+        except_distinct,
+        intersect_distinct,
+    )
+
+    a = rd.from_pandas(
+        pd.DataFrame({"k": pd.array([1, 2, 3], dtype="int32")})
+    ).repartition(2)
+    b = rd.from_pandas(
+        pd.DataFrame({"k": pd.array([1, 2, 3, 4], dtype="int32")})
+    ).repartition(2)
+    both = intersect_distinct(a, b, ["k"]).to_pandas()
+    only = except_distinct(a, b, ["k"]).to_pandas()  # empty: A ⊆ B
+    assert len(only) == 0 and len(both) == 3
+    out = pd.concat([both, only], ignore_index=True)
+    # the concat with an empty side upcasts — the query glue must restore
+    out["k"] = out["k"].astype(np.int32)
+    assert out["k"].dtype == np.int32
+    assert sorted(out["k"].tolist()) == [1, 2, 3]
+
+
 def test_window_rank_functions(ray_session):
     import pandas as pd
     import ray.data as rd
