@@ -18,9 +18,14 @@ Two passes:
 
 Scale note: |lines with df >= T| <= total_lines / T, so the broadcast is
 bounded by corpus_size/T — with T in the thousands at 100 TB this is
-MBs.  ``max_set_size`` guards the assumption and fails loudly; if a
-corpus ever trips it, fall back to a bucketed hash join on line hash
-(functions/joins.py) at the cost of a second exchange.
+MBs.  ``max_set_size`` guards the assumption; above it (and given an
+``id_col``) the rewrite switches automatically to the bucketed-join path:
+explode docs to (id, pos, line), inner hash-bucket join against the
+frequent set on line, re-bucket the dropped positions by id, left-join
+them back onto the docs, and rewrite each batch from its own drop
+positions.  Four exchanges instead of zero extra — the documented cost of
+a frequent set too large to broadcast — but no driver-side collection and
+no whole-set copy per node.
 """
 
 from __future__ import annotations
@@ -115,22 +120,155 @@ class _BoilerplateRewriter:
         )
 
 
+class _ExplodeLines:
+    """(id, content) batch -> one row per line: (id, __pos, line).
+    NULL docs emit no rows (split(NULL) yields no lines)."""
+
+    def __init__(self, id_col: str, content_col: str):
+        self.id_col = id_col
+        self.content_col = content_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        content = tbl.column(self.content_col)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        valid = pc.is_valid(content)
+        tbl = tbl.filter(valid)
+        content = content.filter(valid)
+        lines = _line_list(content)
+        loff = np.asarray(lines.offsets, dtype=np.int64)
+        counts = np.diff(loff)
+        rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # position of each line within its own doc
+        pos = np.arange(loff[-1], dtype=np.int64) - np.repeat(loff[:-1], counts)
+        ids = tbl.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            self.id_col: ids.take(pa.array(rid)),
+            "__pos": pa.array(pos),
+            "line": lines.values,
+        })
+
+
+class _PositionRewriter:
+    """Rewrites content from a per-row drop-position list (joined column
+    ``__drop_pos``, comma-joined string of line indices; null = no drops)."""
+
+    def __init__(self, content_col: str):
+        self.content_col = content_col
+
+    def __call__(self, df):
+        import pandas as pd
+
+        contents = df[self.content_col]
+        pos_col = df["__drop_pos"]
+        out_content: list = []
+        out_ndrop: list = []
+        for content, pos_s in zip(contents, pos_col):
+            if content is None or (isinstance(content, float) and content != content):
+                out_content.append(None)
+                out_ndrop.append(None)
+                continue
+            if pos_s is None or (isinstance(pos_s, float) and pos_s != pos_s) or pos_s == "":
+                out_content.append(content)
+                out_ndrop.append(0)
+                continue
+            drop = np.array(pos_s.split(","), dtype=np.int64)
+            lines = content.split("\n")
+            keep = np.ones(len(lines), dtype=bool)
+            keep[drop] = False
+            out_content.append("\n".join(l for l, k in zip(lines, keep) if k))
+            out_ndrop.append(int(len(drop)))
+        out = df.drop(columns=[self.content_col, "__drop_pos"]).copy()
+        out[self.content_col] = out_content
+        # nullable Int64 -> Arrow int64-with-nulls, same type as the
+        # broadcast path emits
+        out["n_dropped"] = pd.array(out_ndrop, dtype="Int64")
+        return out
+
+
+def _remove_boilerplate_joined(
+    ds, *, content_col: str, min_docs: int, id_col: str, n_buckets: int = 64
+):
+    """Over-cap fallback: no broadcast — the frequent set stays distributed.
+
+    explode(id, pos, line) ⋈ frequent(line)  [bucketed on line]
+      → (id, pos) dropped occurrences
+      → grouped_apply_bucketed on id → (id, '3,17,42')
+      → ds ⋈ positions [bucketed on id] → per-batch position rewrite
+    """
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.joins import hash_bucket_join
+
+    freq = frequent_lines(ds, content_col=content_col, min_docs=min_docs)
+    exploded = ds.select_columns([id_col, content_col]).map_batches(
+        _ExplodeLines(id_col, content_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # the join's tagged union pads each side with nulls, floatifying integer
+    # id/pos columns; restore source dtypes or the SECOND join buckets the
+    # float keys by buffer hash while the doc side buckets ints by modulo —
+    # same keys, different buckets, zero matches
+    id_type = ds.schema().base_schema.field(id_col).type
+
+    def restore_types(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(tbl.column(id_col), id_type),
+            "__pos": pc.cast(tbl.column("__pos"), pa.int64()),
+        })
+
+    dropped = hash_bucket_join(
+        exploded, freq, on="line", n_buckets=n_buckets,
+        how="inner", right_cols=[],
+    ).select_columns([id_col, "__pos"]).map_batches(
+        restore_types, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def agg_positions(g):
+        import pandas as pd
+
+        gb = g.groupby(id_col, sort=False)["__pos"].agg(
+            lambda s: ",".join(map(str, sorted(s)))
+        )
+        return pd.DataFrame({id_col: gb.index, "__drop_pos": gb.values})
+
+    per_id = grouped_apply_bucketed(dropped, [id_col], agg_positions,
+                                    n_buckets=n_buckets)
+    joined = hash_bucket_join(ds, per_id, on=id_col, n_buckets=n_buckets,
+                              how="left")
+    return joined.map_batches(
+        _PositionRewriter(content_col), batch_format="pandas",
+    )
+
+
 def remove_boilerplate(
     ds,
     *,
     content_col: str = "content",
     min_docs: int,
     max_set_size: int = 5_000_000,
+    id_col: str | None = None,
 ):
     """Dataset with frequent lines removed from ``content_col`` and a
     per-row ``n_dropped`` count.  Two passes over the input (df then
-    rewrite) — pass the same Dataset twice, it re-streams."""
+    rewrite) — pass the same Dataset twice, it re-streams.
+
+    If the frequent-line set exceeds ``max_set_size`` and ``id_col`` names a
+    unique row key, the rewrite switches to the bucketed-join path (module
+    docstring) instead of broadcasting; with no ``id_col`` it still fails
+    loudly."""
     freq = frequent_lines(ds, content_col=content_col, min_docs=min_docs)
     head = freq.take(max_set_size + 1)
     if len(head) > max_set_size:
-        raise ValueError(
-            f"frequent-line set exceeds max_set_size={max_set_size}; "
-            "raise min_docs or switch to the bucketed-join path"
+        if id_col is None:
+            raise ValueError(
+                f"frequent-line set exceeds max_set_size={max_set_size}; "
+                "raise min_docs or pass id_col= to enable the bucketed-join "
+                "fallback"
+            )
+        return _remove_boilerplate_joined(
+            ds, content_col=content_col, min_docs=min_docs, id_col=id_col
         )
     drop = pa.array([r["line"] for r in head], pa.large_string())
     ref = ray.put(drop)

@@ -55,6 +55,40 @@ def test_max_set_size_guard(ray_session):
         remove_boilerplate(_corpus(), min_docs=1, max_set_size=2)
 
 
+def test_joined_fallback_matches_broadcast_path(ray_session):
+    """Over-cap frequent set + id_col: the bucketed-join rewrite must emit
+    exactly what the broadcast path emits (content, n_dropped, all columns)."""
+    ds = _corpus().repartition(3)
+    broadcast = {r["doc_id"]: r for r in
+                 remove_boilerplate(ds, min_docs=3).take_all()}
+    # max_set_size=1 forces the fallback (the frequent set has 2 lines)
+    joined = {r["doc_id"]: r for r in
+              remove_boilerplate(ds, min_docs=3, max_set_size=1,
+                                 id_col="doc_id").take_all()}
+    assert set(joined) == set(broadcast)
+    for k in broadcast:
+        assert joined[k]["content"] == broadcast[k]["content"], k
+        assert joined[k]["n_dropped"] == broadcast[k]["n_dropped"], k
+
+
+def test_joined_fallback_null_and_untouched_rows(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "content": ["dup\nx", "dup\ny", None, "solo only"],
+    })).repartition(2)
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate(ds, min_docs=2, max_set_size=0,
+                              id_col="doc_id").take_all()}
+    assert out[0]["content"] == "x" and out[0]["n_dropped"] == 1
+    assert out[2]["content"] is None and out[2]["n_dropped"] is None
+    assert out[3]["content"] == "solo only" and out[3]["n_dropped"] == 0
+
+
+def test_max_set_size_guard_without_id_col(ray_session):
+    with pytest.raises(ValueError, match="id_col"):
+        remove_boilerplate(_corpus(), min_docs=1, max_set_size=2)
+
+
 def test_null_content_stays_null(ray_session):
     ds = rd.from_arrow(pa.table({
         "doc_id": [0, 1, 2],

@@ -68,11 +68,8 @@ def test_query_matches_oracle(name, con):
 # in the fixture SQL must pick the right expected rows there too
 
 FIXTURE_QUERIES = [
-    "langid_docs", "perplexity_docs", "minhash_neardup_docs",
-    "simhash_neardup_docs", "embedding_neardup", "lsh_ann_topk",
-    "minhash_verified_docs", "winnow_fingerprint_docs",
-    "fingerprint_overlap_docs", "ivf_ann_topk", "fasttext_langid_docs",
-    "semdedup_embeddings",
+    "langid_methods_docs", "perplexity_methods_docs", "neardup_docs",
+    "ann_methods_topk", "fingerprint_docs", "semdedup_embeddings",
 ]
 SF01_DIR = "/root/testdata/sf0.01"
 
