@@ -2563,7 +2563,11 @@ def q_substr_dup_docs(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": doc_id, "content": content})
 
     corpus = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-    out = duplicate_substrings(corpus, content_col="content", window=40, stride=1)
+    # candidate_filter: the 40×-amplified every-position exact pass reads
+    # only docs flagged by winnowing fingerprints (guarantee holds:
+    # window=40 >= w+k-1=11), so the exchange carries the candidate subset
+    out = duplicate_substrings(corpus, content_col="content", window=40,
+                               stride=1, candidate_filter=True)
     return (out.to_pandas()[["doc_id", "dup_windows", "first_dup_pos"]]
             .sort_values("doc_id").reset_index(drop=True))
 

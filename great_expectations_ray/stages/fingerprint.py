@@ -92,6 +92,41 @@ class WinnowFingerprinter:
         return tbl
 
 
+def fingerprint_candidate_ids(ds, *, id_col: str, text_col: str = "content",
+                              k: int = 8, w: int = 4):
+    """Dataset[(id_col,)] of docs sharing >= 1 winnowed fingerprint with
+    another doc — the cheap candidate pre-filter for the exact-verify pass
+    (stages/substr_dedup.py).
+
+    Unlike ``fingerprint_overlap_candidates`` this emits IDS, not pairs, so
+    a fingerprint shared by f docs costs O(f) rows, not O(f²) — no frequency
+    cap needed, which preserves the winnowing guarantee: any shared span of
+    length >= w + k - 1 makes BOTH docs candidates.  Output may repeat an id
+    across buckets; consumers dedupe."""
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        fps, _ = winnow_fingerprints_batch(tbl.column(text_col), k=k, w=w)
+        ids = np.asarray(tbl.column(id_col))
+        lens = np.array([len(f) for f in fps], dtype=np.int64)
+        return pa.table({
+            "fp": pa.array(np.concatenate(fps) if lens.sum() else
+                           np.empty(0, np.uint64)),
+            id_col: pa.array(np.repeat(ids, lens)),
+        })
+
+    def shared_ids(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("fp", sort=False)[id_col].transform("nunique") >= 2
+        return g.loc[m, [id_col]].drop_duplicates()
+
+    return grouped_apply_bucketed(
+        ds.select_columns([id_col, text_col])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"],
+        shared_ids,
+    )
+
+
 def fingerprint_overlap_candidates(ds, *, id_col: str, text_col: str = "content",
                                    k: int = 8, w: int = 4, min_shared: int = 2):
     """Docs sharing >= ``min_shared`` winnowed fingerprints — the

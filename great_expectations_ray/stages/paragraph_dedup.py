@@ -135,6 +135,58 @@ def _rebuild_batch(df: pd.DataFrame, text_col: str, sep: str) -> pd.DataFrame:
     return df
 
 
+class _ParagraphRewriter:
+    """Broadcast-rebuild actor: the drop map is fetched ONCE per actor in
+    ``__init__`` (the ``_BoilerplateRewriter`` pattern — no per-batch
+    ``ray.get``).  Batches with no affected doc take the Arrow-native fast
+    path: append a zero ``n_dropped`` column, no pandas conversion, no
+    string work."""
+
+    def __init__(self, drops_ref, text_col: str, id_col: str, sep: str):
+        import ray
+
+        self.drops: dict = (
+            drops_ref if isinstance(drops_ref, dict) else ray.get(drops_ref)
+        )
+        self.text_col, self.id_col, self.sep = text_col, id_col, sep
+        self.key_set = pa.array(list(self.drops.keys())) if self.drops else None
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if self.key_set is not None:
+            ids = tbl.column(self.id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            hit = pc.is_in(ids, value_set=self.key_set)
+            hit_np = hit.to_numpy(zero_copy_only=False)
+        else:
+            hit_np = None
+        if hit_np is None or not hit_np.any():
+            return tbl.append_column(
+                "n_dropped", pa.array(np.zeros(n, dtype=np.int32))
+            )
+        # slow path: rewrite only the affected rows
+        idx = np.flatnonzero(hit_np)
+        texts = tbl.column(self.text_col).to_pandas().to_numpy(dtype=object)
+        id_vals = ids.take(pa.array(idx)).to_pylist()
+        n_dropped = np.zeros(n, dtype=np.int32)
+        for i, doc_id in zip(idx, id_vals):
+            drop = set(int(x) for x in self.drops[doc_id])
+            parts = (texts[i] or "").split(self.sep)
+            texts[i] = self.sep.join(
+                p for j, p in enumerate(parts) if j not in drop
+            )
+            n_dropped[i] = len(drop)
+        # replace in place: fast- and slow-path batches must agree on
+        # column order or the block union rejects the mixed schemas
+        ti = tbl.schema.get_field_index(self.text_col)
+        out = tbl.set_column(
+            ti, self.text_col,
+            pa.array(texts.tolist(), tbl.schema.field(ti).type),
+        )
+        return out.append_column("n_dropped", pa.array(n_dropped))
+
+
 def dedup_paragraphs(
     ds,
     *,
@@ -158,18 +210,21 @@ def dedup_paragraphs(
 
         drop_df = drops.to_pandas()
         if drop_df.empty:  # schema-less when no paragraph ever drops
-            agg = pd.Series(dtype=object)
+            drop_map: dict = {}
         else:
-            agg = drop_df.groupby(id_col)["para_idx"].agg(list)
-        ref = ray.put(agg)
+            drop_map = {
+                k: np.asarray(v, dtype=np.int64)
+                for k, v in drop_df.groupby(id_col)["para_idx"].agg(list).items()
+            }
+        ref = ray.put(drop_map)
 
-        def attach(df: pd.DataFrame) -> pd.DataFrame:
-            lists = ray.get(ref)
-            df = df.copy()
-            df["__drop_idxs"] = df[id_col].map(lists)
-            return _rebuild_batch(df, text_col, sep)
-
-        return ds.map_batches(attach, batch_format="pandas")
+        return ds.map_batches(
+            _ParagraphRewriter,
+            fn_constructor_args=(ref, text_col, id_col, sep),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
 
     # large-drops path: aggregate per doc, bucketed join, rebuild per batch
     from great_expectations_ray.functions.bucketed import grouped_apply_bucketed

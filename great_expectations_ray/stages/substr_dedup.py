@@ -99,9 +99,40 @@ def duplicate_substrings(
     id_col: str = "doc_id",
     window: int = 40,
     stride: int = 1,
+    candidate_filter: bool = False,
+    candidate_k: int = 8,
+    candidate_w: int = 4,
 ):
     """Dataset[(doc_id, dup_windows, first_dup_pos)] for documents holding
-    at least one window shared with ANOTHER document."""
+    at least one window shared with ANOTHER document.
+
+    ``candidate_filter=True`` runs the winnowing candidate pass first
+    (``fingerprint_candidate_ids``) and feeds ONLY flagged docs into the
+    every-position exact pass, so the ~``window``× byte amplification of
+    stride=1 applies to the candidate subset, not the corpus.  Exactness is
+    preserved when ``window >= candidate_w + candidate_k - 1`` (the
+    winnowing guarantee: every shared span that long yields >= 1 common
+    fingerprint, so both docs are candidates).  The distinct candidate-id
+    set is collected to the driver and broadcast (bounded by |docs that
+    actually share content|, the same class of bound as the bloom-prefilter
+    snapshot); switch to a bucketed semi-join if a corpus ever breaks it."""
+    if candidate_filter:
+        if window < candidate_w + candidate_k - 1:
+            raise ValueError(
+                f"window={window} < w+k-1={candidate_w + candidate_k - 1}: "
+                "the candidate filter would miss short shared spans"
+            )
+        from great_expectations_ray.functions.joins import broadcast_semi_anti
+        from great_expectations_ray.stages.fingerprint import (
+            fingerprint_candidate_ids,
+        )
+
+        cand = fingerprint_candidate_ids(
+            ds, id_col=id_col, text_col=content_col,
+            k=candidate_k, w=candidate_w,
+        )
+        cand_ids = {r[id_col] for r in cand.take_all()}
+        ds = broadcast_semi_anti(ds, cand_ids, on=id_col)
 
     def explode(tbl: pa.Table) -> pa.Table:
         return window_table(

@@ -48,6 +48,54 @@ def test_within_doc_repeats_do_not_mark(ray_session):
     assert duplicate_substrings(ds, window=40).take_all() == []
 
 
+def test_candidate_filter_matches_full_pass(ray_session):
+    """candidate_filter=True must emit exactly what the full pass emits —
+    window=40 >= w+k-1 preserves the winnowing guarantee."""
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["prefix " + SHARED, SHARED + " suffix",
+                 "nothing in common with the others at all, guaranteed xyz",
+                 "another entirely unrelated document with its own words"],
+    })).repartition(2)
+    full = sorted(duplicate_substrings(ds, window=40).take_all(),
+                  key=lambda r: r["doc_id"])
+    cand = sorted(duplicate_substrings(ds, window=40,
+                                       candidate_filter=True).take_all(),
+                  key=lambda r: r["doc_id"])
+    assert cand == full and len(full) == 2
+
+
+def test_candidate_filter_prunes_exact_pass_input(ray_session):
+    """The every-position exact pass must see ONLY the candidate docs: with
+    the filter on, non-candidate docs never enter the window explode."""
+    from great_expectations_ray.functions.joins import broadcast_semi_anti
+    from great_expectations_ray.stages.fingerprint import (
+        fingerprint_candidate_ids,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["prefix " + SHARED, SHARED + " suffix",
+                 "nothing in common with the others at all, guaranteed xyz",
+                 "another entirely unrelated document with its own words"],
+    }))
+    cand_ids = {r["doc_id"] for r in
+                fingerprint_candidate_ids(ds, id_col="doc_id",
+                                          text_col="text").take_all()}
+    assert cand_ids == {0, 1}  # only the SHARED pair are candidates
+    pruned = broadcast_semi_anti(ds, cand_ids, on="doc_id")
+    assert pruned.count() == 2  # docs 2 and 3 never reach the exact pass
+
+
+def test_candidate_filter_window_guard(ray_session):
+    import pytest
+
+    ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x" * 50]}))
+    with pytest.raises(ValueError, match="w\\+k-1"):
+        duplicate_substrings(ds, window=8, candidate_filter=True,
+                             candidate_k=8, candidate_w=4)
+
+
 def test_non_ascii_content_does_not_crash(ray_session):
     shared = "SHARED LICENSE BLOCK THAT IS WELL OVER FORTY CHARS LONG INDEED"
     ds = rd.from_arrow(pa.table({
