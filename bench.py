@@ -52,6 +52,34 @@ BENCH_QUERIES = [
 ]
 
 
+def _wait_for_healthy_host(
+    min_first_touch_mbps: float = 1000.0,
+    max_wait_s: float | None = None,
+) -> dict:
+    """Block until the page-population probe reads healthy, up to
+    ``GXR_BENCH_WAIT_S`` (default 600 s), then return the last probe.
+
+    This box's first-touch rate collapses episodically to 6-570 MB/s
+    (healthy: multi-GB/s) and poisons every timing by 2x+ with no code
+    change (BASELINE.md).  Gating the timed legs on the probe is the only
+    way a recorded headline means anything; if the episode outlasts the
+    budget we proceed anyway and the embedded host_health lets the reader
+    discount the number."""
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("GXR_BENCH_WAIT_S", "600"))
+    deadline = time.time() + max_wait_s
+    probe = _host_health()
+    while probe["first_touch_mbps"] < min_first_touch_mbps and time.time() < deadline:
+        print(
+            f"host episode active (first_touch={probe['first_touch_mbps']} MB/s"
+            f" < {min_first_touch_mbps:.0f}); waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        probe = _host_health()
+    return probe
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -117,6 +145,7 @@ def run_bench() -> dict:
     # shows ±25% leg-to-leg variance from host-level memory-bandwidth
     # contention (identical legs measured 17.7-25.6 s in one session) — one
     # extra leg materially raises the odds of catching a quiet window
+    pre_probe = _wait_for_healthy_host()
     headline = float("inf")
     n_groups = 0
     # outputs land on tmpfs: they're deleted right after, and disk write-back
@@ -178,6 +207,7 @@ def run_bench() -> dict:
         "sf": sf,
         "num_cpus": ncpus,
         "host_health": _host_health(),
+        "host_health_pre": pre_probe,
     }
     ray.shutdown()
     return result

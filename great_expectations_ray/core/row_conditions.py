@@ -49,12 +49,10 @@ def _parse_literal(raw: str):
     return float(raw)
 
 
-def compile_row_condition(condition: str) -> Callable[[pa.Table], np.ndarray]:
-    """Compile a DSL string once; returns a per-batch mask function.
-
-    'and'/'or' associate left-to-right without precedence or parens — matching
-    the flat ConditionParser grammar of the reference (row_conditions.py:59-66).
-    """
+def _parse_condition(
+    condition: str,
+) -> tuple[list[tuple[str, str | None, object]], list[str]]:
+    """Shared parse: DSL string -> (terms, connectors)."""
     pos = 0
     terms: list[tuple[str, str | None, object]] = []
     connectors: list[str] = []
@@ -75,7 +73,46 @@ def compile_row_condition(condition: str) -> Callable[[pa.Table], np.ndarray]:
         if cm:
             connectors.append(cm.group(1).lower())
             pos = cm.end()
+    return terms, connectors
 
+
+def row_condition_to_sql(condition: str) -> str:
+    """Compile the same DSL surface to an ANSI-SQL predicate — the pushdown
+    path of ``read_sql_source`` (reference
+    ``sqlalchemy_execution_engine.py``'s row-condition translation; the
+    reference DSL likewise lowers to SQLAlchemy filters).
+
+    Left-to-right association matches ``compile_row_condition``; the flat
+    chain is emitted with explicit parens so SQL's and/or precedence cannot
+    diverge from the DSL's."""
+    terms, connectors = _parse_condition(condition)
+    if not terms:
+        raise ValueError(f"empty row_condition: {condition!r}")
+
+    def term_sql(name: str, op: str | None, lit: object) -> str:
+        ident = '"' + name.replace('"', '""') + '"'
+        if op == "notnull":
+            return f"{ident} IS NOT NULL"
+        if op == "isnull":
+            return f"{ident} IS NULL"
+        sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+        if isinstance(lit, str):
+            return f"{ident} {sql_op} '" + lit.replace("'", "''") + "'"
+        return f"{ident} {sql_op} {lit!r}"
+
+    out = term_sql(*terms[0])
+    for conn, term in zip(connectors, terms[1:]):
+        out = f"({out}) {conn.upper()} ({term_sql(*term)})"
+    return out
+
+
+def compile_row_condition(condition: str) -> Callable[[pa.Table], np.ndarray]:
+    """Compile a DSL string once; returns a per-batch mask function.
+
+    'and'/'or' associate left-to-right without precedence or parens — matching
+    the flat ConditionParser grammar of the reference (row_conditions.py:59-66).
+    """
+    terms, connectors = _parse_condition(condition)
     if not terms:
         raise ValueError(f"empty row_condition: {condition!r}")
 

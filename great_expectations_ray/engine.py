@@ -126,6 +126,7 @@ class _CompiledSuite:
     dist_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     cramers_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     cross_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    global_sql_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     ks_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     agg_columns: set = field(default_factory=set)       # numeric agg partials
     count_columns: set = field(default_factory=set)     # (total, nonnull) counters
@@ -177,6 +178,19 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
             elif t in KS_TYPES:
                 plan.ks_rules.append((idx, cfg))
                 plan.count_columns.add(cfg.kwargs["column"])
+            elif (
+                t == "unexpected_rows_expectation"
+                and cfg.kwargs.get("scope") == "table"
+            ):
+                # corpus-level SQL (joins / aggregates over the whole asset,
+                # reference unexpected_rows_expectation.py:138-153) — the
+                # documented materialize->DuckDB pass, not the per-batch path
+                if "unexpected_sql" not in cfg.kwargs:
+                    raise ValueError(
+                        "scope='table' requires 'unexpected_sql' (global SQL "
+                        "over {batch} returning the unexpected rows)"
+                    )
+                plan.global_sql_rules.append((idx, cfg))
             elif t in CONDITION_KERNELS:
                 plan.map_rules.append((idx, cfg))
             else:
@@ -544,7 +558,7 @@ def validate(
 
     if merged:
         row_count = merged["row_count"]
-    elif plan.cross_rules:
+    elif plan.cross_rules or plan.global_sql_rules:
         row_count = ds.count()  # no fused pass ran; count directly
     else:
         row_count = 0
@@ -774,6 +788,74 @@ def validate(
             )
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # ---- global SQL predicates (scope="table") ----------------------------- #
+    # Reference parity: unexpected_rows_expectation.py:138-153 — arbitrary SQL
+    # over the WHOLE asset (joins, aggregates, window functions); success =
+    # zero returned rows, observed_value = "N unexpected rows".  On Ray this
+    # is an explicit, documented materialization: the dataset streams batch
+    # by batch into one DuckDB table on the driver (DuckDB spills to disk
+    # past its memory limit), every scope='table' rule in the suite shares
+    # the single load, and the returned rows are capped at
+    # ``partial_unexpected_count`` in the EVR details.
+    if plan.global_sql_rules:
+        import duckdb
+
+        con = duckdb.connect()
+        try:
+            total_rows = 0
+            first = True
+            for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+                total_rows += batch.num_rows
+                con.register("__gxr_chunk", batch)
+                if first:
+                    con.execute(
+                        "CREATE TABLE __gxr_asset AS SELECT * FROM __gxr_chunk"
+                    )
+                    first = False
+                else:
+                    con.execute("INSERT INTO __gxr_asset SELECT * FROM __gxr_chunk")
+                con.unregister("__gxr_chunk")
+            if first:  # empty dataset: synthesize an empty table if we can
+                schema = ds.schema()
+                base = getattr(schema, "base_schema", None) if schema else None
+                if base is None:
+                    raise ValueError(
+                        "empty dataset with unknown schema: global SQL "
+                        "cannot be evaluated"
+                    )
+                con.register(
+                    "__gxr_chunk",
+                    pa.table({f.name: pa.array([], f.type) for f in base}),
+                )
+                con.execute("CREATE TABLE __gxr_asset AS SELECT * FROM __gxr_chunk")
+                con.unregister("__gxr_chunk")
+            for idx, cfg in plan.global_sql_rules:
+                try:
+                    sql = cfg.kwargs["unexpected_sql"].replace(
+                        "{batch}", "__gxr_asset"
+                    )
+                    out = con.execute(sql).fetch_arrow_table()
+                    n_unexpected = out.num_rows
+                    noun = "row" if n_unexpected == 1 else "rows"
+                    evrs[idx] = ExpectationValidationResult(
+                        success=n_unexpected == 0,
+                        expectation_config=cfg.to_json_dict(),
+                        result={
+                            "observed_value": f"{n_unexpected} unexpected {noun}",
+                            "element_count": total_rows,
+                            "unexpected_count": n_unexpected,
+                            "details": {
+                                "unexpected_rows": out.slice(
+                                    0, partial_unexpected_count
+                                ).to_pylist(),
+                            },
+                        },
+                    )
+                except Exception as exc:
+                    fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+        finally:
+            con.close()
 
     results = [evrs[i] for i in sorted(evrs)] if evrs else []
     stats = calc_validation_statistics(results)

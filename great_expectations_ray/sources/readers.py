@@ -191,16 +191,133 @@ read_sas = _pandas_file_reader("read_sas")
 read_xml = _pandas_file_reader("read_xml", needs="lxml")
 
 
-def read_sql_source(sql: str, connection_factory, **kwargs):
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def partitioner_to_sql(partitioner: dict) -> str:
+    """Compile a partitioner spec to a SQL predicate — the pushdown analogs
+    of the reference's SQL partitioners (``sqlalchemy_execution_engine.py``
+    splitter methods: split_on_year_and_month / divided_integer /
+    mod_integer / column_value / whole_table).
+
+    Specs (dicts, mirroring ``functions/partitioners.py``):
+      {"type": "date_parts", "column": c, "parts": {"year": 2024, ...}}
+      {"type": "divided",    "column": c, "divisor": D, "value": V}
+      {"type": "mod",        "column": c, "mod": M, "value": V}
+      {"type": "column_value", "column": c, "value": V}
+      {"type": "range",      "column": c, "min": lo, "max": hi}  # [lo, hi)
+    """
+    t = partitioner["type"]
+    col = _quote_ident(partitioner["column"]) if "column" in partitioner else None
+    if t == "date_parts":
+        clauses = [
+            f"EXTRACT({part} FROM {col}) = {int(val)}"
+            for part, val in partitioner["parts"].items()
+        ]
+        return " AND ".join(clauses)
+    if t == "divided":
+        return (
+            f"CAST(FLOOR({col} / {int(partitioner['divisor'])}) AS BIGINT) "
+            f"= {int(partitioner['value'])}"
+        )
+    if t == "mod":
+        return f"({col} % {int(partitioner['mod'])}) = {int(partitioner['value'])}"
+    if t == "column_value":
+        v = partitioner["value"]
+        if isinstance(v, str):
+            return f"{col} = '" + v.replace("'", "''") + "'"
+        return f"{col} = {v!r}"
+    if t == "range":
+        return (
+            f"{col} >= {partitioner['min']!r} AND {col} < {partitioner['max']!r}"
+        )
+    raise NotImplementedError(
+        f"partitioner type {t!r} is not SQL-pushable (hashed partitioners "
+        "need a portable hash function; partition in Ray after the read)"
+    )
+
+
+def sampler_to_sql(sampler: dict) -> tuple[str | None, int | None]:
+    """Sampler spec -> (predicate, limit) — pushdown analogs of the
+    reference's SQL data samplers (sample_using_mod / sample_using_limit /
+    sample_using_a_list)."""
+    t = sampler["type"]
+    if t == "limit":
+        return None, int(sampler["n"])
+    if t == "mod":
+        col = _quote_ident(sampler["column"])
+        return f"({col} % {int(sampler['mod'])}) = {int(sampler['value'])}", None
+    if t == "list":
+        col = _quote_ident(sampler["column"])
+        vals = ", ".join(
+            "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+            for v in sampler["values"]
+        )
+        return f"{col} IN ({vals})", None
+    raise NotImplementedError(
+        f"sampler type {t!r} is not SQL-pushable (random samplers depend on "
+        "backend RNG; sample in Ray after the read)"
+    )
+
+
+def compile_sql_pushdown(
+    sql: str,
+    *,
+    row_condition: str | None = None,
+    partitioner: dict | None = None,
+    sampler: dict | None = None,
+) -> str:
+    """Wrap a source query with compiled WHERE/LIMIT pushdown clauses."""
+    preds = []
+    if row_condition:
+        from great_expectations_ray.core.row_conditions import row_condition_to_sql
+
+        preds.append(f"({row_condition_to_sql(row_condition)})")
+    if partitioner:
+        preds.append(f"({partitioner_to_sql(partitioner)})")
+    limit = None
+    if sampler:
+        pred, limit = sampler_to_sql(sampler)
+        if pred:
+            preds.append(f"({pred})")
+    if not preds and limit is None:
+        return sql
+    out = f"SELECT * FROM ({sql.strip().rstrip(';')}) AS gxr_src"
+    if preds:
+        out += " WHERE " + " AND ".join(preds)
+    if limit is not None:
+        out += f" LIMIT {limit}"
+    return out
+
+
+def read_sql_source(
+    sql: str,
+    connection_factory,
+    *,
+    row_condition: str | None = None,
+    partitioner: dict | None = None,
+    sampler: dict | None = None,
+    **kwargs,
+):
     """SQL datasource (reference: ``sqlalchemy_execution_engine.py:1``,
-    fluent SQL assets): thin wrapper over ``ray.data.read_sql`` — any DBAPI
+    fluent SQL assets): wrapper over ``ray.data.read_sql`` — any DBAPI
     connection factory.  The factory ships to workers via cloudpickle, so it
     must import its driver INSIDE the closure (e.g.
     ``lambda: __import__("duckdb").connect()``) — C-extension module
     attributes like ``duckdb.connect`` themselves don't pickle.
-    Partition the query externally (one call per shard) for large tables."""
+
+    ``row_condition`` (the GX DSL), ``partitioner`` and ``sampler`` specs
+    compile INTO the SQL (``compile_sql_pushdown``) so the database prunes
+    rows before they ever reach Ray — the reference's SqlAlchemy splitter/
+    sampler pushdown, re-expressed as plain SQL.  Partition the query
+    externally (one ``partitioner`` value per call) for large tables."""
     import ray.data as rd
 
+    sql = compile_sql_pushdown(
+        sql, row_condition=row_condition, partitioner=partitioner,
+        sampler=sampler,
+    )
     return rd.read_sql(sql, connection_factory, **kwargs)
 
 

@@ -296,6 +296,77 @@ def test_unexpected_rows_sql_predicate():
     assert resb.results[0].exception_info["raised_exception"]
 
 
+def test_unexpected_rows_global_sql_self_join():
+    """scope='table' (#60-61 global path): a cross-row predicate the
+    per-batch path CANNOT express — a self-join duplicate check over the
+    whole asset (reference unexpected_rows_expectation.py:138-153:
+    success = 0 returned rows)."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds = rd.from_items(
+        [{"k": k, "v": i} for i, k in enumerate([1, 2, 3, 2, 4, 1])]
+    ).repartition(3)  # duplicates straddle batches: per-batch SQL misses them
+    suite = ExpectationSuite("gsql").add(
+        "unexpected_rows_expectation",
+        scope="table",
+        unexpected_sql="""
+            SELECT a.k, a.v FROM {batch} a
+            JOIN (SELECT k FROM {batch} GROUP BY k HAVING COUNT(*) > 1) d
+              USING (k)
+        """,
+    )
+    evr = validate(ds, suite).results[0]
+    assert not evr.success
+    assert evr.result["unexpected_count"] == 4  # rows of k=1 and k=2
+    assert evr.result["observed_value"] == "4 unexpected rows"
+    assert evr.result["element_count"] == 6
+    ks = sorted(r["k"] for r in evr.result["details"]["unexpected_rows"])
+    assert ks == [1, 1, 2, 2]
+
+    # the same corpus with no duplicates passes
+    clean = rd.from_items([{"k": k, "v": k} for k in range(5)])
+    evr2 = validate(clean, suite).results[0]
+    assert evr2.success and evr2.result["unexpected_count"] == 0
+
+
+def test_unexpected_rows_global_sql_aggregate_predicate():
+    """scope='table' with a whole-asset aggregate in the predicate."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds = rd.from_items([{"x": v} for v in [1.0, 2.0, 3.0, 100.0]])
+    suite = ExpectationSuite("gagg").add(
+        "unexpected_rows_expectation",
+        scope="table",
+        unexpected_sql=(
+            "SELECT x FROM {batch} "
+            "WHERE x > 3 * (SELECT AVG(x) FROM {batch})"
+        ),
+    )
+    evr = validate(ds, suite).results[0]
+    assert not evr.success and evr.result["unexpected_count"] == 1
+    assert evr.result["details"]["unexpected_rows"] == [{"x": 100.0}]
+
+
+def test_unexpected_rows_global_sql_requires_sql():
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds = rd.from_items([{"x": 1}])
+    suite = ExpectationSuite("gbad").add(
+        "unexpected_rows_expectation",
+        scope="table",
+        unexpected_condition='col("x") > 0',
+    )
+    evr = validate(ds, suite).results[0]
+    assert not evr.success and evr.exception_info["raised_exception"]
+    assert "unexpected_sql" in evr.exception_info["exception_message"]
+
+
 def test_increasing_counts_null_partition_keys(ray_session):
     """Null partition keys form ONE group (SQL PARTITION BY semantics) and
     their violations are counted — they must not be silently dropped."""

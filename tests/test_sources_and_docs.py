@@ -202,6 +202,79 @@ def test_orc_feather_sql_readers(tmp_path):
     assert ds.count() == 10
 
 
+def test_sql_pushdown_row_condition_partitioner_sampler(tmp_path, ray_session):
+    """Pushdown compiles INTO the SQL and the database returns the pruned
+    set (reference sqlalchemy_execution_engine partitioner/sampler analogs)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.sources.readers import (
+        compile_sql_pushdown,
+        read_sql_source,
+    )
+
+    t = pa.table({
+        "id": list(range(100)),
+        "v": [float(i) for i in range(100)],
+        "ts": [dt.datetime(2024, 1 + (i % 12), 1) for i in range(100)],
+        "name": [f"n{i}" for i in range(100)],
+    })
+    pq_path = str(tmp_path / "p.parquet")
+    pq.write_table(t, pq_path)
+    base = f"SELECT * FROM read_parquet('{pq_path}')"
+    factory = lambda: __import__("duckdb").connect()  # noqa: E731
+
+    # row-condition DSL -> WHERE
+    ds = read_sql_source(base, factory, row_condition='col("v") >= 90.0')
+    assert ds.count() == 10
+
+    # date-part partitioner: month 3 of 2024 -> ids where i % 12 == 2
+    ds = read_sql_source(
+        base, factory,
+        partitioner={"type": "date_parts", "column": "ts",
+                     "parts": {"year": 2024, "month": 3}},
+    )
+    got = sorted(r["id"] for r in ds.take_all())
+    assert got == [i for i in range(100) if i % 12 == 2]
+
+    # mod partitioner + limit sampler compose; LIMIT applies after WHERE
+    ds = read_sql_source(
+        base, factory,
+        partitioner={"type": "mod", "column": "id", "mod": 10, "value": 3},
+        sampler={"type": "limit", "n": 4},
+    )
+    rows = ds.take_all()
+    assert len(rows) == 4 and all(r["id"] % 10 == 3 for r in rows)
+
+    # divided partitioner
+    ds = read_sql_source(
+        base, factory,
+        partitioner={"type": "divided", "column": "id", "divisor": 25,
+                     "value": 2},
+    )
+    assert sorted(r["id"] for r in ds.take_all()) == list(range(50, 75))
+
+    # list sampler with string escaping
+    ds = read_sql_source(
+        base, factory,
+        sampler={"type": "list", "column": "name", "values": ["n1", "n2"]},
+    )
+    assert sorted(r["name"] for r in ds.take_all()) == ["n1", "n2"]
+
+    # the compiled SQL itself is inspectable and only wraps when needed
+    assert compile_sql_pushdown(base) == base
+    sql = compile_sql_pushdown(
+        base, row_condition='col("name") == "o\'brien" and col("v") > 1')
+    assert "''" in sql and "WHERE" in sql  # quote escaped, predicate present
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="hashed"):
+        compile_sql_pushdown(base, partitioner={"type": "hashed", "column": "id"})
+
+
 def test_fwf_pickle_partitioner_readers(tmp_path):
     import pandas as pd
 
