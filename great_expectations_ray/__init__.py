@@ -21,6 +21,11 @@ from great_expectations_ray.core.results import (
 )
 from great_expectations_ray.engine import validate
 
+# side-effect import: registers the contrib-expectation ports (hexadecimal,
+# ARN, scientific notation, future-date, decimal places, special characters)
+# through the public register_condition path
+import great_expectations_ray.functions.contrib  # noqa: E402,F401
+
 __version__ = "0.1.0"
 
 __all__ = [

@@ -1089,10 +1089,21 @@ def _finish_continuous_kl(
                 kl += o * math.log(o / e)
     threshold = cfg.kwargs.get("threshold")
     ok = threshold is not None and not math.isinf(kl) and kl < threshold
+    # observed partition mirrors the reference's KL result details (bins +
+    # observed bin weights + observed tail weights) — the data-docs
+    # histogram content block renders straight from it
+    details = {}
+    if n > 0:
+        details["observed_partition"] = {
+            "bins": list(po["bins"]),
+            "weights": [c / n for c in counts],
+            "tail_weights": [below / n, above / n],
+        }
     return ExpectationValidationResult(
         success=ok,
         expectation_config=cfg.to_json_dict(),
-        result={"observed_value": None if math.isinf(kl) else kl},
+        result={"observed_value": None if math.isinf(kl) else kl,
+                **({"details": details} if details else {})},
     )
 
 

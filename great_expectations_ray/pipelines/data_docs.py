@@ -82,6 +82,10 @@ _CSS = (
     ".banner.ok{background:#e4f5e9}.banner.fail{background:#fbe9e7}"
     "code{background:#f4f4f4;padding:1px 4px}"
     "code.dim{color:#777;background:none;font-size:0.85em}"
+    ".histbar{display:inline-block;height:10px;background:#4a7fb5;"
+    "vertical-align:middle}"
+    ".histcell{white-space:nowrap}"
+    "details{margin:6px 0}summary{cursor:pointer;color:#555}"
 )
 
 
@@ -108,6 +112,76 @@ def _fmt_result_cell(result: dict) -> str:
     return "<br>".join(bits)
 
 
+def _render_unexpected_block(result: dict) -> str:
+    """"Sampled Unexpected Values" content block (reference:
+    render/renderer/content_block/validation_results_table_content_block —
+    the unexpected-table GX shows under a failing map expectation).  Prefers
+    ``partial_unexpected_counts`` (value + count, SUMMARY/COMPLETE formats);
+    falls back to the raw ``partial_unexpected_list``."""
+    counts = result.get("partial_unexpected_counts")
+    if counts:
+        rows = "".join(
+            f"<tr><td><code>{_esc(e.get('value'))}</code></td>"
+            f"<td>{_esc(e.get('count'))}</td></tr>"
+            for e in counts
+        )
+        return (
+            "<details open class='unexpected'><summary>Sampled unexpected "
+            "values</summary><table><tr><th>value</th><th>count</th></tr>"
+            + rows + "</table></details>"
+        )
+    sample = result.get("partial_unexpected_list")
+    if not sample:
+        return ""
+    rows = "".join(
+        f"<tr><td><code>{_esc(v)}</code></td></tr>" for v in sample
+    )
+    return (
+        "<details open class='unexpected'><summary>Sampled unexpected "
+        "values</summary><table><tr><th>value</th></tr>"
+        + rows + "</table></details>"
+    )
+
+
+def _render_histogram_block(result: dict) -> str:
+    """Histogram content block from ``details.observed_partition``
+    (reference: render/renderer/content_block expected/observed distribution
+    graphs, rendered here as pure-HTML bars).  Handles both shapes: a
+    continuous partition (``bins`` = n+1 edges + n ``weights``) and a
+    discrete one (``values`` + ``weights``)."""
+    part = ((result.get("details") or {}).get("observed_partition")) or {}
+    weights = part.get("weights") or []
+    if not weights:
+        return ""
+    if part.get("bins"):
+        edges = part["bins"]
+        labels = [
+            f"[{edges[i]:g}, {edges[i + 1]:g})" for i in range(len(edges) - 1)
+        ]
+    else:
+        labels = [str(v) for v in part.get("values", [])]
+    if len(labels) != len(weights):
+        return ""
+    peak = max(weights) or 1.0
+    bars = "".join(
+        f"<tr><td><code>{_esc(lab)}</code></td>"
+        f"<td class='histcell'><div class='histbar' "
+        f"style='width:{max(1, round(200 * w / peak))}px'></div> "
+        f"{round(w, 4)}</td></tr>"
+        for lab, w in zip(labels, weights)
+    )
+    tails = part.get("tail_weights")
+    tail_html = (
+        f"<p><code class='dim'>tail weights: {round(tails[0], 4)} / "
+        f"{round(tails[1], 4)}</code></p>" if tails else ""
+    )
+    return (
+        "<details open class='histogram'><summary>Observed distribution"
+        "</summary><table><tr><th>bin</th><th>weight</th></tr>"
+        + bars + "</table>" + tail_html + "</details>"
+    )
+
+
 def _evr_rows(results: list[dict]) -> str:
     rows = []
     for evr in results:
@@ -122,12 +196,17 @@ def _evr_rows(results: list[dict]) -> str:
             if exc.get("raised_exception") else ""
         )
         etype = cfg.get("expectation_type") or cfg.get("type", "?")
+        result = evr.get("result") or {}
+        blocks = ""
+        if not ok:
+            blocks += _render_unexpected_block(result)
+        blocks += _render_histogram_block(result)
         rows.append(
             f"<tr><td>{icon}</td>"
             f"<td>{_esc(describe(etype, cfg.get('kwargs') or {}))}"
             f"<br><code class='dim'>{_esc(etype)} "
             f"{_esc(json.dumps(kwargs, sort_keys=True, default=str))}</code></td>"
-            f"<td>{_fmt_result_cell(evr.get('result') or {})}{exc_html}</td></tr>"
+            f"<td>{_fmt_result_cell(result)}{exc_html}{blocks}</td></tr>"
         )
     return (
         "<table><tr><th></th><th>expectation</th>"

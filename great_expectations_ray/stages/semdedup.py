@@ -28,6 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from great_expectations_ray.stages.ann import _emb_matrix, _kmeans_cosine
 
@@ -86,16 +87,23 @@ def semdedup(
             emb_col: tbl.column(emb_col),
         })
 
-    def prune(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in g[emb_col]])
+    def prune(g: pa.Table) -> pa.Table:
+        # Arrow-native: sort by id, then view the embedding list column's
+        # contiguous value buffer as an (n, d) matrix in one reshape — no
+        # per-row np.asarray conversion (the former pandas object-column
+        # np.stack walked every cell)
+        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        g = g.take(order)
+        M = _emb_matrix(g.column(emb_col))
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        head = min(len(g), max_cluster_size)
-        is_dup = np.ones(len(g), dtype=bool)  # overflow -> conservative dup
+        head = min(g.num_rows, max_cluster_size)
+        is_dup = np.ones(g.num_rows, dtype=bool)  # overflow -> conservative dup
         is_dup[:head] = _greedy_prune(M[:head], threshold)
-        return pd.DataFrame({
-            id_col: g[id_col], "cluster": g["cluster"], "is_dup": is_dup,
+        return pa.table({
+            id_col: g.column(id_col),
+            "cluster": g.column("cluster"),
+            "is_dup": pa.array(is_dup),
         })
 
     labeled = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return labeled.groupby("cluster").map_groups(prune, batch_format="pandas")
+    return labeled.groupby("cluster").map_groups(prune, batch_format="pyarrow")

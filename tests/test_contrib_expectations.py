@@ -1,0 +1,109 @@
+"""Conformance tests for the contrib-expectation ports
+(functions/contrib.py) — positive/negative cases mirror the contrib
+modules' own example blocks."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from great_expectations_ray import ExpectationSuite, validate
+
+
+def _run(col_values, expectation, **kwargs):
+    ds = rd.from_arrow(pa.table({"c": col_values}))
+    suite = ExpectationSuite("contrib").add(expectation, column="c", **kwargs)
+    return validate(ds, suite).results[0]
+
+
+def test_hexadecimal(ray_session):
+    r = _run(["deadBEEF", "0f", "123", "0x12", "xyz", None],
+             "expect_column_values_to_be_hexadecimal")
+    assert not r.success
+    assert r.result["unexpected_count"] == 2  # 0x12 (prefix) and xyz
+    assert sorted(r.result["partial_unexpected_list"]) == ["0x12", "xyz"]
+
+    ok = _run(["abc123", "FF"], "expect_column_values_to_be_hexadecimal")
+    assert ok.success
+
+
+def test_valid_arn(ray_session):
+    r = _run([
+        "arn:aws:iam::123456789012:user/alice",
+        "arn:aws:s3:::my-bucket/key",
+        "arn:partition:service:region:acct:res",
+        "not-an-arn",
+        "arn:missing-parts",
+    ], "expect_column_values_to_be_valid_arn")
+    assert not r.success
+    assert r.result["unexpected_count"] == 2
+
+
+def test_valid_scientific_notation(ray_session):
+    r = _run(["1.5e10", "-2E-3", "0.5", "3", ".5", "1e", "e5", "abc"],
+             "expect_column_values_to_be_valid_scientific_notation")
+    assert not r.success
+    assert sorted(r.result["partial_unexpected_list"]) == ["1e", "abc", "e5"]
+
+
+def test_not_future_date_strings(ray_session):
+    r = _run(["2000-01-01", "1999-12-31 23:59:59", "2999-01-01", "garbage"],
+             "expect_column_values_to_not_be_future_date")
+    assert not r.success
+    # future date AND unparseable are both unexpected (contrib parse->False)
+    assert r.result["unexpected_count"] == 2
+    ok = _run(["2001-06-15", "1970-01-01"],
+              "expect_column_values_to_not_be_future_date")
+    assert ok.success
+
+
+def test_not_future_date_timestamp_column(ray_session):
+    import datetime as dt
+
+    past = dt.datetime(2020, 5, 1)
+    future = dt.datetime(2999, 1, 1)
+    today = dt.datetime.now().replace(hour=0, minute=0, second=0, microsecond=0)
+    r = _run([past, future, today], "expect_column_values_to_not_be_future_date")
+    assert not r.success and r.result["unexpected_count"] == 1
+
+
+def test_decimal_places_equal(ray_session):
+    # 2.5 has 1 place; 3.0 is integral -> passes by fiat; 2.55 fails
+    r = _run([2.5, 3.0, 2.55, None],
+             "expect_column_values_number_of_decimal_places_to_equal",
+             decimal_places=1)
+    assert not r.success and r.result["unexpected_count"] == 1
+
+    ints = _run([1, 2, 3],
+                "expect_column_values_number_of_decimal_places_to_equal",
+                decimal_places=2)
+    assert ints.success  # integers count as having the expected places
+
+
+def test_not_contain_special_characters(ray_session):
+    r = _run(["clean text", "with-dash", "with space ok", "semi;colon"],
+             "expect_column_values_to_not_contain_special_characters",
+             allowed_characters=["-"])
+    assert not r.success
+    assert r.result["partial_unexpected_list"] == ["semi;colon"]
+
+    all_allowed = _run(["a;b", "c,d"],
+                       "expect_column_values_to_not_contain_special_characters",
+                       allowed_characters=list(";,"))
+    assert all_allowed.success
+
+
+def test_not_contain_character(ray_session):
+    r = _run(["a@b.com", "plain", "x@y"],
+             "expect_column_values_to_not_contain_character", character="@")
+    assert not r.success and r.result["unexpected_count"] == 2
+
+
+def test_mostly_applies_to_contrib_kernels(ray_session):
+    # contrib ports ride the standard map-rule machinery: mostly, nulls,
+    # partial_unexpected_list all behave like core expectations
+    r = _run(["ff", "00", "zz", None, "ab"],
+             "expect_column_values_to_be_hexadecimal", mostly=0.7)
+    assert r.success  # 3/4 non-null pass >= 0.7
+    assert r.result["unexpected_count"] == 1

@@ -89,6 +89,52 @@ def test_site_builder_renders_evr_fields(tmp_path):
     assert "fail" in body                         # missing column -> exception EVR
 
 
+def test_render_unexpected_sample_table_and_histogram(tmp_path):
+    """Render depth (reference render/renderer/content_block): a failing
+    expectation's page shows its sampled-unexpected-values table, and a
+    numeric column's KL expectation renders an observed-distribution
+    histogram block."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+    from great_expectations_ray.pipelines.data_docs import (
+        render_validation_page,
+    )
+
+    ds = rd.from_items([{"x": float(i % 10)} for i in range(100)])
+    suite = (
+        ExpectationSuite("render_suite")
+        .add("expect_column_values_to_be_between", column="x",
+             min_value=0, max_value=7)              # 8.0 and 9.0 unexpected
+        .add("expect_column_kl_divergence_to_be_less_than", column="x",
+             partition_object={"bins": [0.0, 5.0, 10.0],
+                               "weights": [0.5, 0.5]},
+             threshold=0.1)
+    )
+    res = validate(ds, suite)
+    body = render_validation_page(res.to_json_dict(), title="t")
+
+    # unexpected-sample content block: values + counts as a table
+    assert "Sampled unexpected values" in body
+    assert "<code>8.0</code>" in body and "<code>9.0</code>" in body
+    assert "<th>count</th>" in body  # SUMMARY format carries counts
+
+    # histogram content block off details.observed_partition
+    assert "Observed distribution" in body
+    assert "histbar" in body
+    assert "[0, 5)" in body and "[5, 10)" in body
+    assert "tail weights" in body
+
+    # a PASSING map expectation renders no unexpected block
+    ok_res = validate(
+        ds, ExpectationSuite("ok").add(
+            "expect_column_values_to_be_between", column="x",
+            min_value=0, max_value=9)
+    )
+    ok_body = render_validation_page(ok_res.to_json_dict(), title="t2")
+    assert "Sampled unexpected values" not in ok_body
+
+
 def test_checkpoint_rollup_page_and_actions(tmp_path):
     """Checkpoint run -> stored rollups -> site pages; notification actions
     render payloads (dry-run, no network) and round-trip their configs."""
