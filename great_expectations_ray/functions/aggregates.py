@@ -23,7 +23,11 @@ import pyarrow.compute as pc
 
 @dataclass
 class NumericAggState:
-    """count / sum / min / max / mean / M2 for one numeric column."""
+    """count / sum / min / max / mean / central moments M2-M4 for one
+    numeric column.  M3/M4 ride the same associative combine (Pébay 2008,
+    "Formulas for Robust, One-Pass Parallel Computation of Covariances and
+    Arbitrary-Order Statistical Moments", Sandia SAND2008-6212) so skew /
+    kurtosis stay exact under any block split."""
 
     n: int = 0  # nonnull count
     total: int = 0  # all rows incl. null
@@ -32,28 +36,51 @@ class NumericAggState:
     max: Any = None
     mean: float = 0.0
     m2: float = 0.0
+    m3: float = 0.0
+    m4: float = 0.0
+
+    def _combine(self, n_b: int, mean_b: float, m2_b: float,
+                 m3_b: float, m4_b: float) -> None:
+        """Pébay pairwise combine of (self) with a second moment set."""
+        if n_b == 0:
+            return
+        if self.n == 0:
+            self.n, self.mean = n_b, mean_b
+            self.m2, self.m3, self.m4 = m2_b, m3_b, m4_b
+            return
+        n_a, mean_a = self.n, self.mean
+        m2_a, m3_a, m4_a = self.m2, self.m3, self.m4
+        n = n_a + n_b
+        d = mean_b - mean_a
+        self.m4 = (
+            m4_a + m4_b
+            + d**4 * n_a * n_b * (n_a * n_a - n_a * n_b + n_b * n_b) / n**3
+            + 6.0 * d * d * (n_a * n_a * m2_b + n_b * n_b * m2_a) / (n * n)
+            + 4.0 * d * (n_a * m3_b - n_b * m3_a) / n
+        )
+        self.m3 = (
+            m3_a + m3_b
+            + d**3 * n_a * n_b * (n_a - n_b) / (n * n)
+            + 3.0 * d * (n_a * m2_b - n_b * m2_a) / n
+        )
+        self.m2 = m2_a + m2_b + d * d * n_a * n_b / n
+        self.mean = mean_a + d * n_b / n
+        self.n = n
 
     def update(self, col: pa.ChunkedArray) -> None:
         self.total += len(col)
         vals = np.asarray(pc.drop_null(pc.cast(col, pa.float64())).combine_chunks())
         if len(vals) == 0:
             return
-        b_n = len(vals)
         b_mean = float(vals.mean())
-        b_m2 = float(((vals - b_mean) ** 2).sum())
+        dev = vals - b_mean
+        dev2 = dev * dev
         b_min, b_max = float(vals.min()), float(vals.max())
         self.sum += float(vals.sum())
         self.min = b_min if self.min is None else min(self.min, b_min)
         self.max = b_max if self.max is None else max(self.max, b_max)
-        # Chan et al. pairwise combine
-        if self.n == 0:
-            self.n, self.mean, self.m2 = b_n, b_mean, b_m2
-        else:
-            delta = b_mean - self.mean
-            tot = self.n + b_n
-            self.mean += delta * b_n / tot
-            self.m2 += b_m2 + delta * delta * self.n * b_n / tot
-            self.n = tot
+        self._combine(len(vals), b_mean, float(dev2.sum()),
+                      float((dev2 * dev).sum()), float((dev2 * dev2).sum()))
 
     def merge(self, o: "NumericAggState") -> "NumericAggState":
         self.total += o.total
@@ -62,15 +89,7 @@ class NumericAggState:
             self.min = o.min if self.min is None else min(self.min, o.min)
         if o.max is not None:
             self.max = o.max if self.max is None else max(self.max, o.max)
-        if o.n:
-            if self.n == 0:
-                self.n, self.mean, self.m2 = o.n, o.mean, o.m2
-            else:
-                delta = o.mean - self.mean
-                tot = self.n + o.n
-                self.mean += delta * o.n / tot
-                self.m2 += o.m2 + delta * delta * self.n * o.n / tot
-                self.n = tot
+        self._combine(o.n, o.mean, o.m2, o.m3, o.m4)
         return self
 
     # ---- finalized metrics ------------------------------------------------ #
@@ -90,6 +109,18 @@ class NumericAggState:
             return self.n
         if name == "table.row_count":
             return self.total
+        if name == "column.custom.skew":
+            # scipy.stats.skew defaults (bias=True): g1 = (M3/n)/(M2/n)^1.5;
+            # constant column -> None (scipy yields nan there) -> failed EVR
+            if self.n == 0 or self.m2 <= 0:
+                return None
+            return (self.m3 / self.n) / (self.m2 / self.n) ** 1.5
+        if name == "column.custom.kurtosis":
+            # scipy.stats.kurtosis defaults (Fisher=True, bias=True):
+            # (M4/n)/(M2/n)^2 - 3
+            if self.n == 0 or self.m2 <= 0:
+                return None
+            return (self.m4 / self.n) / (self.m2 / self.n) ** 2 - 3.0
         raise KeyError(name)
 
 
@@ -141,6 +172,11 @@ AGG_EXPECTATIONS: dict[str, str] = {
     "expect_column_min_to_be_between": "column.min",
     "expect_column_max_to_be_between": "column.max",
     "expect_column_stdev_to_be_between": "column.standard_deviation",
+    # contrib ports (expect_column_skew_to_be_between.py:34-41,
+    # expect_column_kurtosis_to_be_between.py:22-26): exact under any block
+    # split via the Pébay M3/M4 combine above
+    "expect_column_skew_to_be_between": "column.custom.skew",
+    "expect_column_kurtosis_to_be_between": "column.custom.kurtosis",
 }
 
 

@@ -100,6 +100,92 @@ def test_not_contain_character(ray_session):
     assert not r.success and r.result["unexpected_count"] == 2
 
 
+def test_skew_kurtosis_exact_across_block_splits(ray_session):
+    """Skew/kurtosis ride the Pébay M3/M4 combine: the value must equal the
+    single-machine scipy-default formulas regardless of partitioning."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([rng.exponential(2.0, 500), rng.normal(10, 1, 300)])
+    # scipy defaults: bias=True, fisher=True — computed here from raw moments
+    d = x - x.mean()
+    g1 = (d**3).mean() / (d**2).mean() ** 1.5
+    g2 = (d**4).mean() / (d**2).mean() ** 2 - 3.0
+
+    ds = rd.from_arrow(pa.table({"c": x})).repartition(7)
+    suite = (
+        ExpectationSuite("moments")
+        .add("expect_column_skew_to_be_between", column="c",
+             min_value=g1 - 1e-9, max_value=g1 + 1e-9)
+        .add("expect_column_kurtosis_to_be_between", column="c",
+             min_value=g2 - 1e-9, max_value=g2 + 1e-9)
+    )
+    res = validate(ds, suite)
+    assert res.results[0].success and res.results[1].success
+    assert abs(res.results[0].result["observed_value"] - g1) < 1e-9
+    assert abs(res.results[1].result["observed_value"] - g2) < 1e-9
+
+
+def test_skew_abs_and_constant_column(ray_session):
+    import numpy as np
+
+    x = np.concatenate([np.zeros(90), np.ones(10)])  # left-skewed negative? no: right
+    ds = rd.from_arrow(pa.table({"c": -x}))
+    # skew of -x is negative; abs=True flips the sign for the bound check
+    r = validate(ds, ExpectationSuite("s").add(
+        "expect_column_skew_to_be_between", column="c",
+        min_value=1.0, abs=True)).results[0]
+    assert r.success
+
+    const = validate(
+        rd.from_arrow(pa.table({"c": [5.0] * 20})),
+        ExpectationSuite("k").add("expect_column_kurtosis_to_be_between",
+                                  column="c", min_value=-10),
+    ).results[0]
+    assert not const.success  # scipy yields nan on a constant column
+    assert const.result["observed_value"] is None
+
+
+def test_discrete_entropy(ray_session):
+    import math
+
+    # counts 50/25/25 -> H2 = 1.5 bits
+    vals = ["a"] * 50 + ["b"] * 25 + ["c"] * 25
+    ds = rd.from_arrow(pa.table({"c": vals})).repartition(4)
+    r = validate(ds, ExpectationSuite("e").add(
+        "expect_column_discrete_entropy_to_be_between", column="c",
+        base=2, min_value=1.5 - 1e-12, max_value=1.5 + 1e-12)).results[0]
+    assert r.success and abs(r.result["observed_value"] - 1.5) < 1e-12
+
+    # natural-log default base (scipy default)
+    rn = validate(ds, ExpectationSuite("e2").add(
+        "expect_column_discrete_entropy_to_be_between", column="c",
+        min_value=1.5 * math.log(2) - 1e-12,
+        max_value=1.5 * math.log(2) + 1e-12)).results[0]
+    assert rn.success
+
+
+def test_discrete_entropy_distributed_overflow(ray_session):
+    """High-cardinality column overflows the in-memory VC partials; entropy
+    must route to the bucketed distributed path and stay exact."""
+    import math
+
+    import numpy as np
+
+    n = 5000
+    ds = rd.range(n).map_batches(
+        lambda b: {"c": b["id"] % 2500}, batch_format="numpy"
+    ).repartition(4)
+    # 2500 distinct values, 2 each -> H = ln(2500)
+    r = validate(ds, ExpectationSuite("eo").add(
+        "expect_column_discrete_entropy_to_be_between", column="c",
+        min_value=math.log(2500) - 1e-9,
+        max_value=math.log(2500) + 1e-9)).results[0]
+    assert r.success, r.to_json_dict()
+    if r.result.get("details", {}).get("distributed"):
+        assert abs(r.result["observed_value"] - math.log(2500)) < 1e-9
+
+
 def test_mostly_applies_to_contrib_kernels(ray_session):
     # contrib ports ride the standard map-rule machinery: mostly, nulls,
     # partial_unexpected_list all behave like core expectations
