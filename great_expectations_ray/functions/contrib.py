@@ -179,6 +179,45 @@ def _not_contain_special(tbl: pa.Table, kwargs: dict) -> KernelResult:
     return KernelResult(meets, valid, arr, nulls)
 
 
+@register_condition("expect_foreign_keys_in_column_a_to_exist_in_column_b")
+def _foreign_keys_exist(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Referential check: every value of ``column`` must appear in
+    ``column_B`` of the provided rows
+    (expect_foreign_keys_in_column_a_to_exist_in_column_b.py:24-28 —
+    ``df`` is a list of dicts / records; the contrib marks this a stopgap
+    until cross-table templates exist).  The key set rides the expectation
+    config (broadcast once with the compiled suite); for a LARGE dimension
+    use functions/joins.broadcast_semi_anti or hash_bucket_join instead."""
+    rows = kwargs["df"]
+    col_b = kwargs["column_B"]
+    if isinstance(rows, dict):  # columnar {col: [values]}
+        values = rows[col_b]
+    else:  # records [{col: v}, ...]
+        values = [r[col_b] for r in rows]
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    vs = pa.array(sorted({v for v in values if v is not None}, key=str))
+    meets = _bool_np(pc.is_in(col, value_set=vs))
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return KernelResult(meets, valid, arr, nulls)
+
+
+@register_condition("expect_multicolumn_values_to_not_be_all_null")
+def _not_all_null(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Row passes iff ANY of ``column_list`` is non-null
+    (expect_multicolumn_values_not_to_be_all_null.py:36-37).  Whole-column
+    domain: null rows are exactly what is being judged."""
+    cols = kwargs["column_list"]
+    meets = np.zeros(tbl.num_rows, dtype=bool)
+    for c in cols:
+        meets |= _bool_np(pc.is_valid(tbl.column(c)))
+    first = pc.cast(tbl.column(cols[0]), pa.large_string())
+    if isinstance(first, pa.ChunkedArray):
+        first = first.combine_chunks()
+    return KernelResult(
+        meets, np.ones(tbl.num_rows, dtype=bool), first, 0
+    )
+
+
 @register_condition("expect_column_values_to_not_contain_character")
 def _not_contain_character(tbl: pa.Table, kwargs: dict) -> KernelResult:
     """Unexpected iff str(value) contains ``character``

@@ -100,6 +100,41 @@ def test_not_contain_character(ray_session):
     assert not r.success and r.result["unexpected_count"] == 2
 
 
+def test_foreign_keys_in_column_b(ray_session):
+    dim = [{"fk": 1}, {"fk": 2}, {"fk": 3}]
+    ds = rd.from_arrow(pa.table({"c": [1, 2, 3, 9, None]}))
+    suite = ExpectationSuite("fk").add(
+        "expect_foreign_keys_in_column_a_to_exist_in_column_b",
+        column="c", df=dim, column_B="fk")
+    r = validate(ds, suite).results[0]
+    assert not r.success and r.result["unexpected_count"] == 1
+    assert r.result["partial_unexpected_list"] == [9]
+    # columnar dict form also accepted
+    ok = validate(
+        rd.from_arrow(pa.table({"c": [1, 2]})),
+        ExpectationSuite("fk2").add(
+            "expect_foreign_keys_in_column_a_to_exist_in_column_b",
+            column="c", df={"fk": [1, 2, 3]}, column_B="fk"),
+    ).results[0]
+    assert ok.success
+
+
+def test_multicolumn_not_all_null(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "a": [1, None, None, 4],
+        "b": [None, 2.0, None, 5.0],
+    })).repartition(2)
+    r = validate(ds, ExpectationSuite("nn").add(
+        "expect_multicolumn_values_to_not_be_all_null",
+        column_list=["a", "b"])).results[0]
+    assert not r.success and r.result["unexpected_count"] == 1
+
+    ok = validate(ds, ExpectationSuite("nn2").add(
+        "expect_multicolumn_values_to_not_be_all_null",
+        column_list=["a", "b"], mostly=0.75)).results[0]
+    assert ok.success
+
+
 def test_skew_kurtosis_exact_across_block_splits(ray_session):
     """Skew/kurtosis ride the Pébay M3/M4 combine: the value must equal the
     single-machine scipy-default formulas regardless of partitioning."""
