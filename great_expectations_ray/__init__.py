@@ -20,6 +20,7 @@ from great_expectations_ray.core.results import (
     SuiteValidationResult,
 )
 from great_expectations_ray.engine import validate
+from great_expectations_ray.context import DataContext, get_context
 
 # side-effect import: registers the contrib-expectation ports (hexadecimal,
 # ARN, scientific notation, future-date, decimal places, special characters)
@@ -29,9 +30,11 @@ import great_expectations_ray.functions.contrib  # noqa: E402,F401
 __version__ = "0.1.0"
 
 __all__ = [
+    "DataContext",
     "ExpectationConfiguration",
     "ExpectationSuite",
     "ExpectationValidationResult",
     "SuiteValidationResult",
+    "get_context",
     "validate",
 ]
