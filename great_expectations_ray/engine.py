@@ -56,7 +56,13 @@ from great_expectations_ray.functions.aggregates import (
 from great_expectations_ray.functions.column_map import CONDITION_KERNELS, KernelResult
 from great_expectations_ray.functions.table import TABLE_RULES
 
-TWO_PHASE_TYPES = {"expect_column_value_z_scores_to_be_less_than"}
+TWO_PHASE_TYPES = {
+    "expect_column_value_z_scores_to_be_less_than",
+    # contrib port (expect_column_values_to_not_be_outliers.py:27-37):
+    # |x - median| < multiplier*IQR (method="iqr", default) or
+    # |x - mean| < multiplier*std (method="std")
+    "expect_column_values_to_not_be_outliers",
+}
 
 #: order-sensitive map rules (#21/#22) — require explicit partition_by /
 #: order_by kwargs (documented deviation: Ray blocks are unordered, same move
@@ -64,6 +70,11 @@ TWO_PHASE_TYPES = {"expect_column_value_z_scores_to_be_less_than"}
 ORDERED_TYPES = {
     "expect_column_values_to_be_increasing",
     "expect_column_values_to_be_decreasing",
+    # contrib ports riding the same one-shuffle ordered substrate
+    # (functions/ordered.py grouped_ordered_rule)
+    "expect_column_values_to_be_alphabetical",
+    "expect_column_values_to_change_between",
+    "expect_column_values_to_be_string_integers_increasing",
 }
 
 #: distributional rules backed by value-counts / histogram partials
@@ -74,7 +85,12 @@ DIST_TYPES = {
 
 CRAMERS_TYPES = {"expect_column_pair_cramers_phi_value_to_be_less_than"}
 
-CROSS_TABLE_TYPES = {"expect_table_row_count_to_equal_other_table"}
+CROSS_TABLE_TYPES = {
+    "expect_table_row_count_to_equal_other_table",
+    # contrib port (expect_table_checksum_to_equal_other_table.py:52-160):
+    # order-independent row-hash sum compared across two tables
+    "expect_table_checksum_to_equal_other_table",
+}
 
 #: KS expectations (#47/#49) — 27-33 LoC STUBS in the reference snapshot;
 #: implemented for real here (functions/ks.py: exact distributed D via one
@@ -106,6 +122,15 @@ VALUE_COUNT_TYPES = {
     # contrib port (expect_column_discrete_entropy_to_be_between.py:42-48):
     # Shannon entropy of the value distribution in the given base
     "expect_column_discrete_entropy_to_be_between",
+    # contrib aggregate ports batch 3 (functions/contrib_aggregates.py):
+    # exact from the shared VC partials; dedicated distributed path on
+    # VC overflow — see each finish branch
+    "expect_column_percentile_value_to_be_above",
+    "expect_column_distinct_values_to_be_continuous",
+    "expect_column_to_have_no_days_missing",
+    "expect_column_to_have_no_months_missing",
+    "expect_column_distribution_to_match_benfords_law",
+    "expect_column_wasserstein_distance_to_be_less_than",
 }
 
 # per-block cap on distinct unexpected values tracked for value_counts output
@@ -148,13 +173,24 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
             elif t in TWO_PHASE_TYPES:
                 plan.two_phase_rules.append((idx, cfg))
                 plan.agg_columns.add(cfg.kwargs["column"])
+                if (
+                    t == "expect_column_values_to_not_be_outliers"
+                    and cfg.kwargs.get("method", "iqr") == "iqr"
+                ):
+                    # median/IQR come from the exact VC partials (or the
+                    # distributed rank-select on overflow)
+                    plan.vc_columns.add(cfg.kwargs["column"])
+                    plan.count_columns.add(cfg.kwargs["column"])
             elif t in UNIQUE_TYPES:
                 plan.unique_rules.append((idx, cfg))
                 for c in _unique_columns(cfg):
                     plan.count_columns.add(c)
             elif t in VALUE_COUNT_TYPES:
                 plan.vc_rules.append((idx, cfg))
-                plan.vc_columns.add(cfg.kwargs["column"])
+                # days/months-missing always run their own bounded
+                # distinct-dates pass — don't build VC partials for them
+                if not t.endswith("_missing"):
+                    plan.vc_columns.add(cfg.kwargs["column"])
                 plan.count_columns.add(cfg.kwargs["column"])
             elif t in AGG_EXPECTATIONS:
                 plan.agg_rules.append((idx, cfg))
@@ -661,6 +697,28 @@ def validate(
             k = dict(cfg.kwargs)
             k["_mean"] = ag.metric("column.mean")
             k["_std"] = ag.metric("column.standard_deviation")
+            if (
+                cfg.expectation_type == "expect_column_values_to_not_be_outliers"
+                and cfg.kwargs.get("method", "iqr") == "iqr"
+            ):
+                from great_expectations_ray.functions.contrib_aggregates import (
+                    percentile_linear_distributed,
+                    percentile_linear_from_vc,
+                )
+
+                col = cfg.kwargs["column"]
+                vc = merged["vcs"].get(col, ValueCountsState())
+                if vc.overflow:
+                    _, nn = merged["counts"].get(col, (0, 0))
+                    q25 = percentile_linear_distributed(ds, col, 0.25, nn)
+                    q50 = percentile_linear_distributed(ds, col, 0.50, nn)
+                    q75 = percentile_linear_distributed(ds, col, 0.75, nn)
+                else:
+                    q25 = percentile_linear_from_vc(vc, 0.25)
+                    q50 = percentile_linear_from_vc(vc, 0.50)
+                    q75 = percentile_linear_from_vc(vc, 0.75)
+                k["_median"] = q50
+                k["_iqr"] = (q75 - q25) if q75 is not None else None
             phase2_rules.append((idx, ExpectationConfiguration(cfg.expectation_type, k, cfg.meta)))
         evaluator2 = _PartialEvaluator(
             phase2_rules, set(), set(), set(), unexpected_index_column_names
@@ -720,16 +778,40 @@ def validate(
     # ---- ordered rules (#21/#22): one shuffle on partition_by ------------- #
     for idx, cfg in plan.ordered_rules:
         try:
-            from great_expectations_ray.functions.ordered import grouped_monotonic
-
-            out = grouped_monotonic(
-                ds,
-                cfg.kwargs["column"],
-                cfg.kwargs["partition_by"],
-                cfg.kwargs["order_by"],
-                strictly=cfg.kwargs.get("strictly", False),
-                decreasing=cfg.expectation_type.endswith("decreasing"),
+            from great_expectations_ray.functions.ordered import (
+                grouped_monotonic,
+                grouped_ordered_rule,
             )
+
+            t = cfg.expectation_type
+            if t == "expect_column_values_to_be_alphabetical":
+                out = grouped_ordered_rule(
+                    ds, cfg.kwargs["column"], cfg.kwargs["partition_by"],
+                    cfg.kwargs["order_by"], kind="alphabetical",
+                    reverse=cfg.kwargs.get("reverse", False),
+                )
+            elif t == "expect_column_values_to_change_between":
+                out = grouped_ordered_rule(
+                    ds, cfg.kwargs["column"], cfg.kwargs["partition_by"],
+                    cfg.kwargs["order_by"], kind="change_between",
+                    from_value=float(cfg.kwargs["from_value"]),
+                    to_value=float(cfg.kwargs["to_value"]),
+                )
+            elif t == "expect_column_values_to_be_string_integers_increasing":
+                out = grouped_ordered_rule(
+                    ds, cfg.kwargs["column"], cfg.kwargs["partition_by"],
+                    cfg.kwargs["order_by"], kind="string_integers_increasing",
+                    strictly=cfg.kwargs.get("strictly", False),
+                )
+            else:
+                out = grouped_monotonic(
+                    ds,
+                    cfg.kwargs["column"],
+                    cfg.kwargs["partition_by"],
+                    cfg.kwargs["order_by"],
+                    strictly=cfg.kwargs.get("strictly", False),
+                    decreasing=t.endswith("decreasing"),
+                )
             total = viol = 0
             for row in out.take_all():
                 total += row["n_rows"]
@@ -788,13 +870,28 @@ def validate(
                     f"other_tables[{name!r}] must be passed to validate() for "
                     f"{cfg.expectation_type}"
                 )
-            other_n = other_tables[name].count()
-            ok = row_count == other_n
-            evrs[idx] = ExpectationValidationResult(
-                success=ok,
-                expectation_config=cfg.to_json_dict(),
-                result={"observed_value": {"self": row_count, "other": other_n}},
-            )
+            if cfg.expectation_type == "expect_table_checksum_to_equal_other_table":
+                from great_expectations_ray.functions.contrib_aggregates import (
+                    table_checksum,
+                )
+
+                ignore = set(cfg.kwargs.get("ignore_columns") or ())
+                self_ck = table_checksum(ds, ignore)
+                other_ck = table_checksum(other_tables[name], ignore)
+                ok = self_ck == other_ck
+                evrs[idx] = ExpectationValidationResult(
+                    success=ok,
+                    expectation_config=cfg.to_json_dict(),
+                    result={"observed_value": {"self": self_ck, "other": other_ck}},
+                )
+            else:
+                other_n = other_tables[name].count()
+                ok = row_count == other_n
+                evrs[idx] = ExpectationValidationResult(
+                    success=ok,
+                    expectation_config=cfg.to_json_dict(),
+                    result={"observed_value": {"self": row_count, "other": other_n}},
+                )
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 
@@ -916,6 +1013,15 @@ def _finish_vc_rule(
             # only per-value counts, which reduce through one bucketed
             # exchange to O(buckets) driver rows
             return _finish_entropy_distributed(ds, cfg)
+        if t in (
+            "expect_column_percentile_value_to_be_above",
+            "expect_column_distinct_values_to_be_continuous",
+            "expect_column_to_have_no_days_missing",
+            "expect_column_to_have_no_months_missing",
+            "expect_column_distribution_to_match_benfords_law",
+            "expect_column_wasserstein_distance_to_be_less_than",
+        ):
+            return _finish_contrib_aggregate(ds, cfg, merged, overflow=True)
         # distinct-set style rules: fully distributed verdict — no driver
         # collection of the grouped keys (reference semantics of
         # column_distinct_values.py:106 hold; observed_value is sampled)
@@ -1009,6 +1115,113 @@ def _finish_vc_rule(
             cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
         )
         return evr(ok, {"observed_value": h})
+    if t in (
+        "expect_column_percentile_value_to_be_above",
+        "expect_column_distinct_values_to_be_continuous",
+        "expect_column_to_have_no_days_missing",
+        "expect_column_to_have_no_months_missing",
+        "expect_column_distribution_to_match_benfords_law",
+        "expect_column_wasserstein_distance_to_be_less_than",
+    ):
+        return _finish_contrib_aggregate(ds, cfg, merged, overflow=False)
+    raise NotImplementedError(t)
+
+
+def _finish_contrib_aggregate(
+    ds, cfg: ExpectationConfiguration, merged: dict, *, overflow: bool
+) -> ExpectationValidationResult:
+    """Contrib aggregate ports (functions/contrib_aggregates.py).  Exact path
+    reads the fused pass's merged value counts; ``overflow=True`` switches to
+    the dedicated distributed computation for that rule."""
+    from great_expectations_ray.functions import contrib_aggregates as CA
+
+    t = cfg.expectation_type
+    col = cfg.kwargs["column"]
+    vc: ValueCountsState = merged["vcs"].get(col, ValueCountsState())
+    _, nonnull = merged["counts"].get(col, (0, 0))
+
+    def evr(ok: bool, result: dict) -> ExpectationValidationResult:
+        return ExpectationValidationResult(
+            success=ok, expectation_config=cfg.to_json_dict(), result=result
+        )
+
+    if t == "expect_column_percentile_value_to_be_above":
+        q = float(cfg.kwargs["percentile"]) / 100.0
+        if overflow:
+            v = CA.percentile_linear_distributed(ds, col, q, nonnull)
+        else:
+            v = CA.percentile_linear_from_vc(vc, q)
+        ok = v is not None and v >= float(cfg.kwargs["value"])
+        return evr(ok, {"observed_value": v})
+
+    if t == "expect_column_distinct_values_to_be_continuous":
+        if overflow:
+            # integer verdict without key collection: continuous iff
+            # n_distinct == max - min + 1 (one distinct-count + min/max pass)
+            from ray.data.aggregate import Max, Min
+
+            agg = ds.aggregate(Min(col), Max(col))
+            vmin, vmax = agg[f"min({col})"], agg[f"max({col})"]
+            if vmin is None:
+                return evr(True, {"observed_value": "Missing values []"})
+            n_distinct = _grouped_value_counts(ds, [col]).count()
+            expected_n = int(vmax) - int(vmin) + 1
+            ok = n_distinct == expected_n
+            return evr(ok, {
+                "observed_value": (
+                    f"{expected_n - n_distinct} missing values in "
+                    f"[{vmin}, {vmax}]" if not ok else "Missing values []"
+                )
+            })
+        ok, missing = CA.continuous_from_distinct(
+            set(vc.counts), cfg.kwargs.get("datetime_format")
+        )
+        return evr(ok, {"observed_value": f"Missing values {missing[:200]}"})
+
+    if t in ("expect_column_to_have_no_days_missing",
+             "expect_column_to_have_no_months_missing"):
+        # distinct DATES are bounded by the calendar span regardless of row
+        # count or timestamp cardinality — always the dedicated pass
+        dates = CA.distinct_dates(ds, col)
+        threshold = int(cfg.kwargs["threshold"])
+        if t.endswith("days_missing"):
+            v = CA.days_missing_verdict(dates, threshold)
+        else:
+            v = CA.months_missing_verdict(dates, threshold)
+        return evr(v["success"], v["result"])
+
+    if t == "expect_column_distribution_to_match_benfords_law":
+        if overflow:
+            counts, total = CA.benford_digit_counts_distributed(ds, col)
+        else:
+            counts, total = CA.benford_digit_counts_from_vc(vc)
+        v = CA.benford_verdict(counts, total)
+        return evr(v["success"], v["result"])
+
+    if t == "expect_column_wasserstein_distance_to_be_less_than":
+        raw_values = cfg.kwargs.get("raw_values")
+        partition = cfg.kwargs.get("partition")
+        if raw_values is not None:
+            v_vals, v_w = raw_values, None
+        elif partition is not None:
+            v_vals, v_w = partition["values"], partition["weights"]
+        else:
+            raise ValueError("raw_values and partition object cannot both be None!")
+        details: dict = {}
+        if overflow:
+            w, err = CA.wasserstein_binned(ds, col, v_vals, v_w)
+            details = {"approximate": True, "max_binning_error": err}
+        else:
+            w = CA.wasserstein_from_vc(vc, v_vals, v_w)
+        ok = validate_metric_value_between(
+            w, cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+            cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
+        )
+        result = {"observed_value": w}
+        if details:
+            result["details"] = details
+        return evr(ok, result)
+
     raise NotImplementedError(t)
 
 

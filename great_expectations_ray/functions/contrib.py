@@ -228,3 +228,237 @@ def _not_contain_character(tbl: pa.Table, kwargs: dict) -> KernelResult:
     meets = ~_bool_np(pc.match_substring(s, ch))
     arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
     return KernelResult(meets, valid, arr, nulls)
+
+
+# --------------------------------------------------------------------------- #
+# batch 3 (round 3)
+#
+# NOT portable in this sandbox (documented): valid_github_username /
+# valid_iata_code — their contract IS a live HTTP call per value
+# (urlopen against api.github.com / an IATA API); no network here, and a
+# regex stand-in would silently change the expectation's meaning.
+# --------------------------------------------------------------------------- #
+
+# expect_column_values_to_be_valid_crc32.py:10 — exactly 8 hex chars
+CRC32_REGEX = r"^([a-fA-F\d]{8})$"
+register_condition("expect_column_values_to_be_valid_crc32")(
+    _regex_kernel(CRC32_REGEX)
+)
+
+
+@register_condition("expect_column_values_to_match_powers_of_base")
+def _powers_of_base(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Value is an exact power of ``base_integer``
+    (expect_column_values_to_match_powers_of_base.py:24-28: ``power =
+    int(log(num, base) + 0.5); base**power == num``; base 0/1 -> num == base).
+    Deviation: the contrib raises on num <= 0 (math.log domain error); here
+    non-positive values are simply unexpected."""
+    base = int(kwargs["base_integer"])
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    x = np.asarray(pc.fill_null(pc.cast(c, pa.float64()), np.nan))
+    if base in (0, 1):
+        meets = x == float(base)
+    else:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lg = np.log(x) / np.log(float(base))
+        # int() truncates toward zero — np.trunc, not rint/floor
+        p = np.trunc(lg + 0.5)
+        with np.errstate(over="ignore"):
+            meets = np.power(float(base), p) == x
+        meets &= x > 0
+    meets = np.nan_to_num(meets.astype(float), nan=0).astype(bool)
+    vals = pc.cast(c, pa.large_string())
+    return KernelResult(meets, valid, vals, nulls)
+
+
+def _split_token_fold(s: pa.Array, delimiter: str, token_ok) -> np.ndarray:
+    """split -> per-token predicate -> all() per row, vectorized via list
+    offsets + 1-D ``logical_and.reduceat`` (fast path; 2-D reduceat is the
+    slow one on this numpy build)."""
+    lst = pc.split_pattern(s, delimiter)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offsets = np.asarray(lst.offsets)
+    offsets = offsets - offsets[0]  # sliced arrays carry a nonzero base
+    flat = lst.flatten()
+    ok = token_ok(flat)
+    n = len(lst)
+    meets = np.ones(n, dtype=bool)
+    lengths = offsets[1:] - offsets[:-1]
+    nonempty = lengths > 0
+    if ok.size and nonempty.any():
+        starts = offsets[:-1][nonempty]
+        meets[nonempty] = np.minimum.reduceat(ok.astype(np.uint8), starts).astype(bool)
+    return meets
+
+
+@register_condition("expect_column_values_after_split_to_be_in_set")
+def _after_split_in_set(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Every delimiter-separated token (stripped) is in ``value_set``
+    (expect_column_values_after_split_to_be_in_set.py:17-20)."""
+    delimiter = kwargs["delimiter"]
+    value_set = pa.array(sorted({str(v) for v in kwargs["value_set"]}))
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    s = pc.cast(col, pa.large_string()).combine_chunks()
+
+    def token_ok(flat: pa.Array) -> np.ndarray:
+        trimmed = pc.utf8_trim_whitespace(flat)
+        return _bool_np(pc.is_in(trimmed, value_set=value_set))
+
+    meets = _split_token_fold(s, delimiter, token_ok)
+    return KernelResult(meets, valid, s, nulls)
+
+
+@register_condition("expect_column_values_after_split_to_be_unique")
+def _after_split_unique(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Delimiter-separated tokens are unique within the value (no strip —
+    expect_column_values_after_split_to_be_unique.py:15-18)."""
+    delimiter = kwargs.get("delimiter", ",")
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    s = pc.cast(col, pa.large_string()).combine_chunks()
+    lst = pc.split_pattern(s, delimiter)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offsets = np.asarray(lst.offsets)
+    offsets = offsets - offsets[0]
+    flat = lst.flatten().to_numpy(zero_copy_only=False)
+    n = len(lst)
+    meets = np.ones(n, dtype=bool)
+    # row id per token -> (row, token) pairs unique iff no duplicate within row
+    lengths = offsets[1:] - offsets[:-1]
+    if flat.size:
+        row_ids = np.repeat(np.arange(n), lengths)
+        import pandas as pd
+
+        dup = pd.DataFrame({"r": row_ids, "t": flat}).duplicated(keep="first")
+        bad_rows = np.unique(row_ids[dup.to_numpy()])
+        meets[bad_rows] = False
+    return KernelResult(meets, valid, s, nulls)
+
+
+def _multicolumn_domain(tbl: pa.Table, cols: list) -> np.ndarray:
+    """Default multicolumn domain: ignore_row_if="all_values_are_missing"
+    (map_metric_provider semantics)."""
+    considered = np.zeros(tbl.num_rows, dtype=bool)
+    for c in cols:
+        considered |= _bool_np(pc.is_valid(tbl.column(c)))
+    return considered
+
+
+def _row_join(tbl: pa.Table, cols: list) -> pa.Array:
+    parts = [pc.cast(tbl.column(c).combine_chunks(), pa.string()) for c in cols]
+    return pc.binary_join_element_wise(
+        *parts, ",", null_handling="replace", null_replacement="null"
+    )
+
+
+@register_condition("expect_multicolumn_sum_values_to_be_between")
+def _multicolumn_sum_between(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Row-wise sum of ``column_list`` in [min_value, max_value]; nulls count
+    as 0 (pandas ``sum(axis=1)`` default skipna —
+    expect_multicolumn_sum_values_to_be_between.py:43-45)."""
+    cols = list(kwargs["column_list"])
+    lo, hi = float(kwargs["min_value"]), float(kwargs["max_value"])
+    s = np.zeros(tbl.num_rows, dtype=np.float64)
+    for c in cols:
+        s += np.asarray(pc.fill_null(pc.cast(tbl.column(c).combine_chunks(), pa.float64()), 0.0))
+    meets = (s >= lo) & (s <= hi)
+    return KernelResult(meets, _multicolumn_domain(tbl, cols), _row_join(tbl, cols), 0)
+
+
+def _fold_equal_single(tbl: pa.Table, kwargs: dict, *, product: bool) -> KernelResult:
+    """Shared body for multicolumn sum/product == last column (+
+    additional_value).  ``skipna=False``: any null in the fold -> NaN ->
+    unexpected (expect_multicolumn_sum_values_to_be_equal_to_single_column.py:62-67,
+    ..._product_...py:63-71)."""
+    cols = list(kwargs["column_list"])
+    extra = float(kwargs.get("additional_value", 1 if product else 0))
+    fold_cols, target = cols[:-1], cols[-1]
+    acc = np.full(tbl.num_rows, 1.0 if product else 0.0, dtype=np.float64)
+    for c in fold_cols:
+        v = np.asarray(pc.fill_null(pc.cast(tbl.column(c).combine_chunks(), pa.float64()), np.nan))
+        acc = acc * v if product else acc + v
+    acc = acc * extra if product else acc + extra
+    tv = np.asarray(pc.fill_null(pc.cast(tbl.column(target).combine_chunks(), pa.float64()), np.nan))
+    with np.errstate(invalid="ignore"):
+        meets = acc == tv
+    return KernelResult(meets, _multicolumn_domain(tbl, cols), _row_join(tbl, cols), 0)
+
+
+@register_condition("expect_multicolumn_sum_values_to_be_equal_to_single_column")
+def _multicolumn_sum_equal_single(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    return _fold_equal_single(tbl, kwargs, product=False)
+
+
+@register_condition("expect_multicolumn_product_values_to_be_equal_to_single_column")
+def _multicolumn_product_equal_single(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    return _fold_equal_single(tbl, kwargs, product=True)
+
+
+@register_condition("expect_multicolumn_values_to_be_equal")
+def _multicolumn_equal(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """All columns in ``column_list`` row-wise equal, with null == null
+    (``nunique(dropna=False, axis=1) <= 1`` —
+    expect_multicolumn_values_to_be_equal.py:64-66)."""
+    cols = list(kwargs["column_list"])
+    first = tbl.column(cols[0]).combine_chunks()
+    meets = np.ones(tbl.num_rows, dtype=bool)
+    fv = _bool_np(pc.is_valid(first))
+    for c in cols[1:]:
+        cur = tbl.column(c).combine_chunks()
+        cv = _bool_np(pc.is_valid(cur))
+        try:  # same-kind types compare natively (int/float promote)
+            eq = _bool_np(pc.equal(cur, first))
+        except pa.lib.ArrowNotImplementedError:
+            eq = _bool_np(
+                pc.equal(pc.cast(cur, pa.string()), pc.cast(first, pa.string()))
+            )
+        meets &= (eq & fv & cv) | (~fv & ~cv)
+    return KernelResult(
+        meets, np.ones(tbl.num_rows, dtype=bool), _row_join(tbl, cols), 0
+    )
+
+
+@register_condition("expect_column_values_to_not_be_outliers")
+def _not_outliers(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Phase-2 kernel: |x - median| < multiplier*IQR (method="iqr") or
+    |x - mean| < multiplier*std (method="std")
+    (expect_column_values_to_not_be_outliers.py:27-37; strict <).  The
+    centre/spread metrics are injected by the engine's phase-1 pass
+    (``_mean``/``_std`` from the numeric agg partials, ``_median``/``_iqr``
+    from exact value counts or distributed rank-select)."""
+    method = kwargs.get("method", "iqr")
+    multiplier = float(kwargs.get("multiplier", 1.5))
+    if method == "iqr":
+        center, spread = kwargs.get("_median"), kwargs.get("_iqr")
+    elif method == "std":
+        center, spread = kwargs.get("_mean"), kwargs.get("_std")
+    else:
+        raise NotImplementedError(f"method {method} has not been implemented")
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    x = np.asarray(pc.fill_null(pc.cast(c, pa.float64()), np.nan))
+    if center is None or spread is None:
+        meets = np.zeros(len(x), dtype=bool)
+    else:
+        with np.errstate(invalid="ignore"):
+            meets = np.abs(x - float(center)) < multiplier * float(spread)
+        meets = np.nan_to_num(meets.astype(float), nan=0).astype(bool)
+    return KernelResult(meets, valid, c, nulls)
+
+
+@register_condition("expect_column_pair_values_to_have_difference_of_custom_percentage")
+def _pair_pct_difference(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """|A - B| <= |A * percentage|
+    (expect_column_pair_values_to_have_difference_of_custom_percentage.py:34-35)."""
+    from great_expectations_ray.functions.column_map import _pair_domain, _pair_values
+
+    pct = float(kwargs["percentage"])
+    a, b, considered = _pair_domain(tbl, kwargs)
+    av = np.asarray(pc.fill_null(pc.cast(a.combine_chunks(), pa.float64()), np.nan))
+    bv = np.asarray(pc.fill_null(pc.cast(b.combine_chunks(), pa.float64()), np.nan))
+    with np.errstate(invalid="ignore"):
+        meets = np.abs(av - bv) <= np.abs(av * pct)
+    meets = np.nan_to_num(meets.astype(float), nan=0).astype(bool)
+    return KernelResult(meets, considered, _pair_values(a, b), 0)

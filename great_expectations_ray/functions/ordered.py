@@ -67,3 +67,101 @@ def grouped_monotonic(
     return grouped_apply_bucketed(
         ds.select_columns(needed), [partition_by], check_bucket
     )
+
+
+def grouped_ordered_rule(
+    ds,
+    column: str,
+    partition_by: str,
+    order_by: list[str] | str,
+    *,
+    kind: str,
+    reverse: bool = False,
+    strictly: bool = False,
+    from_value: float | None = None,
+    to_value: float | None = None,
+):
+    """Ordered contrib rules over the same one-shuffle substrate as
+    ``grouped_monotonic``.  ``kind``:
+
+    - ``alphabetical`` — consecutive lowercased values in order
+      (expect_column_values_to_be_alphabetical.py:29-50; ``reverse=True``
+      checks Z->A; comparisons with a null/empty neighbour are skipped)
+    - ``change_between`` — ``from_value <= |cur - prev| <= to_value``; the
+      first row of each partition compares against a ``from_value`` fill
+      (expect_column_values_to_change_between.py:30-42; non-numeric/null
+      values raise TypeError, as the contrib does)
+    - ``string_integers_increasing`` — all-digit strings cast to int, diffs
+      >= 0 (or > 0 when ``strictly``)
+      (expect_column_values_to_be_string_integers_increasing.py:43-56)
+    """
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    order_cols = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def check_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([partition_by] + order_cols, kind="mergesort")
+        keys = g[partition_by].to_numpy()
+        viol = np.zeros(len(g), dtype=bool)
+        n = len(g)
+        # boundary mask: a comparison across partition keys never violates
+        if n > 1:
+            same = keys[1:] == keys[:-1]
+            knulls = pd.isna(keys)
+            same |= knulls[1:] & knulls[:-1]
+        if kind == "alphabetical":
+            s = g[column].astype("string").str.lower()
+            vals = s.to_numpy(dtype=object)
+            if n > 1:
+                prev, cur = vals[:-1], vals[1:]
+                # null/empty neighbours -> comparison skipped (contrib None)
+                comparable = np.array(
+                    [p is not pd.NA and c is not pd.NA and bool(p) and bool(c)
+                     for p, c in zip(prev, cur)], dtype=bool
+                )
+                if reverse:
+                    bad = np.array([not (p >= c) if ok_ else False
+                                    for p, c, ok_ in zip(prev, cur, comparable)])
+                else:
+                    bad = np.array([not (p <= c) if ok_ else False
+                                    for p, c, ok_ in zip(prev, cur, comparable)])
+                viol[1:] = bad & same
+        elif kind == "change_between":
+            raw = pd.to_numeric(g[column], errors="coerce")
+            if raw.isna().any():
+                raise TypeError("Column values must be numeric !")
+            vals = raw.to_numpy(dtype=np.float64)
+            if n:
+                d = np.empty(n, dtype=np.float64)
+                d[0] = from_value
+                if n > 1:
+                    d[1:] = np.diff(vals)
+                    # first row of each NEW partition also compares the fill
+                    d[1:][~same] = from_value
+                ok_ = (np.abs(d) >= from_value) & (np.abs(d) <= to_value)
+                viol[:] = ~ok_
+        elif kind == "string_integers_increasing":
+            s = g[column].astype("string")
+            if not s.str.isdigit().fillna(False).all():
+                raise TypeError(
+                    "Column must be a string-type capable of being cast to int."
+                )
+            vals = s.astype("int64").to_numpy()
+            if n > 1:
+                d = np.diff(vals)
+                bad = (d <= 0) if strictly else (d < 0)
+                viol[1:] = bad & same
+        else:
+            raise ValueError(f"unknown ordered kind {kind!r}")
+        out = pd.DataFrame({partition_by: keys, "__viol": viol})
+        agg = out.groupby(partition_by, sort=True, dropna=False).agg(
+            n_rows=("__viol", "size"), n_violations=("__viol", "sum")
+        ).reset_index()
+        agg["n_violations"] = agg["n_violations"].astype(int)
+        agg["monotonic"] = agg["n_violations"] == 0
+        return agg
+
+    needed = sorted({column, partition_by, *order_cols})
+    return grouped_apply_bucketed(
+        ds.select_columns(needed), [partition_by], check_bucket
+    )

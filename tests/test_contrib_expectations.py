@@ -228,3 +228,274 @@ def test_mostly_applies_to_contrib_kernels(ray_session):
              "expect_column_values_to_be_hexadecimal", mostly=0.7)
     assert r.success  # 3/4 non-null pass >= 0.7
     assert r.result["unexpected_count"] == 1
+
+
+# --------------------------------------------------------------------------- #
+# batch 3 (round 3)
+# --------------------------------------------------------------------------- #
+
+
+def test_valid_crc32(ray_session):
+    r = _run(["deadbeef", "DEADBEEF", "0a1b2c3d", "deadbee", "deadbeef9", "zzzzzzzz", None],
+             "expect_column_values_to_be_valid_crc32")
+    assert not r.success
+    assert r.result["unexpected_count"] == 3
+
+
+def test_powers_of_base(ray_session):
+    r = _run([1, 2, 4, 8, 1024, 6, 0, -4, None],
+             "expect_column_values_to_match_powers_of_base", base_integer=2)
+    assert r.result["unexpected_count"] == 3  # 6, 0, -4
+    ok = _run([1, 3, 9, 27, 81], "expect_column_values_to_match_powers_of_base",
+              base_integer=3)
+    assert ok.success
+    # base 0/1 special case: num == base
+    r = _run([0, 1], "expect_column_values_to_match_powers_of_base", base_integer=0)
+    assert r.result["unexpected_count"] == 1
+
+
+def test_after_split_in_set(ray_session):
+    r = _run(["a, b", "a,c", "a , a", "d", None],
+             "expect_column_values_after_split_to_be_in_set",
+             delimiter=",", value_set=["a", "b"])
+    assert not r.success
+    assert r.result["unexpected_count"] == 2  # a,c and d
+
+
+def test_after_split_unique(ray_session):
+    r = _run(["a,b,c", "a,a", "x", "b,c,b", None],
+             "expect_column_values_after_split_to_be_unique", delimiter=",")
+    assert r.result["unexpected_count"] == 2
+
+
+def _run_multi(tbl_dict, expectation, **kwargs):
+    ds = rd.from_arrow(pa.table(tbl_dict))
+    suite = ExpectationSuite("contrib3").add(expectation, **kwargs)
+    return validate(ds, suite).results[0]
+
+
+def test_multicolumn_sum_between(ray_session):
+    r = _run_multi({"a": [1, 2, 10], "b": [3, 4, 10]},
+                   "expect_multicolumn_sum_values_to_be_between",
+                   column_list=["a", "b"], min_value=4, max_value=6)
+    assert r.result["unexpected_count"] == 1
+
+
+def test_multicolumn_sum_and_product_equal_single(ray_session):
+    r = _run_multi({"a": [1, 2, 1], "b": [3, 4, None], "t": [4, 7, 1]},
+                   "expect_multicolumn_sum_values_to_be_equal_to_single_column",
+                   column_list=["a", "b", "t"], additional_value=0)
+    # row2: 2+4 != 7; row3: null sum (skipna=False) -> unexpected
+    assert r.result["unexpected_count"] == 2
+    r = _run_multi({"a": [2, 2], "b": [3, 3], "t": [6, 5]},
+                   "expect_multicolumn_product_values_to_be_equal_to_single_column",
+                   column_list=["a", "b", "t"])
+    assert r.result["unexpected_count"] == 1
+
+
+def test_multicolumn_values_equal(ray_session):
+    r = _run_multi({"a": [1, 2, None], "b": [1, 3, None], "c": [1, 2, None]},
+                   "expect_multicolumn_values_to_be_equal",
+                   column_list=["a", "b", "c"])
+    # null == null (nunique dropna=False): row3 passes, row2 fails
+    assert r.result["unexpected_count"] == 1
+
+
+def test_pair_difference_of_custom_percentage(ray_session):
+    r = _run_multi({"column_A": [100.0, 100.0], "column_B": [105.0, 120.0]},
+                   "expect_column_pair_values_to_have_difference_of_custom_percentage",
+                   column_A="column_A", column_B="column_B", percentage=0.1)
+    assert r.result["unexpected_count"] == 1
+
+
+def test_alphabetical_ordered(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "g": [1, 1, 1, 2, 2], "i": [1, 2, 3, 1, 2],
+        "c": ["apple", "Banana", "cherry", "zebra", "ant"],
+    }))
+    suite = ExpectationSuite("alpha").add(
+        "expect_column_values_to_be_alphabetical", column="c",
+        partition_by="g", order_by="i")
+    r = validate(ds, suite).results[0]
+    # group 1 in order (case-insensitive); group 2 has zebra->ant violation
+    assert not r.success
+    assert r.result["unexpected_count"] == 1
+    suite = ExpectationSuite("alpha_rev").add(
+        "expect_column_values_to_be_alphabetical", column="c",
+        partition_by="g", order_by="i", reverse=True)
+    r = validate(ds, suite).results[0]
+    assert r.result["unexpected_count"] == 2  # group1 has 2 ascending steps
+
+
+def test_change_between_ordered(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "g": [1, 1, 1, 1], "i": [1, 2, 3, 4],
+        "c": [10.0, 13.0, 14.0, 30.0],
+    }))
+    suite = ExpectationSuite("chg").add(
+        "expect_column_values_to_change_between", column="c",
+        partition_by="g", order_by="i", from_value=1, to_value=5)
+    r = validate(ds, suite).results[0]
+    # diffs: fill(1 ok), 3 ok, 1 ok, 16 bad
+    assert r.result["unexpected_count"] == 1
+    # non-numeric -> failed EVR with TypeError (contrib raises)
+    ds2 = rd.from_arrow(pa.table({"g": [1], "i": [1], "c": ["x"]}))
+    r2 = validate(ds2, ExpectationSuite("chg2").add(
+        "expect_column_values_to_change_between", column="c",
+        partition_by="g", order_by="i", from_value=1, to_value=5)).results[0]
+    assert not r2.success
+    assert "TypeError" in (r2.exception_info or {}).get("exception_message", "")
+
+
+def test_string_integers_increasing_ordered(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "g": [1, 1, 1, 2, 2], "i": [1, 2, 3, 1, 2],
+        "c": ["1", "2", "2", "5", "3"],
+    }))
+    suite = ExpectationSuite("sii").add(
+        "expect_column_values_to_be_string_integers_increasing", column="c",
+        partition_by="g", order_by="i")
+    r = validate(ds, suite).results[0]
+    assert r.result["unexpected_count"] == 1  # 5 -> 3
+    suite = ExpectationSuite("sii_strict").add(
+        "expect_column_values_to_be_string_integers_increasing", column="c",
+        partition_by="g", order_by="i", strictly=True)
+    r = validate(ds, suite).results[0]
+    assert r.result["unexpected_count"] == 2  # plus the 2 -> 2 tie
+
+
+def test_percentile_value_above(ray_session):
+    r = _run([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+             "expect_column_percentile_value_to_be_above",
+             percentile=40, value=4.0)
+    # pandas quantile(0.4) of 1..10 = 4.6
+    assert r.success
+    assert abs(r.result["observed_value"] - 4.6) < 1e-12
+    r = _run([1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+             "expect_column_percentile_value_to_be_above",
+             percentile=10, value=4.0)
+    assert not r.success
+
+
+def test_distinct_values_continuous_ints(ray_session):
+    ok = _run([3, 4, 5, 6, 4, 5], "expect_column_distinct_values_to_be_continuous")
+    assert ok.success
+    bad = _run([3, 4, 6, 7], "expect_column_distinct_values_to_be_continuous")
+    assert not bad.success
+    assert "5" in bad.result["observed_value"]
+
+
+def test_distinct_values_continuous_dates(ray_session):
+    from datetime import datetime
+    ok = _run([datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 3)],
+              "expect_column_distinct_values_to_be_continuous")
+    assert ok.success
+    bad = _run(["2024-01-01 05:00:00", "2024-01-03 06:00:00"],
+               "expect_column_distinct_values_to_be_continuous",
+               datetime_format="%Y-%m-%d %H:%M:%S")
+    assert not bad.success
+
+
+def test_no_days_missing(ray_session):
+    from datetime import datetime
+    vals = [datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 5)]
+    r = _run(vals, "expect_column_to_have_no_days_missing", threshold=1)
+    assert not r.success  # missing Jan 3, 4 (2 > 1)
+    assert r.result["Number of missing days"] == 2
+    r = _run(vals, "expect_column_to_have_no_days_missing", threshold=2)
+    assert r.success
+
+
+def test_no_months_missing(ray_session):
+    from datetime import datetime
+    vals = [datetime(2024, 1, 15), datetime(2024, 2, 1), datetime(2024, 4, 20)]
+    r = _run(vals, "expect_column_to_have_no_months_missing", threshold=0)
+    assert not r.success  # March missing
+    assert r.result["Number of missing months"] == 1
+    r = _run(vals, "expect_column_to_have_no_months_missing", threshold=1)
+    assert r.success
+
+
+def test_benfords_law(ray_session):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # log-uniform data follows Benford closely
+    benford = (10 ** rng.uniform(0, 5, size=4000)).tolist()
+    r = _run(benford, "expect_column_distribution_to_match_benfords_law")
+    assert r.success, r.result
+    uniform = rng.uniform(40000, 50000, size=4000).tolist()  # all start with 4
+    r = _run(uniform, "expect_column_distribution_to_match_benfords_law")
+    assert not r.success
+
+
+def test_wasserstein_distance(ray_session):
+    # identical distributions -> 0
+    r = _run([1.0, 2.0, 3.0], "expect_column_wasserstein_distance_to_be_less_than",
+             raw_values=[1.0, 2.0, 3.0], max_value=1e-12)
+    assert r.success
+    assert abs(r.result["observed_value"]) < 1e-15
+    # shift by 1 -> W1 = 1
+    r = _run([1.0, 2.0, 3.0], "expect_column_wasserstein_distance_to_be_less_than",
+             raw_values=[2.0, 3.0, 4.0], max_value=0.5)
+    assert not r.success
+    assert abs(r.result["observed_value"] - 1.0) < 1e-12
+    # partition object with weights
+    r = _run([1.0, 1.0, 2.0, 2.0], "expect_column_wasserstein_distance_to_be_less_than",
+             partition={"values": [1.0, 2.0], "weights": [0.5, 0.5]},
+             max_value=1e-12)
+    assert r.success
+
+
+def test_not_be_outliers_iqr_and_std(ray_session):
+    import numpy as np
+    vals = list(np.arange(1.0, 21.0)) + [1000.0]
+    r = _run(vals, "expect_column_values_to_not_be_outliers",
+             method="iqr", multiplier=1.5)
+    assert not r.success
+    assert r.result["unexpected_count"] == 1
+    assert r.result["partial_unexpected_list"] == [1000.0]
+    r = _run(vals, "expect_column_values_to_not_be_outliers",
+             method="std", multiplier=3)
+    assert r.result["unexpected_count"] == 1
+    # all inliers
+    ok = _run(list(np.arange(1.0, 21.0)),
+              "expect_column_values_to_not_be_outliers", method="iqr",
+              multiplier=1.5)
+    assert ok.success
+
+
+def test_not_be_outliers_matches_pandas_iqr(ray_session):
+    # cross-check center/spread against the contrib's formula on a small
+    # sample: iqr = linear-interp q75 - q25, median = Series.median()
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(3)
+    vals = rng.normal(50, 10, size=200).round(2).tolist()
+    s = pd.Series(vals)
+    iqr = s.quantile(0.75) - s.quantile(0.25)
+    med = s.median()
+    expected_bad = int((~((s - med).abs() < 1.5 * iqr)).sum())
+    r = _run(vals, "expect_column_values_to_not_be_outliers",
+             method="iqr", multiplier=1.5)
+    assert r.result["unexpected_count"] == expected_bad
+
+
+def test_table_checksum_equal_other_table(ray_session):
+    t1 = pa.table({"a": [1, 2, 3], "b": ["x", "y", None]})
+    # same rows, different order, different block split -> equal checksum
+    t2 = pa.table({"a": [3, 1, 2], "b": [None, "x", "y"]})
+    ds1, ds2 = rd.from_arrow(t1), rd.from_arrow(t2).repartition(3)
+    suite = ExpectationSuite("ck").add(
+        "expect_table_checksum_to_equal_other_table", other_table_name="o")
+    r = validate(ds1, suite, other_tables={"o": ds2}).results[0]
+    assert r.success, r.to_json_dict()
+    # a changed value flips it
+    t3 = pa.table({"a": [1, 2, 4], "b": ["x", "y", None]})
+    r = validate(ds1, suite, other_tables={"o": rd.from_arrow(t3)}).results[0]
+    assert not r.success
+    # ignore_columns drops the differing column
+    suite2 = ExpectationSuite("ck2").add(
+        "expect_table_checksum_to_equal_other_table", other_table_name="o",
+        ignore_columns=["a"])
+    r = validate(ds1, suite2, other_tables={"o": rd.from_arrow(t3)}).results[0]
+    assert r.success
