@@ -155,6 +155,7 @@ class _CompiledSuite:
     cramers_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     cross_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     global_sql_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    queried_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     ks_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     agg_columns: set = field(default_factory=set)       # numeric agg partials
     count_columns: set = field(default_factory=set)     # (total, nonnull) counters
@@ -230,6 +231,10 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
                         "over {batch} returning the unexpected rows)"
                     )
                 plan.global_sql_rules.append((idx, cfg))
+            elif t in _queried_types():
+                # contrib expect_queried_* family: SQL over {batch}; shares
+                # the ONE stream->DuckDB materialization with scope="table"
+                plan.queried_rules.append((idx, cfg))
             elif t in CONDITION_KERNELS:
                 plan.map_rules.append((idx, cfg))
             else:
@@ -237,6 +242,12 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
         except Exception as exc:  # compile-time config errors -> failed EVR
             plan.errors.append((idx, cfg, f"{type(exc).__name__}: {exc}"))
     return plan
+
+
+def _queried_types() -> set:
+    from great_expectations_ray.functions.queried import QUERIED_TYPES
+
+    return QUERIED_TYPES
 
 
 def _unique_columns(cfg: ExpectationConfiguration) -> list[str]:
@@ -904,7 +915,7 @@ def validate(
     # past its memory limit), every scope='table' rule in the suite shares
     # the single load, and the returned rows are capped at
     # ``partial_unexpected_count`` in the EVR details.
-    if plan.global_sql_rules:
+    if plan.global_sql_rules or plan.queried_rules:
         import duckdb
 
         con = duckdb.connect()
@@ -957,6 +968,20 @@ def validate(
                                 ).to_pylist(),
                             },
                         },
+                    )
+                except Exception as exc:
+                    fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+            for idx, cfg in plan.queried_rules:
+                try:
+                    from great_expectations_ray.functions.queried import (
+                        evaluate_queried_rule,
+                    )
+
+                    ok, result = evaluate_queried_rule(con, cfg, "__gxr_asset")
+                    evrs[idx] = ExpectationValidationResult(
+                        success=ok,
+                        expectation_config=cfg.to_json_dict(),
+                        result=result,
                     )
                 except Exception as exc:
                     fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")

@@ -21,6 +21,7 @@ def list_expectations() -> dict[str, list[str]]:
     )
     from great_expectations_ray.functions.aggregates import AGG_EXPECTATIONS
     from great_expectations_ray.functions.column_map import CONDITION_KERNELS
+    from great_expectations_ray.functions.queried import QUERIED_TYPES
     from great_expectations_ray.functions.table import TABLE_RULES
 
     families = {
@@ -36,6 +37,7 @@ def list_expectations() -> dict[str, list[str]]:
         "distributional": sorted(DIST_TYPES | CRAMERS_TYPES),
         "cross-table": sorted(CROSS_TABLE_TYPES),
         "wide: KS tests (sort + offset-linear summaries)": sorted(KS_TYPES),
+        "queried (shared stream->DuckDB pass)": sorted(QUERIED_TYPES),
         "stubs (stub in reference too)": sorted(STUB_TYPES),
     }
     return families

@@ -499,3 +499,106 @@ def test_table_checksum_equal_other_table(ray_session):
         ignore_columns=["a"])
     r = validate(ds1, suite2, other_tables={"o": rd.from_arrow(t3)}).results[0]
     assert r.success
+
+
+# --------------------------------------------------------------------------- #
+# expect_queried_* family (shared stream->DuckDB pass)
+# --------------------------------------------------------------------------- #
+
+
+def test_queried_value_frequency_threshold(ray_session):
+    ds = rd.from_arrow(pa.table({"c": ["a", "a", "a", "b"]})).repartition(2)
+    suite = ExpectationSuite("qf").add(
+        "expect_queried_column_value_frequency_to_meet_threshold",
+        column="c", value="a", threshold=0.7)
+    r = validate(ds, suite).results[0]
+    assert r.success
+    assert abs(r.result["observed_value"] - 0.75) < 1e-12
+    # list form
+    suite = ExpectationSuite("qf2").add(
+        "expect_queried_column_value_frequency_to_meet_threshold",
+        column="c", value=["a", "b"], threshold=[0.7, 0.5])
+    r = validate(ds, suite).results[0]
+    assert not r.success
+    assert r.result["observed_value"] == [0.75, 0.25]
+
+
+def test_queried_table_row_count_and_custom_query(ray_session):
+    ds = rd.from_arrow(pa.table({"c": [1, 2, 3, 4]})).repartition(2)
+    r = validate(ds, ExpectationSuite("qrc").add(
+        "expect_queried_table_row_count_to_be", value=4)).results[0]
+    assert r.success and r.result["observed_value"] == 4
+    r = validate(ds, ExpectationSuite("qcq").add(
+        "expect_queried_custom_query_to_return_num_rows",
+        template_dict={"user_query": "SELECT * FROM {batch} WHERE c > 2"},
+        value=2)).results[0]
+    assert r.success and r.result["observed_value"] == 2
+
+
+def test_queried_column_list_unique_and_dup_combinations(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "a": [1, 1, 2, 2], "b": ["x", "x", "y", "z"],
+    })).repartition(2)  # (1,x) duplicated across blocks
+    r = validate(ds, ExpectationSuite("qu").add(
+        "expect_queried_column_list_to_be_unique",
+        template_dict={"column_list": ["a", "b"]})).results[0]
+    assert not r.success
+    assert r.result["observed_value"] == 1
+    r = validate(ds, ExpectationSuite("qd").add(
+        "expect_query_to_have_no_duplicate_value_combinations",
+        columns=["a", "b"])).results[0]
+    assert not r.success
+    assert r.result["observed_value"] == [[1, "x", 2]]
+
+
+def test_queried_n_distinct_with_condition(ray_session):
+    ds = rd.from_arrow(pa.table({"c": [1, 2, 3, 3], "f": [1, 1, 1, 0]}))
+    r = validate(ds, ExpectationSuite("qn").add(
+        "expect_queried_column_to_have_n_distinct_values_with_condition",
+        template_dict={"column_to_check": "c", "condition": "f = 1",
+                       "num_of_distinct_values": 3})).results[0]
+    assert r.success
+    r = validate(ds, ExpectationSuite("qn2").add(
+        "expect_queried_column_to_have_n_distinct_values_with_condition",
+        template_dict={"column_to_check": "c", "condition": "f = 1",
+                       "num_of_distinct_values": 2})).results[0]
+    assert not r.success
+    assert "found 3" in r.result["info"]
+
+
+def test_queried_count_with_filter_threshold(ray_session):
+    ds = rd.from_arrow(pa.table({"c": ["x", "x", "y"]}))
+    r = validate(ds, ExpectationSuite("qcf").add(
+        "expect_query_count_with_filter_to_meet_threshold",
+        template_dict={"col": "c", "filter": "'x'"}, threshold=2)).results[0]
+    assert r.success and r.result["observed_value"] == 2
+
+
+def test_queried_scd_no_gaps(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "pk": [1, 1, 2, 2],
+        "open_d": ["2024-01-01", "2024-02-01", "2024-01-01", "2024-03-01"],
+        "close_d": ["2024-02-01", "2024-06-01", "2024-02-15", "2024-06-01"],
+    }))
+    td = {"primary_key": "pk", "open_date_column": "open_d",
+          "close_date_column": "close_d"}
+    r = validate(ds, ExpectationSuite("scd").add(
+        "expect_queried_slowly_changing_table_to_have_no_gaps",
+        template_dict=td, threshold=0)).results[0]
+    assert not r.success  # pk=2 has a gap (close 02-15 != next open 03-01)
+    assert abs(r.result["observed_value"] - 0.25) < 1e-12
+    r = validate(ds, ExpectationSuite("scd2").add(
+        "expect_queried_slowly_changing_table_to_have_no_gaps",
+        template_dict=td, threshold=0.25)).results[0]
+    assert r.success
+
+
+def test_queried_pair_both_filled_or_null(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "a": [1, None, 3, None], "b": [1, None, None, 4],
+    }))
+    r = validate(ds, ExpectationSuite("qp").add(
+        "expect_queried_column_pair_values_to_be_both_filled_or_null",
+        template_dict={"column_a": "a", "column_b": "b"})).results[0]
+    assert not r.success
+    assert r.result["observed_value"] == 2
