@@ -1252,6 +1252,23 @@ def q_minhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cc_cluster_docs(sf_dir: str) -> pd.DataFrame:
+    """Transitive fuzzy-dedup clusters: LSH bucket star edges -> distributed
+    connected components (hash-min label propagation with shortcut doubling)
+    -> (doc_id, cluster).  Oracle: fixture parquet from an independent
+    union-find over the same bucket construction
+    (tools/gen_oracle_fixtures.py cc_cluster_fixture)."""
+    from great_expectations_ray.stages.cc_cluster import cluster_near_duplicates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = cluster_near_duplicates(ds, text_col="text", id_col="doc_id")
+    rows = out.take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "cluster": r["cluster"]} for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """SimHash hamming-band near-dup marking over documents."""
     from great_expectations_ray.stages.neardup import simhash_mark_duplicates
@@ -2979,6 +2996,7 @@ QUERIES = {
     "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
     "fingerprint_overlap_docs": q_fingerprint_overlap_docs,
     "minhash_neardup_docs": q_minhash_neardup_docs,
+    "cc_cluster_docs": q_cc_cluster_docs,
     "simhash_neardup_docs": q_simhash_neardup_docs,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -3094,6 +3112,8 @@ ORACLE_SQL.update({
         "lm_trained_ppl_docs", "doc_id, perplexity", _FP_DOCS, "doc_id"),
     "minhash_neardup_docs": _fixture_sql(
         "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
+    "cc_cluster_docs": _fixture_sql(
+        "cc_cluster_docs", "doc_id, cluster", _FP_DOCS, "doc_id"),
     "simhash_neardup_docs": _fixture_sql(
         "simhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "embedding_neardup": _fixture_sql(
@@ -3340,19 +3360,27 @@ def q_ann_methods_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def q_neardup_docs(sf_dir: str) -> pd.DataFrame:
-    """Near-duplicate flags by all four methods: MinHash-LSH banded,
-    MinHash + signature-Jaccard verify, SimHash band-blocked, and
-    embedding hyperplane-LSH (vec_id reported as doc_id)."""
+    """Near-duplicate marking by all five methods: MinHash-LSH banded,
+    MinHash + signature-Jaccard verify, SimHash band-blocked, embedding
+    hyperplane-LSH (vec_id reported as doc_id), and transitive
+    connected-component clustering.  ``v`` carries each method's verdict:
+    0/1 near-dup flag for the four markers, the CLUSTER ID (min doc id of
+    the component) for the clustering arm."""
     frames = []
     for method, name in [("minhash", "minhash_neardup_docs"),
                          ("minhash_verified", "minhash_verified_docs"),
                          ("simhash", "simhash_neardup_docs"),
-                         ("embedding", "embedding_neardup")]:
+                         ("embedding", "embedding_neardup"),
+                         ("cc_cluster", "cc_cluster_docs")]:
         f = _run_part(name, sf_dir)
         if "vec_id" in f.columns:
             f = f.rename(columns={"vec_id": "doc_id"})
-        f.insert(0, "method", method)
-        frames.append(f)
+        v = f["cluster"] if method == "cc_cluster" else f["is_neardup"]
+        frames.append(pd.DataFrame({
+            "method": method,
+            "doc_id": f["doc_id"],
+            "v": v.astype("int64"),
+        }))
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
 
@@ -3462,10 +3490,16 @@ SQL_ANN_METHODS_TOPK = _union_sql(
     "method, vec_id",
 )
 SQL_NEARDUP_DOCS = _union_sql(
-    [("'minhash' AS method", "doc_id, is_neardup", "minhash_neardup_docs"),
-     ("'minhash_verified'", "doc_id, is_neardup", "minhash_verified_docs"),
-     ("'simhash'", "doc_id, is_neardup", "simhash_neardup_docs"),
-     ("'embedding'", "vec_id AS doc_id, is_neardup", "embedding_neardup")],
+    [("'minhash' AS method",
+      "doc_id, CAST(is_neardup AS BIGINT) AS v", "minhash_neardup_docs"),
+     ("'minhash_verified'",
+      "doc_id, CAST(is_neardup AS BIGINT) AS v", "minhash_verified_docs"),
+     ("'simhash'",
+      "doc_id, CAST(is_neardup AS BIGINT) AS v", "simhash_neardup_docs"),
+     ("'embedding'",
+      "vec_id AS doc_id, CAST(is_neardup AS BIGINT) AS v", "embedding_neardup"),
+     ("'cc_cluster'",
+      "doc_id, CAST(cluster AS BIGINT) AS v", "cc_cluster_docs")],
     "method, doc_id",
 )
 SQL_FINGERPRINT_DOCS = _union_sql(

@@ -191,6 +191,53 @@ def minhash_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) ->
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def cc_cluster_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) -> pd.DataFrame:
+    """Transitive near-dup clusters: same LSH bucket construction as
+    minhash_fixture, then plain union-find over each bucket's member list
+    (cluster id = min doc id of the connected component).  Independent of the
+    stage's distributed label-propagation code path."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    bvec = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+    B = np.uint64(FNV_B)
+
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        by = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+        nw = len(by) - k + 1
+        if nw <= 0:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            h = np.zeros(nw, dtype=np.uint64)
+            for j in range(k):
+                h = h * B + by[j : nw + j].astype(np.uint64)
+            sig = (h[:, None] * a[None, :] + bvec[None, :]).min(axis=0)
+        for bi in range(bands):
+            bk = 0
+            for j in range(bi * r, (bi + 1) * r):
+                bk = (bk * FNV_B + int(sig[j])) & M64
+            buckets.setdefault((bi, bk), []).append(int(doc_id))
+
+    parent = {int(d): int(d) for d in docs["doc_id"]}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in buckets.values():
+        lo = find(min(members))
+        for m in members:
+            rm = find(m)
+            if rm != lo:
+                hi, lo = max(rm, lo), min(rm, lo)
+                parent[hi] = lo
+    ids = sorted(parent)
+    return pd.DataFrame({"doc_id": ids, "cluster": [find(i) for i in ids]})
+
+
 def _doc_shingle_hashes(text: str, k: int = 8) -> np.ndarray:
     """Per-doc window hashes, same polynomial spec as the stage."""
     by = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
@@ -542,6 +589,7 @@ def main(sf_dirs: list[str]) -> None:
             ("lm_trained_ppl_docs", lm_trained_fixture(docs), fp_docs),
             ("minhash_neardup_docs", minhash_fixture(docs), fp_docs),
             ("minhash_verified_docs", minhash_verified_fixture(docs), fp_docs),
+            ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
             ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
