@@ -101,6 +101,14 @@ KS_TYPES = {
     "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than",
 }
 
+#: contrib two-column statistical tests — dedicated passes, no VC/agg state
+PAIRED_STAT_TYPES = {
+    # chi2 = sum((obs-exp)^2/exp) row-paired, p >= p_value_threshold
+    "expect_column_chisquare_simple_test_p_value_to_be_greater_than",
+    # exact distributed two-sample KS between column_a and column_b
+    "expect_column_kolmogoro_smirnov_test_p_value_to_be_greater_than",
+}
+
 STUB_TYPES: set = set()  # (r1 had the two KS stubs; none remain)
 
 #: map-style rules whose condition is a GLOBAL property -> phase W
@@ -156,6 +164,7 @@ class _CompiledSuite:
     cross_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     global_sql_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     queried_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
+    paired_stat_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     ks_rules: list[tuple[int, ExpectationConfiguration]] = field(default_factory=list)
     agg_columns: set = field(default_factory=set)       # numeric agg partials
     count_columns: set = field(default_factory=set)     # (total, nonnull) counters
@@ -231,6 +240,8 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
                         "over {batch} returning the unexpected rows)"
                     )
                 plan.global_sql_rules.append((idx, cfg))
+            elif t in PAIRED_STAT_TYPES:
+                plan.paired_stat_rules.append((idx, cfg))
             elif t in _queried_types():
                 # contrib expect_queried_* family: SQL over {batch}; shares
                 # the ONE stream->DuckDB materialization with scope="table"
@@ -681,6 +692,27 @@ def validate(
                 and cfg.kwargs.get("abs") and value is not None
             ):
                 value = abs(value)
+            if cfg.expectation_type == "expect_column_sum_to_be":
+                # exact equality (expect_column_sum_to_be.py:51-60)
+                ok = value == cfg.kwargs["sum_total"]
+                evrs[idx] = ExpectationValidationResult(
+                    success=ok, expectation_config=cfg.to_json_dict(),
+                    result={"observed_value": value},
+                )
+                continue
+            if (
+                cfg.expectation_type
+                == "expect_column_values_to_be_normally_distributed"
+            ):
+                from great_expectations_ray.functions.stats_math import (
+                    dagostino_normaltest_p,
+                )
+
+                g1 = ag.metric("column.custom.skew")
+                g2 = ag.metric("column.custom.kurtosis")
+                if g1 is None or g2 is None:
+                    raise ValueError("normaltest needs a non-constant column")
+                value = dagostino_normaltest_p(int(ag.n), g1, g2)
             ok = validate_metric_value_between(
                 value,
                 cfg.kwargs.get("min_value"),
@@ -906,6 +938,33 @@ def validate(
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 
+    # ---- paired-column statistical tests (contrib) ------------------------- #
+    for idx, cfg in plan.paired_stat_rules:
+        try:
+            threshold = cfg.kwargs["p_value_threshold"]
+            if cfg.expectation_type.startswith("expect_column_chisquare_simple"):
+                from great_expectations_ray.functions.contrib_aggregates import (
+                    chisquare_simple,
+                )
+
+                r = chisquare_simple(
+                    ds, cfg.kwargs["column"], cfg.kwargs["expected_column"]
+                )
+            else:
+                from great_expectations_ray.functions.ks import distributed_ks_2samp
+
+                r = distributed_ks_2samp(
+                    ds, cfg.kwargs["column_a"], cfg.kwargs["column_b"]
+                )
+            p = r["p_value"]
+            evrs[idx] = ExpectationValidationResult(
+                success=p >= threshold,
+                expectation_config=cfg.to_json_dict(),
+                result={"observed_value": p, "details": r},
+            )
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
     # ---- global SQL predicates (scope="table") ----------------------------- #
     # Reference parity: unexpected_rows_expectation.py:138-153 — arbitrary SQL
     # over the WHOLE asset (joins, aggregates, window functions); success =
@@ -971,13 +1030,48 @@ def validate(
                     )
                 except Exception as exc:
                     fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+            _registered_other: dict[str, str] = {}
+
+            def register_other(name: str) -> str:
+                """Stream an other_tables Dataset into DuckDB once; reuse on
+                repeat references (same documented materialization as the
+                main asset)."""
+                if name in _registered_other:
+                    return _registered_other[name]
+                if not other_tables or name not in other_tables:
+                    raise KeyError(
+                        f"other_tables[{name!r}] must be passed to validate()"
+                    )
+                tname = f"__gxr_other_{len(_registered_other)}"
+                first_chunk = True
+                for chunk in other_tables[name].iter_batches(
+                    batch_format="pyarrow", batch_size=65536
+                ):
+                    con.register("__gxr_chunk", chunk)
+                    if first_chunk:
+                        con.execute(
+                            f"CREATE TABLE {tname} AS SELECT * FROM __gxr_chunk"
+                        )
+                        first_chunk = False
+                    else:
+                        con.execute(
+                            f"INSERT INTO {tname} SELECT * FROM __gxr_chunk"
+                        )
+                    con.unregister("__gxr_chunk")
+                if first_chunk:
+                    raise ValueError(f"other table {name!r} is empty")
+                _registered_other[name] = tname
+                return tname
+
             for idx, cfg in plan.queried_rules:
                 try:
                     from great_expectations_ray.functions.queried import (
                         evaluate_queried_rule,
                     )
 
-                    ok, result = evaluate_queried_rule(con, cfg, "__gxr_asset")
+                    ok, result = evaluate_queried_rule(
+                        con, cfg, "__gxr_asset", register_other
+                    )
                     evrs[idx] = ExpectationValidationResult(
                         success=ok,
                         expectation_config=cfg.to_json_dict(),

@@ -177,6 +177,12 @@ AGG_EXPECTATIONS: dict[str, str] = {
     # split via the Pébay M3/M4 combine above
     "expect_column_skew_to_be_between": "column.custom.skew",
     "expect_column_kurtosis_to_be_between": "column.custom.kurtosis",
+    # contrib: exact sum equality (expect_column_sum_to_be.py:51-60)
+    "expect_column_sum_to_be": "column.sum",
+    # contrib: D'Agostino-Pearson omnibus p from the exact distributed
+    # moments (expect_column_values_to_be_normally_distributed.py:25-26;
+    # engine computes the p in its finish from n/skew/kurtosis)
+    "expect_column_values_to_be_normally_distributed": "column.custom.skew",
 }
 
 

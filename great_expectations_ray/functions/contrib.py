@@ -420,6 +420,45 @@ def _multicolumn_equal(tbl: pa.Table, kwargs: dict) -> KernelResult:
     )
 
 
+# contrib aliases whose semantics are identical to a core kernel:
+# expect_column_values_to_be_valid_json.py wraps json.loads per value (same
+# contract as #18 json_parseable); ..._to_be_in_set_spark_optimized.py is a
+# Spark-broadcast variant of #3 — on Ray the value set already rides the
+# compiled suite to every actor, so the optimized and plain forms coincide.
+from great_expectations_ray.functions.column_map import CONDITION_KERNELS as _K
+
+register_condition("expect_column_values_to_be_valid_json")(
+    _K["expect_column_values_to_be_json_parseable"]
+)
+register_condition("expect_column_values_to_be_in_set_spark_optimized")(
+    _K["expect_column_values_to_be_in_set"]
+)
+
+
+@register_condition("expect_value_at_index")
+def _value_at_index(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """``element[index] == value`` for string elements
+    (expect_value_at_index.py:29-33; non-strings fail).  Deviation: an
+    out-of-range index marks the value unexpected instead of raising
+    IndexError batch-wide."""
+    idx = int(kwargs["index"])
+    val = str(kwargs["value"])
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    is_str = pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    s = pc.cast(col, pa.large_string()).combine_chunks()
+    stop = None if idx == -1 else idx + 1
+    ch = pc.utf8_slice_codeunits(s, idx, stop)
+    meets = _bool_np(pc.equal(ch, val))
+    # out-of-range indices are unexpected (Arrow clamps negative starts, so
+    # enforce python indexing bounds explicitly)
+    lengths = np.asarray(pc.utf8_length(s).fill_null(0))
+    meets &= (lengths > idx) if idx >= 0 else (lengths >= -idx)
+    # non-string columns fail wholesale (contrib's str(element) == element)
+    if not is_str:
+        meets = np.zeros(len(s), dtype=bool)
+    return KernelResult(meets, valid, s, nulls)
+
+
 @register_condition("expect_column_values_to_not_be_outliers")
 def _not_outliers(tbl: pa.Table, kwargs: dict) -> KernelResult:
     """Phase-2 kernel: |x - median| < multiplier*IQR (method="iqr") or

@@ -278,6 +278,44 @@ def benford_verdict(counts: np.ndarray, total: float) -> dict:
 
 
 # --------------------------------------------------------------------------- #
+# simple paired chi-square (observed column vs expected column)
+# --------------------------------------------------------------------------- #
+
+
+def chisquare_simple(ds, observed_col: str, expected_col: str) -> dict:
+    """scipy.stats.chisquare(observed, expected) over two columns of the
+    same table (expect_column_chisquare_simple_test_p_value_to_be_greater_than
+    .py:30-51): chi2 = sum((o-e)^2/e), dof = n_rows - 1, p = chi2 survival.
+    Map-side partial sums only — no shuffle.  Rows where either side is null
+    are dropped (the contrib's to_list would propagate NaN; documented
+    deviation)."""
+    from great_expectations_ray.functions.stats_math import chi2_sf
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        o = np.asarray(pc.cast(tbl.column(observed_col).combine_chunks(),
+                               pa.float64()).fill_null(np.nan))
+        e = np.asarray(pc.cast(tbl.column(expected_col).combine_chunks(),
+                               pa.float64()).fill_null(np.nan))
+        m = ~(np.isnan(o) | np.isnan(e))
+        o, e = o[m], e[m]
+        part = float(np.sum((o - e) ** 2 / e)) if o.size else 0.0
+        return pa.table({"chi2": pa.array([part]),
+                         "n": pa.array([int(o.size)], pa.int64())})
+
+    out = ds.select_columns(sorted({observed_col, expected_col})).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    chi2 = n = 0
+    for b in out.iter_batches(batch_format="pyarrow"):
+        chi2 += float(np.sum(np.asarray(b.column("chi2"))))
+        n += int(np.sum(np.asarray(b.column("n"))))
+    if n < 2:
+        raise ValueError("chisquare needs at least 2 paired rows")
+    p = chi2_sf(chi2, n - 1)
+    return {"chi2": chi2, "p_value": p, "n": n}
+
+
+# --------------------------------------------------------------------------- #
 # table checksum
 # --------------------------------------------------------------------------- #
 

@@ -215,3 +215,95 @@ def bootstrapped_ks_test(ds, column: str, *, partition_object: dict, n: int,
         "base_sample_size": int(len(base)),
         "n": n,
     }
+
+
+def distributed_ks_2samp(ds, column_a: str, column_b: str) -> dict:
+    """Exact two-sample KS D between two columns of the same dataset, plus
+    the asymptotic Smirnov p-value (contrib
+    expect_column_kolmogoro_smirnov_test_p_value_to_be_greater_than.py:30-51
+    calls scipy.stats.ks_2samp on the two columns).
+
+    Shape: union both columns into ONE (value, which) stream, one global
+    sort, then per sorted batch an offset-linear summary — within a batch,
+    |F_a - F_b| = |x + (i_a/n_a - i_b/n_b)| where x is a constant offset the
+    driver folds in afterward, so each batch reports only (cnt_a, cnt_b,
+    max_d, min_d) and D is exact.  Same trick as the one-sample path above,
+    generalized to two counters."""
+    def tag(tbl: pa.Table) -> pa.Table:
+        a = tbl.column(column_a).combine_chunks()
+        b = tbl.column(column_b).combine_chunks()
+        a = a.filter(pc.is_valid(a))
+        b = b.filter(pc.is_valid(b))
+        af = pc.cast(a, pa.float64())
+        bf = pc.cast(b, pa.float64())
+        return pa.table({
+            "v": pa.concat_arrays([af, bf]),
+            "w": pa.array(np.concatenate([
+                np.zeros(len(af), dtype=np.int8),
+                np.ones(len(bf), dtype=np.int8),
+            ])),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    n_a = tagged.count() - int(tagged.sum("w") or 0)
+    n_b = int(tagged.sum("w") or 0)
+    if n_a == 0 or n_b == 0:
+        raise ValueError("ks_2samp requires both columns non-empty")
+    # secondary key keeps equal values of BOTH samples adjacent; the sup is
+    # evaluated AFTER processing all ties at a value (right-continuous ECDFs)
+    sorted_ds = tagged.sort(["v", "w"])
+
+    def summarize(tbl: pa.Table) -> pa.Table:
+        w = np.asarray(tbl.column("w"))
+        m = len(w)
+        if m == 0:
+            return pa.table({"cnt_a": pa.array([], pa.int64()),
+                             "cnt_b": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "mn": pa.array([], pa.float64())})
+        v = np.asarray(tbl.column("v"))
+        ia = np.cumsum(w == 0)
+        ib = np.cumsum(w == 1)
+        d_local = ia / n_a - ib / n_b
+        # sup only at positions where the VALUE changes: mid-tie evaluations
+        # are not points of the merged step functions.  The batch's LAST
+        # position is reported separately — it is a valid evaluation point
+        # only if the value does not continue into the next sorted batch
+        # (the driver checks hi_k == lo_{k+1})
+        boundary = np.empty(m, dtype=bool)
+        boundary[:-1] = v[1:] != v[:-1]
+        boundary[-1] = False
+        dl = d_local[boundary]
+        mx = float(dl.max()) if dl.size else -np.inf
+        mn = float(dl.min()) if dl.size else np.inf
+        return pa.table({
+            "cnt_a": pa.array([int(ia[-1])]), "cnt_b": pa.array([int(ib[-1])]),
+            "lo": pa.array([float(v[0])]), "hi": pa.array([float(v[-1])]),
+            "mx": pa.array([mx]), "mn": pa.array([mn]),
+            "last_d": pa.array([float(d_local[-1])]),
+        })
+
+    parts = sorted_ds.map_batches(summarize, batch_format="pyarrow").take_all()
+    parts = [r for r in parts if r["cnt_a"] + r["cnt_b"] > 0]
+    parts.sort(key=lambda r: (r["lo"], r["hi"]))
+    d = 0.0
+    ca = cb = 0
+    for i, r in enumerate(parts):
+        x = ca / n_a - cb / n_b
+        if np.isfinite(r["mx"]):
+            d = max(d, abs(x + r["mx"]), abs(x + r["mn"]))
+        # the last position of the batch counts only when its value does
+        # not continue into the next batch (tie runs may span batches)
+        if i + 1 >= len(parts) or parts[i + 1]["lo"] != r["hi"]:
+            d = max(d, abs(x + r["last_d"]))
+        ca += r["cnt_a"]
+        cb += r["cnt_b"]
+    if ca != n_a or cb != n_b:
+        raise RuntimeError("ks_2samp row count drift")
+    from great_expectations_ray.functions.stats_math import ks_2samp_p_asymptotic
+
+    return {"d_statistic": d, "p_value": ks_2samp_p_asymptotic(d, n_a, n_b),
+            "n_a": n_a, "n_b": n_b}

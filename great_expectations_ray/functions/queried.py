@@ -34,12 +34,18 @@ QUERIED_TYPES = {
     "expect_query_count_with_filter_to_meet_threshold",
     "expect_queried_slowly_changing_table_to_have_no_gaps",
     "expect_queried_column_pair_values_to_be_both_filled_or_null",
+    "expect_queried_column_to_be_unique_with_condition",
+    "expect_queried_column_pair_values_to_have_diff",
+    "expect_queried_column_values_to_exist_in_second_table_column",
 }
 
 
-def evaluate_queried_rule(con, cfg, asset: str) -> tuple[bool, dict]:
+def evaluate_queried_rule(con, cfg, asset: str, register_other=None) -> tuple[bool, dict]:
     """(success, result) for one queried rule against the registered DuckDB
-    table ``asset``.  ``con`` is the suite-shared connection."""
+    table ``asset``.  ``con`` is the suite-shared connection.
+    ``register_other(name)`` streams the named other table (from
+    ``validate(..., other_tables=...)``) into DuckDB on first use and
+    returns its registered table name."""
     t = cfg.expectation_type
     k = cfg.kwargs
     td: dict = k.get("template_dict") or {}
@@ -151,6 +157,58 @@ def evaluate_queried_rule(con, cfg, asset: str) -> tuple[bool, dict]:
         return (not n or n == 0), {
             "info": f"Row count with inconsistent values: {n}",
             "observed_value": n,
+        }
+
+    if t == "expect_queried_column_to_be_unique_with_condition":
+        rows = q(
+            "SELECT {column_to_check}, COUNT(1) FROM {batch}"
+            " WHERE {condition} GROUP BY {column_to_check}"
+            " HAVING COUNT(1) > 1",
+            column_to_check=td["column_to_check"],
+            condition=td["condition"],
+        )
+        if not rows:
+            return True, {
+                "info": "The column values are unique, under the condition",
+                "observed_value": 0,
+            }
+        return False, {"observed_value": [list(r) for r in rows[:10]]}
+
+    if t == "expect_queried_column_pair_values_to_have_diff":
+        # mostly-fraction of rows where |A - B| == diff
+        # (expect_queried_column_pair_values_to_have_diff.py:27-81)
+        rows = q(
+            "SELECT {column_A} - {column_B} AS diff FROM {batch}",
+            column_A=k["column_A"], column_B=k["column_B"],
+        )
+        diff, mostly = k["diff"], k.get("mostly", 1.0)
+        if not rows:
+            return True, {"observed_value": []}
+        frac = sum(abs(r[0]) == diff for r in rows if r[0] is not None) / len(rows)
+        return frac >= mostly, {"observed_value": frac}
+
+    if t == "expect_queried_column_values_to_exist_in_second_table_column":
+        if register_other is None:
+            raise ValueError(
+                "pass other_tables={name: Dataset} to validate() for "
+                "second-table queried rules"
+            )
+        second = register_other(td["second_table_full_name"])
+        n_missing = q(
+            "SELECT COUNT(1) FROM ("
+            " SELECT a.{first_table_column} FROM {batch} a"
+            " LEFT JOIN {second_table} b"
+            " ON a.{first_table_column} = b.{second_table_column}"
+            " WHERE b.{second_table_column} IS NULL AND {condition}"
+            " GROUP BY 1)",
+            first_table_column=td["first_table_column"],
+            second_table_column=td["second_table_column"],
+            second_table=second,
+            condition=td.get("condition", "1=1"),
+        )[0][0]
+        return n_missing == 0, {
+            "Rows with IDs in first table missing in second table": n_missing,
+            "observed_value": n_missing,
         }
 
     raise NotImplementedError(t)

@@ -14,6 +14,7 @@ def list_expectations() -> dict[str, list[str]]:
         DIST_TYPES,
         KS_TYPES,
         ORDERED_TYPES,
+        PAIRED_STAT_TYPES,
         STUB_TYPES,
         TWO_PHASE_TYPES,
         UNIQUE_TYPES,
@@ -38,6 +39,7 @@ def list_expectations() -> dict[str, list[str]]:
         "cross-table": sorted(CROSS_TABLE_TYPES),
         "wide: KS tests (sort + offset-linear summaries)": sorted(KS_TYPES),
         "queried (shared stream->DuckDB pass)": sorted(QUERIED_TYPES),
+        "paired-column statistical tests": sorted(PAIRED_STAT_TYPES),
         "stubs (stub in reference too)": sorted(STUB_TYPES),
     }
     return families

@@ -139,3 +139,61 @@ def ks_p_value(d: float, n: int) -> float:
         return 1.0
     sn = math.sqrt(n)
     return kolmogorov_sf((sn + 0.12 + 0.11 / sn) * d)
+
+
+def _skewtest_z(g1: float, n: int) -> float:
+    """D'Agostino (1970) transformed skewness z-statistic — the published
+    formula scipy.stats.skewtest implements."""
+    if n < 8:
+        raise ValueError(f"skewtest requires n >= 8, got {n}")
+    y = g1 * math.sqrt(((n + 1.0) * (n + 3.0)) / (6.0 * (n - 2.0)))
+    beta2 = (3.0 * (n * n + 27.0 * n - 70.0) * (n + 1.0) * (n + 3.0)) / (
+        (n - 2.0) * (n + 5.0) * (n + 7.0) * (n + 9.0)
+    )
+    w2 = -1.0 + math.sqrt(2.0 * (beta2 - 1.0))
+    delta = 1.0 / math.sqrt(0.5 * math.log(w2))
+    alpha = math.sqrt(2.0 / (w2 - 1.0))
+    y = y if y != 0 else 1.0  # scipy's y==0 guard
+    return delta * math.log(y / alpha + math.sqrt((y / alpha) ** 2 + 1.0))
+
+
+def _kurtosistest_z(g2: float, n: int) -> float:
+    """Anscombe & Glynn (1983) transformed kurtosis z-statistic (scipy
+    kurtosistest).  ``g2`` is Fisher (excess) kurtosis; b2 = g2 + 3."""
+    if n < 5:
+        raise ValueError(f"kurtosistest requires n >= 5, got {n}")
+    b2 = g2 + 3.0
+    e = 3.0 * (n - 1.0) / (n + 1.0)
+    var = 24.0 * n * (n - 2.0) * (n - 3.0) / ((n + 1.0) ** 2 * (n + 3.0) * (n + 5.0))
+    x = (b2 - e) / math.sqrt(var)
+    sqrtbeta1 = (
+        6.0 * (n * n - 5.0 * n + 2.0) / ((n + 7.0) * (n + 9.0))
+    ) * math.sqrt(6.0 * (n + 3.0) * (n + 5.0) / (n * (n - 2.0) * (n - 3.0)))
+    a = 6.0 + 8.0 / sqrtbeta1 * (
+        2.0 / sqrtbeta1 + math.sqrt(1.0 + 4.0 / (sqrtbeta1 ** 2))
+    )
+    term1 = 1.0 - 2.0 / (9.0 * a)
+    denom = 1.0 + x * math.sqrt(2.0 / (a - 4.0))
+    if denom == 0:
+        raise ValueError("kurtosistest denominator is zero")
+    term2 = math.copysign(1.0, denom) * abs((1.0 - 2.0 / a) / abs(denom)) ** (1.0 / 3.0)
+    return (term1 - term2) / math.sqrt(2.0 / (9.0 * a))
+
+
+def dagostino_normaltest_p(n: int, g1: float, g2: float) -> float:
+    """D'Agostino-Pearson omnibus normality test p-value from the exact
+    distributed moments: k2 = z_skew^2 + z_kurt^2 ~ chi2(df=2)
+    (scipy.stats.normaltest contract; contrib
+    expect_column_values_to_be_normally_distributed.py:25-26)."""
+    if n < 8:
+        raise ValueError(f"normaltest requires n >= 8, got {n}")
+    z1 = _skewtest_z(g1, n)
+    z2 = _kurtosistest_z(g2, n)
+    return chi2_sf(z1 * z1 + z2 * z2, 2.0)
+
+
+def ks_2samp_p_asymptotic(d: float, n_a: int, n_b: int) -> float:
+    """Asymptotic two-sample KS p-value: Q_KS(D * sqrt(na*nb/(na+nb)))
+    (Smirnov's limit law — what scipy.stats.ks_2samp(mode='asymp') uses)."""
+    en = math.sqrt(n_a * n_b / (n_a + n_b))
+    return kolmogorov_sf(en * d)

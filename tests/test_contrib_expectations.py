@@ -602,3 +602,164 @@ def test_queried_pair_both_filled_or_null(ray_session):
         template_dict={"column_a": "a", "column_b": "b"})).results[0]
     assert not r.success
     assert r.result["observed_value"] == 2
+
+
+# --------------------------------------------------------------------------- #
+# batch 4 (round 3): stats tests, aliases, remaining queried
+# --------------------------------------------------------------------------- #
+
+
+def test_sum_to_be(ray_session):
+    r = _run([1, 2, 3, 4, 5], "expect_column_sum_to_be", sum_total=15)
+    assert r.success and r.result["observed_value"] == 15
+    r = _run([1, 2, 3, 4, 5], "expect_column_sum_to_be", sum_total=14)
+    assert not r.success
+
+
+def test_normally_distributed(ray_session):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    normal = rng.normal(50, 5, size=3000).tolist()
+    r = _run(normal, "expect_column_values_to_be_normally_distributed",
+             min_value=0.05)
+    assert r.success, r.to_json_dict()
+    expo = rng.exponential(5, size=3000).tolist()
+    r = _run(expo, "expect_column_values_to_be_normally_distributed",
+             min_value=0.05)
+    assert not r.success
+    assert r.result["observed_value"] < 1e-6
+
+
+def test_normaltest_matches_published_values(ray_session):
+    # cross-check the pure-python D'Agostino against a hand-computed case:
+    # the z-transforms must reproduce the scipy-published example magnitude
+    import numpy as np
+    from great_expectations_ray.functions.stats_math import dagostino_normaltest_p
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=1000)
+    c = x - x.mean()
+    g1 = (c**3).mean() / (c**2).mean()**1.5
+    g2 = (c**4).mean() / (c**2).mean()**2 - 3
+    p = dagostino_normaltest_p(len(x), g1, g2)
+    assert 0.01 < p <= 1.0  # normal draw: must not reject at 1%
+
+
+def test_chisquare_simple(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "obs": [10.0, 20.0, 30.0, 40.0],
+        "exp": [10.0, 20.0, 30.0, 40.0],
+    })).repartition(2)
+    suite = ExpectationSuite("chs").add(
+        "expect_column_chisquare_simple_test_p_value_to_be_greater_than",
+        column="obs", expected_column="exp", p_value_threshold=0.9)
+    r = validate(ds, suite).results[0]
+    assert r.success  # identical -> chi2 = 0 -> p = 1
+    assert abs(r.result["observed_value"] - 1.0) < 1e-12
+    ds2 = rd.from_arrow(pa.table({
+        "obs": [100.0, 2.0, 300.0, 4.0], "exp": [1.0, 200.0, 3.0, 400.0],
+    }))
+    r = validate(ds2, ExpectationSuite("chs2").add(
+        "expect_column_chisquare_simple_test_p_value_to_be_greater_than",
+        column="obs", expected_column="exp", p_value_threshold=0.1)).results[0]
+    assert not r.success
+
+
+def test_ks_2samp_exact_d(ray_session):
+    import numpy as np
+    from great_expectations_ray.functions.ks import distributed_ks_2samp
+
+    def ks2_direct(a, b):
+        a, b = np.sort(a), np.sort(b)
+        allv = np.sort(np.concatenate([a, b]))
+        return float(np.abs(np.searchsorted(a, allv, side="right") / len(a)
+                            - np.searchsorted(b, allv, side="right") / len(b)).max())
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=501)
+    b = np.concatenate([rng.normal(0.3, 1, size=400),
+                        a[:100]])  # shared values force cross-sample ties
+    n = max(len(a), len(b))
+    tbl = pa.table({"a": np.concatenate([a, np.full(n - len(a), np.nan)]),
+                    "b": np.concatenate([b, np.full(n - len(b), np.nan)])})
+    # nan -> null so the per-column filters drop padding
+    import pyarrow.compute as pc_
+    tbl = pa.table({c: pc_.if_else(pc_.is_nan(tbl[c]), None, tbl[c])
+                    for c in tbl.column_names})
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        r = distributed_ks_2samp(ds, "a", "b")
+        assert abs(r["d_statistic"] - ks2_direct(a, b)) < 1e-12, parts
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+
+
+def test_ks_2samp_expectation(ray_session):
+    import numpy as np
+    rng = np.random.default_rng(2)
+    same = pa.table({"x": rng.normal(size=800), "y": rng.normal(size=800)})
+    r = validate(rd.from_arrow(same), ExpectationSuite("ks2").add(
+        "expect_column_kolmogoro_smirnov_test_p_value_to_be_greater_than",
+        column_a="x", column_b="y", p_value_threshold=0.05)).results[0]
+    assert r.success, r.to_json_dict()
+    diff = pa.table({"x": rng.normal(size=800), "y": rng.normal(2, 1, size=800)})
+    r = validate(rd.from_arrow(diff), ExpectationSuite("ks2b").add(
+        "expect_column_kolmogoro_smirnov_test_p_value_to_be_greater_than",
+        column_a="x", column_b="y", p_value_threshold=0.05)).results[0]
+    assert not r.success
+
+
+def test_valid_json_and_in_set_aliases(ray_session):
+    r = _run(['{"a": 1}', "[1,2]", "not json", None],
+             "expect_column_values_to_be_valid_json")
+    assert r.result["unexpected_count"] == 1
+    r = _run(["a", "b", "z"], "expect_column_values_to_be_in_set_spark_optimized",
+             value_set=["a", "b"])
+    assert r.result["unexpected_count"] == 1
+
+
+def test_value_at_index(ray_session):
+    r = _run(["abc", "axc", "ab", "", None], "expect_value_at_index",
+             index=1, value="b")
+    # "abc" ok; "axc" x != b; "ab" has 'b' at 1 -> ok; "" out of range
+    assert r.result["unexpected_count"] == 2
+    r = _run(["abc", "xyc", "c"], "expect_value_at_index", index=-1, value="c")
+    assert r.success
+
+
+def test_queried_unique_with_condition(ray_session):
+    ds = rd.from_arrow(pa.table({"c": [1, 1, 2, 2], "f": [1, 0, 1, 1]}))
+    r = validate(ds, ExpectationSuite("quc").add(
+        "expect_queried_column_to_be_unique_with_condition",
+        template_dict={"column_to_check": "c", "condition": "f = 1"})).results[0]
+    assert not r.success  # c=2 duplicated under f=1
+    r = validate(ds, ExpectationSuite("quc2").add(
+        "expect_queried_column_to_be_unique_with_condition",
+        template_dict={"column_to_check": "c", "condition": "f = 0"})).results[0]
+    assert r.success
+
+
+def test_queried_pair_values_have_diff(ray_session):
+    ds = rd.from_arrow(pa.table({"a": [5, 7, 9], "b": [2, 4, 7]}))
+    r = validate(ds, ExpectationSuite("qpd").add(
+        "expect_queried_column_pair_values_to_have_diff",
+        column_A="a", column_B="b", diff=3, mostly=0.6)).results[0]
+    assert r.success  # 2/3 rows have |diff| == 3
+    r = validate(ds, ExpectationSuite("qpd2").add(
+        "expect_queried_column_pair_values_to_have_diff",
+        column_A="a", column_B="b", diff=3, mostly=0.9)).results[0]
+    assert not r.success
+
+
+def test_queried_exist_in_second_table(ray_session):
+    first = rd.from_arrow(pa.table({"id": [1, 2, 3], "f": [1, 1, 1]}))
+    second = rd.from_arrow(pa.table({"ref_id": [1, 2]}))
+    td = {"first_table_column": "id", "second_table_column": "ref_id",
+          "second_table_full_name": "refs", "condition": "f = 1"}
+    suite = ExpectationSuite("q2t").add(
+        "expect_queried_column_values_to_exist_in_second_table_column",
+        template_dict=td)
+    r = validate(first, suite, other_tables={"refs": second}).results[0]
+    assert not r.success  # id=3 missing
+    assert r.result["observed_value"] == 1
+    second_full = rd.from_arrow(pa.table({"ref_id": [1, 2, 3]}))
+    r = validate(first, suite, other_tables={"refs": second_full}).results[0]
+    assert r.success
