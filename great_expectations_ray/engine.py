@@ -139,6 +139,8 @@ VALUE_COUNT_TYPES = {
     "expect_column_to_have_no_months_missing",
     "expect_column_distribution_to_match_benfords_law",
     "expect_column_wasserstein_distance_to_be_less_than",
+    "expect_day_count_to_be_close_to_equivalent_week_day_mean",
+    "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
 }
 
 # per-block cap on distinct unexpected values tracked for value_counts output
@@ -197,9 +199,9 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
                     plan.count_columns.add(c)
             elif t in VALUE_COUNT_TYPES:
                 plan.vc_rules.append((idx, cfg))
-                # days/months-missing always run their own bounded
-                # distinct-dates pass — don't build VC partials for them
-                if not t.endswith("_missing"):
+                # days/months-missing and the weekday-mean rules always run
+                # their own bounded pass — don't build VC partials for them
+                if not t.endswith(("_missing", "_week_day_mean")):
                     plan.vc_columns.add(cfg.kwargs["column"])
                 plan.count_columns.add(cfg.kwargs["column"])
             elif t in AGG_EXPECTATIONS:
@@ -1139,6 +1141,8 @@ def _finish_vc_rule(
             "expect_column_to_have_no_months_missing",
             "expect_column_distribution_to_match_benfords_law",
             "expect_column_wasserstein_distance_to_be_less_than",
+            "expect_day_count_to_be_close_to_equivalent_week_day_mean",
+            "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
         ):
             return _finish_contrib_aggregate(ds, cfg, merged, overflow=True)
         # distinct-set style rules: fully distributed verdict — no driver
@@ -1241,6 +1245,8 @@ def _finish_vc_rule(
         "expect_column_to_have_no_months_missing",
         "expect_column_distribution_to_match_benfords_law",
         "expect_column_wasserstein_distance_to_be_less_than",
+        "expect_day_count_to_be_close_to_equivalent_week_day_mean",
+        "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
     ):
         return _finish_contrib_aggregate(ds, cfg, merged, overflow=False)
     raise NotImplementedError(t)
@@ -1296,6 +1302,28 @@ def _finish_contrib_aggregate(
             set(vc.counts), cfg.kwargs.get("datetime_format")
         )
         return evr(ok, {"observed_value": f"Missing values {missing[:200]}"})
+
+    if t in ("expect_day_count_to_be_close_to_equivalent_week_day_mean",
+             "expect_day_sum_to_be_close_to_equivalent_week_day_mean"):
+        from datetime import datetime as _dt
+        from datetime import timedelta as _td
+
+        run_date = cfg.kwargs["run_date"]
+        threshold = float(cfg.kwargs.get("threshold", 0.25))
+        rd_ = _dt.strptime(run_date, "%Y-%m-%d")
+        wanted = [(
+            rd_ - _td(days=i)).strftime("%Y-%m-%d") for i in CA.FOUR_PREVIOUS_WEEKS
+        ] + [run_date]
+        if t.startswith("expect_day_sum"):
+            # domain column = the summed column; date_column names the
+            # grouping date (contrib template {date_column}/{summed_column})
+            sum_col = cfg.kwargs.get("summed_column", col)
+            date_col = cfg.kwargs.get("date_column", col)
+        else:
+            sum_col, date_col = None, col
+        vals = CA.day_values(ds, date_col, wanted, sum_col)
+        v = CA.weekday_mean_verdict(run_date, vals, threshold)
+        return evr(v["success"], v["result"])
 
     if t in ("expect_column_to_have_no_days_missing",
              "expect_column_to_have_no_months_missing"):

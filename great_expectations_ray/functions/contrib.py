@@ -487,6 +487,97 @@ def _not_outliers(tbl: pa.Table, kwargs: dict) -> KernelResult:
     return KernelResult(meets, valid, c, nulls)
 
 
+def _months_diff(tbl: pa.Table, start: str, end: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(diff_months, diff_days_abs, either_null) vectorized off Arrow
+    year/month/day kernels: diff = (y2-y1)*12 + (m2-m1)."""
+    s = pc.cast(tbl.column(start).combine_chunks(), pa.timestamp("us"))
+    e = pc.cast(tbl.column(end).combine_chunks(), pa.timestamp("us"))
+    null = ~(_bool_np(pc.is_valid(s)) & _bool_np(pc.is_valid(e)))
+
+    def part(c, f):
+        return np.asarray(pc.fill_null(getattr(pc, f)(c), 0), dtype=np.int64)
+
+    dm = (part(e, "year") - part(s, "year")) * 12 + (part(e, "month") - part(s, "month"))
+    dd = np.abs(part(e, "day") - part(s, "day"))
+    return dm, dd, null
+
+
+@register_condition("expect_multicolumn_datetime_difference_in_months")
+def _dt_diff_in_months(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """gap == calendar-month diff of (start, end), or within ``threshold``
+    (expect_multicolumn_datetime_difference_in_months.py:34-43; a null in
+    any of the three inputs is unexpected — the contrib returns None)."""
+    start, end, gap = kwargs["start_datetime"], kwargs["end_datetime"], kwargs["gap"]
+    thr = float(kwargs.get("threshold", 0))
+    dm, _, null = _months_diff(tbl, start, end)
+    g = np.asarray(pc.fill_null(
+        pc.cast(tbl.column(gap).combine_chunks(), pa.float64()), np.nan))
+    with np.errstate(invalid="ignore"):
+        meets = (g == dm) | (np.abs(g - dm) <= thr)
+    meets = np.nan_to_num(meets.astype(float), nan=0).astype(bool) & ~null
+    return KernelResult(
+        meets, np.ones(tbl.num_rows, dtype=bool),
+        _row_join(tbl, [start, end, gap]), 0,
+    )
+
+
+@register_condition("expect_multicolumn_datetime_difference_to_be_less_than_two_months")
+def _dt_diff_lt_two_months(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """|month diff| < 2, or == 2 with equal day-of-month; null rows pass
+    (expect_multicolumn_datetime_difference_to_be_less_than_two_months.py:36-46)."""
+    start, end = kwargs["start_datetime"], kwargs["end_datetime"]
+    dm, dd, null = _months_diff(tbl, start, end)
+    meets = (np.abs(dm) < 2) | ((np.abs(dm) == 2) & (dd <= 0))
+    meets |= null  # contrib: null start/end -> True
+    return KernelResult(
+        meets, np.ones(tbl.num_rows, dtype=bool),
+        _row_join(tbl, [start, end]), 0,
+    )
+
+
+@register_condition("expect_column_values_to_follow_rule")
+def _follow_rule(tbl: pa.Table, kwargs: dict) -> KernelResult:
+    """Slice the string value by the rule's named ``ranges`` and evaluate the
+    rule's boolean ``expr`` over the slices
+    (expect_column_values_to_follow_rule.py:35-64 — the expr is TRUSTED
+    suite config, compiled once per batch exactly as the contrib execs it
+    per row).  Non-string columns raise TypeError, mirrored."""
+    rule = kwargs["rule"]
+    if not rule.get("ranges"):
+        raise ValueError("Ranges must contain at least 1 variable!")
+    names = []
+    for name, rnge in rule["ranges"].items():
+        if not rnge[0] < rnge[1]:
+            raise ValueError(
+                "Unexpected range. Ensure that the second number in your "
+                "range is larger than the first."
+            )
+        names.append(name)
+    col, valid, nulls = _nonnull_domain(tbl, kwargs)
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        raise TypeError(
+            "Column values must be strings in order to use "
+            "'expect_column_values_to_follow_rule'"
+        )
+    func = eval("lambda " + ",".join(names) + ": " + rule["expr"])  # noqa: S307
+    s = pc.cast(col, pa.large_string()).combine_chunks()
+    cache: dict[str, bool] = {}
+
+    def ok(v) -> bool:
+        if v is None:
+            return False  # outside the non-null map domain anyway
+        hit = cache.get(v)
+        if hit is None:
+            hit = bool(func(**{
+                name: str(v[r[0]: r[1]]) for name, r in rule["ranges"].items()
+            }))
+            cache[v] = hit
+        return hit
+
+    meets = np.fromiter((ok(v) for v in s.to_pylist()), dtype=bool, count=len(s))
+    return KernelResult(meets, valid, s, nulls)
+
+
 @register_condition("expect_column_pair_values_to_have_difference_of_custom_percentage")
 def _pair_pct_difference(tbl: pa.Table, kwargs: dict) -> KernelResult:
     """|A - B| <= |A * percentage|

@@ -278,6 +278,74 @@ def benford_verdict(counts: np.ndarray, total: float) -> dict:
 
 
 # --------------------------------------------------------------------------- #
+# day count / sum vs equivalent-weekday mean
+# --------------------------------------------------------------------------- #
+
+FOUR_PREVIOUS_WEEKS = [7, 14, 21, 28]
+
+
+def day_values(ds, date_col: str, wanted_dates: list[str],
+               sum_col: str | None = None) -> dict:
+    """{date_str: count-or-sum} for exactly the wanted dates — the map side
+    filters to the 5 relevant dates BEFORE the driver sees anything, so the
+    result is O(5) regardless of table size or date span
+    (expect_day_{count,sum}_to_be_close_to_equivalent_week_day_mean.py
+    group-by-Date metrics)."""
+    wanted = pa.array(wanted_dates)
+
+    def per_batch(tbl: pa.Table) -> pa.Table:
+        col = tbl.column(date_col).combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        vals = None
+        if sum_col is not None:
+            vals = tbl.column(sum_col).combine_chunks().filter(
+                pc.is_valid(tbl.column(date_col).combine_chunks())
+            )
+        if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+            d = pc.cast(pc.cast(col, pa.date32()), pa.string())
+        else:
+            d = pc.utf8_slice_codeunits(pc.cast(col, pa.large_string()), 0, 10)
+            d = pc.cast(d, pa.string())
+        m = pc.is_in(d, value_set=wanted)
+        d = d.filter(m)
+        if sum_col is None:
+            t_ = pa.table({"d": d}).group_by(["d"]).aggregate([([], "count_all")])
+            return pa.table({"d": t_.column("d"),
+                             "v": pc.cast(t_.column("count_all"), pa.float64())})
+        v = pc.cast(vals.filter(m), pa.float64())
+        t_ = pa.table({"d": d, "v": v}).group_by(["d"]).aggregate([("v", "sum")])
+        return pa.table({"d": t_.column("d"), "v": t_.column("v_sum")})
+
+    cols = [date_col] if sum_col is None else sorted({date_col, sum_col})
+    out = ds.select_columns(cols).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    acc: dict = {w: 0.0 for w in wanted_dates}
+    for b in out.iter_batches(batch_format="pyarrow"):
+        for d, v in zip(b.column("d").to_pylist(), b.column("v").to_pylist()):
+            acc[d] = acc.get(d, 0.0) + float(v)
+    return acc
+
+
+def weekday_mean_verdict(run_date: str, day_vals: dict, threshold: float) -> dict:
+    """diff = (|run_value - avg_of_prior_equivalent_weekdays| + 1)/(avg + 1);
+    success iff diff <= threshold (the +1s are the contrib's zero-average
+    guard — expect_day_count_...py:281-300)."""
+    run_v = day_vals[run_date]
+    prev = [v for d, v in day_vals.items() if d != run_date]
+    avg = sum(prev) / len(prev) if prev else 0.0
+    diff = (abs(run_v - avg) + 1.0) / (avg + 1.0)
+    ok = diff <= threshold
+    msg = (
+        f"The diff between the run date value ({run_v:g}) and the "
+        f"equivalent-weekday average ({avg:g}) is {diff:.0%} "
+        f"({'below' if ok else 'above'} the {threshold:.0%} threshold)"
+    )
+    return {"success": ok,
+            "result": {"observed_value": diff, "details": msg}}
+
+
+# --------------------------------------------------------------------------- #
 # simple paired chi-square (observed column vs expected column)
 # --------------------------------------------------------------------------- #
 

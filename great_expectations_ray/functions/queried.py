@@ -37,6 +37,7 @@ QUERIED_TYPES = {
     "expect_queried_column_to_be_unique_with_condition",
     "expect_queried_column_pair_values_to_have_diff",
     "expect_queried_column_values_to_exist_in_second_table_column",
+    "expect_column_values_to_be_present_in_other_table",
 }
 
 
@@ -209,6 +210,27 @@ def evaluate_queried_rule(con, cfg, asset: str, register_other=None) -> tuple[bo
         return n_missing == 0, {
             "Rows with IDs in first table missing in second table": n_missing,
             "observed_value": n_missing,
+        }
+
+    if t == "expect_column_values_to_be_present_in_other_table":
+        # expect_column_values_to_be_present_in_other_table.py:72-78,274-289
+        if register_other is None:
+            raise ValueError(
+                "pass other_tables={name: Dataset} to validate() for "
+                "cross-table queried rules"
+            )
+        fk = td.get("foreign_key_column") or k["foreign_key_column"]
+        ftab = td.get("foreign_table") or k["foreign_table"]
+        fkey = td.get("foreign_table_key_column") or k["foreign_table_key_column"]
+        rows = q(
+            "SELECT a.{fk} FROM {batch} a LEFT JOIN {ftab} b"
+            " ON a.{fk} = b.{fkey} WHERE b.{fkey} IS NULL",
+            fk=fk, ftab=register_other(ftab), fkey=fkey,
+        )
+        n = len(rows)
+        return n == 0, {
+            "observed_value": f"{n} missing value{'s' if n != 1 else ''}.",
+            "unexpected_index_list": [r[0] for r in rows[:200]],
         }
 
     raise NotImplementedError(t)

@@ -763,3 +763,91 @@ def test_queried_exist_in_second_table(ray_session):
     second_full = rd.from_arrow(pa.table({"ref_id": [1, 2, 3]}))
     r = validate(first, suite, other_tables={"refs": second_full}).results[0]
     assert r.success
+
+
+# --------------------------------------------------------------------------- #
+# batch 5: day-vs-weekday-mean, datetime diffs, follow_rule, present-in-other
+# --------------------------------------------------------------------------- #
+
+
+def test_day_count_weekday_mean(ray_session):
+    # run date 2024-03-01 (Fri); equivalent Fridays: 02-23, 02-16, 02-09, 02-02
+    days = (["2024-03-01"] * 3 + ["2024-02-23"] * 3 + ["2024-02-16"] * 3
+            + ["2024-02-09"] * 3 + ["2024-02-02"] * 3 + ["2024-01-15"] * 50)
+    ds = rd.from_arrow(pa.table({"d": days}))
+    suite = ExpectationSuite("dc").add(
+        "expect_day_count_to_be_close_to_equivalent_week_day_mean",
+        column="d", run_date="2024-03-01", threshold=0.25)
+    r = validate(ds, suite).results[0]
+    assert r.success, r.to_json_dict()  # 3 vs avg 3 -> diff (0+1)/(3+1)=0.25
+    bad = rd.from_arrow(pa.table({"d": ["2024-03-01"] * 10 + ["2024-02-23"] * 3}))
+    r = validate(bad, ExpectationSuite("dc2").add(
+        "expect_day_count_to_be_close_to_equivalent_week_day_mean",
+        column="d", run_date="2024-03-01", threshold=0.25)).results[0]
+    assert not r.success
+
+
+def test_day_sum_weekday_mean(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "d": ["2024-03-01", "2024-02-23", "2024-02-16", "2024-02-09", "2024-02-02"],
+        "amt": [10.0, 10.0, 10.0, 10.0, 10.0],
+    }))
+    r = validate(ds, ExpectationSuite("dsm").add(
+        "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
+        column="amt", date_column="d", run_date="2024-03-01",
+        threshold=0.25)).results[0]
+    assert r.success, r.to_json_dict()  # 10 vs avg 10 -> (0+1)/(10+1) ~ 0.09
+
+
+def test_multicolumn_datetime_difference_in_months(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "s": ["2024-01-15", "2024-01-15", "2024-01-15", None],
+        "e": ["2024-04-10", "2024-06-01", "2024-04-10", "2024-04-10"],
+        "g": [3, 3, 2, 3],
+    }))
+    suite = ExpectationSuite("dtm").add(
+        "expect_multicolumn_datetime_difference_in_months",
+        start_datetime="s", end_datetime="e", gap="g", threshold=0)
+    r = validate(ds, suite).results[0]
+    # row1 gap==3 ok; row2 diff=5 bad; row3 gap=2 vs 3 bad; row4 null bad
+    assert r.result["unexpected_count"] == 3
+    suite = ExpectationSuite("dtm2").add(
+        "expect_multicolumn_datetime_difference_in_months",
+        start_datetime="s", end_datetime="e", gap="g", threshold=1)
+    r = validate(ds, suite).results[0]
+    assert r.result["unexpected_count"] == 2  # threshold 1 rescues row3
+
+
+def test_multicolumn_datetime_difference_lt_two_months(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "s": ["2024-01-15", "2024-01-15", "2024-01-15", None],
+        "e": ["2024-02-20", "2024-03-15", "2024-03-20", "2024-09-01"],
+    }))
+    r = validate(ds, ExpectationSuite("dt2").add(
+        "expect_multicolumn_datetime_difference_to_be_less_than_two_months",
+        start_datetime="s", end_datetime="e")).results[0]
+    # row1 1 month ok; row2 exactly 2 months same day ok; row3 2mo +5d bad;
+    # row4 null -> True (contrib)
+    assert r.result["unexpected_count"] == 1
+
+
+def test_follow_rule(ray_session):
+    rule = {"ranges": {"a": [0, 2], "b": [2, 4]}, "expr": "int(a) < int(b)"}
+    r = _run(["1299", "9912", "0105", None],
+             "expect_column_values_to_follow_rule", rule=rule)
+    assert r.result["unexpected_count"] == 1  # 9912: 99 < 12 false
+
+
+def test_present_in_other_table(ray_session):
+    first = rd.from_arrow(pa.table({"fk": [1, 2, 5]}))
+    other = rd.from_arrow(pa.table({"pk": [1, 2, 3]}))
+    suite = ExpectationSuite("pio").add(
+        "expect_column_values_to_be_present_in_other_table",
+        template_dict={"foreign_key_column": "fk", "foreign_table": "dim",
+                       "foreign_table_key_column": "pk"})
+    r = validate(first, suite, other_tables={"dim": other}).results[0]
+    assert not r.success
+    assert r.result["unexpected_index_list"] == [5]
+    ok = validate(rd.from_arrow(pa.table({"fk": [1, 2]})), suite,
+                  other_tables={"dim": other}).results[0]
+    assert ok.success
