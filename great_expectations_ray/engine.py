@@ -130,9 +130,12 @@ VALUE_COUNT_TYPES = {
     # contrib port (expect_column_discrete_entropy_to_be_between.py:42-48):
     # Shannon entropy of the value distribution in the given base
     "expect_column_discrete_entropy_to_be_between",
-    # contrib aggregate ports batch 3 (functions/contrib_aggregates.py):
-    # exact from the shared VC partials; dedicated distributed path on
-    # VC overflow — see each finish branch
+}
+
+#: contrib aggregate ports (functions/contrib_aggregates.py): exact from the
+#: shared VC partials; dedicated distributed path on VC overflow — the ONE
+#: list referenced by compile routing and both _finish_vc_rule dispatches
+CONTRIB_AGG_VC_TYPES = frozenset({
     "expect_column_percentile_value_to_be_above",
     "expect_column_distinct_values_to_be_continuous",
     "expect_column_to_have_no_days_missing",
@@ -141,7 +144,8 @@ VALUE_COUNT_TYPES = {
     "expect_column_wasserstein_distance_to_be_less_than",
     "expect_day_count_to_be_close_to_equivalent_week_day_mean",
     "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
-}
+})
+VALUE_COUNT_TYPES |= CONTRIB_AGG_VC_TYPES
 
 # per-block cap on distinct unexpected values tracked for value_counts output
 _BLOCK_VC_CAP = 1000
@@ -255,6 +259,40 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
         except Exception as exc:  # compile-time config errors -> failed EVR
             plan.errors.append((idx, cfg, f"{type(exc).__name__}: {exc}"))
     return plan
+
+
+def _stream_into_duckdb(con, ds, tname: str, *, synthesize_empty: bool = False) -> int:
+    """Stream a Dataset batch-by-batch into one DuckDB table (the documented
+    global-SQL materialization; DuckDB spills past its memory limit).
+    Returns the row count.  ``synthesize_empty`` creates a typed empty table
+    from the dataset schema when no batches arrive."""
+    total_rows = 0
+    first = True
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+        total_rows += batch.num_rows
+        con.register("__gxr_chunk", batch)
+        if first:
+            con.execute(f"CREATE TABLE {tname} AS SELECT * FROM __gxr_chunk")
+            first = False
+        else:
+            con.execute(f"INSERT INTO {tname} SELECT * FROM __gxr_chunk")
+        con.unregister("__gxr_chunk")
+    if first:
+        if not synthesize_empty:
+            raise ValueError(f"dataset for {tname} is empty")
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None) if schema else None
+        if base is None:
+            raise ValueError(
+                "empty dataset with unknown schema: global SQL "
+                "cannot be evaluated"
+            )
+        con.register(
+            "__gxr_chunk", pa.table({f.name: pa.array([], f.type) for f in base})
+        )
+        con.execute(f"CREATE TABLE {tname} AS SELECT * FROM __gxr_chunk")
+        con.unregister("__gxr_chunk")
+    return total_rows
 
 
 def _queried_types() -> set:
@@ -733,6 +771,7 @@ def validate(
     # ---- two-phase rules (z-score) ----------------------------------------- #
     if plan.two_phase_rules:
         phase2_rules = []
+        phase2_origs = []  # (idx, ORIGINAL cfg) only for rules that passed phase 1
         for idx, cfg in plan.two_phase_rules:
             err = col_error(("agg", cfg.kwargs["column"]))
             if err:
@@ -747,7 +786,7 @@ def validate(
                 and cfg.kwargs.get("method", "iqr") == "iqr"
             ):
                 from great_expectations_ray.functions.contrib_aggregates import (
-                    percentile_linear_distributed,
+                    percentile_linear_distributed_multi,
                     percentile_linear_from_vc,
                 )
 
@@ -755,9 +794,10 @@ def validate(
                 vc = merged["vcs"].get(col, ValueCountsState())
                 if vc.overflow:
                     _, nn = merged["counts"].get(col, (0, 0))
-                    q25 = percentile_linear_distributed(ds, col, 0.25, nn)
-                    q50 = percentile_linear_distributed(ds, col, 0.50, nn)
-                    q75 = percentile_linear_distributed(ds, col, 0.75, nn)
+                    # one vectorized rank-select pair for all three quantiles
+                    q25, q50, q75 = percentile_linear_distributed_multi(
+                        ds, col, [0.25, 0.50, 0.75], nn
+                    )
                 else:
                     q25 = percentile_linear_from_vc(vc, 0.25)
                     q50 = percentile_linear_from_vc(vc, 0.50)
@@ -765,6 +805,7 @@ def validate(
                 k["_median"] = q50
                 k["_iqr"] = (q75 - q25) if q75 is not None else None
             phase2_rules.append((idx, ExpectationConfiguration(cfg.expectation_type, k, cfg.meta)))
+            phase2_origs.append((idx, cfg))
         evaluator2 = _PartialEvaluator(
             phase2_rules, set(), set(), set(), unexpected_index_column_names
         )
@@ -772,7 +813,9 @@ def validate(
             evaluator2, batch_format="pyarrow", zero_copy_batch=True
         ).take_all()
         merged2 = _merge_partials([r["partial"] for r in partial_rows])
-        for idx, cfg in plan.two_phase_rules:
+        # iterate only the rules that entered phase 2 — a rule whose phase-1
+        # column check failed must keep its failure EVR
+        for idx, cfg in phase2_origs:
             if idx in merged2["errors"]:
                 fail_evr(idx, cfg, merged2["errors"][idx])
                 continue
@@ -920,7 +963,7 @@ def validate(
                     table_checksum,
                 )
 
-                ignore = set(cfg.kwargs.get("ignore_columns") or ())
+                ignore = cfg.kwargs.get("ignore_columns")
                 self_ck = table_checksum(ds, ignore)
                 other_ck = table_checksum(other_tables[name], ignore)
                 ok = self_ck == other_ck
@@ -981,33 +1024,8 @@ def validate(
 
         con = duckdb.connect()
         try:
-            total_rows = 0
-            first = True
-            for batch in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-                total_rows += batch.num_rows
-                con.register("__gxr_chunk", batch)
-                if first:
-                    con.execute(
-                        "CREATE TABLE __gxr_asset AS SELECT * FROM __gxr_chunk"
-                    )
-                    first = False
-                else:
-                    con.execute("INSERT INTO __gxr_asset SELECT * FROM __gxr_chunk")
-                con.unregister("__gxr_chunk")
-            if first:  # empty dataset: synthesize an empty table if we can
-                schema = ds.schema()
-                base = getattr(schema, "base_schema", None) if schema else None
-                if base is None:
-                    raise ValueError(
-                        "empty dataset with unknown schema: global SQL "
-                        "cannot be evaluated"
-                    )
-                con.register(
-                    "__gxr_chunk",
-                    pa.table({f.name: pa.array([], f.type) for f in base}),
-                )
-                con.execute("CREATE TABLE __gxr_asset AS SELECT * FROM __gxr_chunk")
-                con.unregister("__gxr_chunk")
+            total_rows = _stream_into_duckdb(con, ds, "__gxr_asset",
+                                             synthesize_empty=True)
             for idx, cfg in plan.global_sql_rules:
                 try:
                     sql = cfg.kwargs["unexpected_sql"].replace(
@@ -1045,23 +1063,8 @@ def validate(
                         f"other_tables[{name!r}] must be passed to validate()"
                     )
                 tname = f"__gxr_other_{len(_registered_other)}"
-                first_chunk = True
-                for chunk in other_tables[name].iter_batches(
-                    batch_format="pyarrow", batch_size=65536
-                ):
-                    con.register("__gxr_chunk", chunk)
-                    if first_chunk:
-                        con.execute(
-                            f"CREATE TABLE {tname} AS SELECT * FROM __gxr_chunk"
-                        )
-                        first_chunk = False
-                    else:
-                        con.execute(
-                            f"INSERT INTO {tname} SELECT * FROM __gxr_chunk"
-                        )
-                    con.unregister("__gxr_chunk")
-                if first_chunk:
-                    raise ValueError(f"other table {name!r} is empty")
+                _stream_into_duckdb(con, other_tables[name], tname,
+                                    synthesize_empty=True)
                 _registered_other[name] = tname
                 return tname
 
@@ -1134,16 +1137,7 @@ def _finish_vc_rule(
             # only per-value counts, which reduce through one bucketed
             # exchange to O(buckets) driver rows
             return _finish_entropy_distributed(ds, cfg)
-        if t in (
-            "expect_column_percentile_value_to_be_above",
-            "expect_column_distinct_values_to_be_continuous",
-            "expect_column_to_have_no_days_missing",
-            "expect_column_to_have_no_months_missing",
-            "expect_column_distribution_to_match_benfords_law",
-            "expect_column_wasserstein_distance_to_be_less_than",
-            "expect_day_count_to_be_close_to_equivalent_week_day_mean",
-            "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
-        ):
+        if t in CONTRIB_AGG_VC_TYPES:
             return _finish_contrib_aggregate(ds, cfg, merged, overflow=True)
         # distinct-set style rules: fully distributed verdict — no driver
         # collection of the grouped keys (reference semantics of
@@ -1238,16 +1232,7 @@ def _finish_vc_rule(
             cfg.kwargs.get("strict_min", False), cfg.kwargs.get("strict_max", False),
         )
         return evr(ok, {"observed_value": h})
-    if t in (
-        "expect_column_percentile_value_to_be_above",
-        "expect_column_distinct_values_to_be_continuous",
-        "expect_column_to_have_no_days_missing",
-        "expect_column_to_have_no_months_missing",
-        "expect_column_distribution_to_match_benfords_law",
-        "expect_column_wasserstein_distance_to_be_less_than",
-        "expect_day_count_to_be_close_to_equivalent_week_day_mean",
-        "expect_day_sum_to_be_close_to_equivalent_week_day_mean",
-    ):
+    if t in CONTRIB_AGG_VC_TYPES:
         return _finish_contrib_aggregate(ds, cfg, merged, overflow=False)
     raise NotImplementedError(t)
 
@@ -1310,9 +1295,13 @@ def _finish_contrib_aggregate(
 
         run_date = cfg.kwargs["run_date"]
         threshold = float(cfg.kwargs.get("threshold", 0.25))
+        # weeks_back success key (expect_day_sum...py:192-194): equivalent
+        # weekdays are 7*i days back for i in 1..weeks_back (default 4)
+        weeks_back = int(cfg.kwargs.get("weeks_back", 4))
         rd_ = _dt.strptime(run_date, "%Y-%m-%d")
-        wanted = [(
-            rd_ - _td(days=i)).strftime("%Y-%m-%d") for i in CA.FOUR_PREVIOUS_WEEKS
+        wanted = [
+            (rd_ - _td(days=7 * i)).strftime("%Y-%m-%d")
+            for i in range(1, weeks_back + 1)
         ] + [run_date]
         if t.startswith("expect_day_sum"):
             # domain column = the summed column; date_column names the

@@ -58,19 +58,28 @@ def percentile_linear_from_vc(vc, q: float):
     return float(v_lo + (x - lo_t) * (v_hi - v_lo))
 
 
-def percentile_linear_distributed(ds, column: str, q: float, n: int):
-    """Same value at any cardinality: rank-select the two neighbouring order
-    statistics (functions/quantiles.py binary search), interpolate."""
+def percentile_linear_distributed_multi(ds, column: str, qs: list, n: int) -> list:
+    """Linear-interpolated percentiles at any cardinality: TWO vectorized
+    rank selections total (functions/quantiles.py binary-searches all ranks
+    simultaneously), not two per quantile."""
     from great_expectations_ray.functions.quantiles import (
         exact_quantiles_distributed,
     )
 
     if n == 0:
-        return None
-    (v_lo,) = exact_quantiles_distributed(ds, column, [q], interpolation="lower")
-    (v_hi,) = exact_quantiles_distributed(ds, column, [q], interpolation="higher")
-    x = q * (n - 1)
-    return float(v_lo + (x - math.floor(x)) * (v_hi - v_lo))
+        return [None] * len(qs)
+    lows = exact_quantiles_distributed(ds, column, qs, interpolation="lower")
+    highs = exact_quantiles_distributed(ds, column, qs, interpolation="higher")
+    out = []
+    for q, v_lo, v_hi in zip(qs, lows, highs):
+        x = q * (n - 1)
+        out.append(float(v_lo + (x - math.floor(x)) * (v_hi - v_lo)))
+    return out
+
+
+def percentile_linear_distributed(ds, column: str, q: float, n: int):
+    """Single-quantile convenience wrapper over the vectorized path."""
+    return percentile_linear_distributed_multi(ds, column, [q], n)[0]
 
 
 # --------------------------------------------------------------------------- #
@@ -388,7 +397,7 @@ def chisquare_simple(ds, observed_col: str, expected_col: str) -> dict:
 # --------------------------------------------------------------------------- #
 
 
-def table_checksum(ds, ignore_columns: set | None = None) -> int:
+def table_checksum(ds, ignore_columns: str | set | list | None = None) -> int:
     """Order-independent whole-table checksum: per-row hash of the
     string-joined (non-ignored, name-sorted) columns, summed mod 2^64 —
     the distributed analog of the contrib's
@@ -397,7 +406,13 @@ def table_checksum(ds, ignore_columns: set | None = None) -> int:
     each batch contributes one uint64 partial, no shuffle."""
     from great_expectations_ray.functions.bucketed import poly_hash_strings
 
-    ignore = set(ignore_columns or ())
+    # contrib contract passes ignore_columns as a comma-separated STRING
+    # ("columnone, columntwo" — expect_table_checksum...py examples); lists
+    # and sets are also accepted
+    if isinstance(ignore_columns, str):
+        ignore = {c.strip() for c in ignore_columns.split(",") if c.strip()}
+    else:
+        ignore = set(ignore_columns or ())
 
     def per_batch(tbl: pa.Table) -> pa.Table:
         cols = sorted(c for c in tbl.column_names if c not in ignore)

@@ -263,7 +263,8 @@ def distributed_ks_2samp(ds, column_a: str, column_b: str) -> dict:
                              "lo": pa.array([], pa.float64()),
                              "hi": pa.array([], pa.float64()),
                              "mx": pa.array([], pa.float64()),
-                             "mn": pa.array([], pa.float64())})
+                             "mn": pa.array([], pa.float64()),
+                             "last_d": pa.array([], pa.float64())})
         v = np.asarray(tbl.column("v"))
         ia = np.cumsum(w == 0)
         ib = np.cumsum(w == 1)

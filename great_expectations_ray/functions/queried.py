@@ -176,16 +176,18 @@ def evaluate_queried_rule(con, cfg, asset: str, register_other=None) -> tuple[bo
         return False, {"observed_value": [list(r) for r in rows[:10]]}
 
     if t == "expect_queried_column_pair_values_to_have_diff":
-        # mostly-fraction of rows where |A - B| == diff
-        # (expect_queried_column_pair_values_to_have_diff.py:27-81)
-        rows = q(
-            "SELECT {column_A} - {column_B} AS diff FROM {batch}",
-            column_A=k["column_A"], column_B=k["column_B"],
-        )
+        # mostly-fraction of rows where |A - B| == diff, folded to ONE scalar
+        # inside DuckDB — per-row rows never reach the driver
+        # (expect_queried_column_pair_values_to_have_diff.py:27-81; a null
+        # diff counts against the fraction, as in the contrib's sum/len)
         diff, mostly = k["diff"], k.get("mostly", 1.0)
-        if not rows:
+        frac = q(
+            "SELECT AVG(CASE WHEN ABS({column_A} - {column_B}) = {diff}"
+            " THEN 1.0 ELSE 0.0 END) FROM {batch}",
+            column_A=k["column_A"], column_B=k["column_B"], diff=float(diff),
+        )[0][0]
+        if frac is None:  # empty asset
             return True, {"observed_value": []}
-        frac = sum(abs(r[0]) == diff for r in rows if r[0] is not None) / len(rows)
         return frac >= mostly, {"observed_value": frac}
 
     if t == "expect_queried_column_values_to_exist_in_second_table_column":

@@ -851,3 +851,40 @@ def test_present_in_other_table(ray_session):
     ok = validate(rd.from_arrow(pa.table({"fk": [1, 2]})), suite,
                   other_tables={"dim": other}).results[0]
     assert ok.success
+
+
+# --------------------------------------------------------------------------- #
+# review regression tests (round-3 session-2 findings)
+# --------------------------------------------------------------------------- #
+
+
+def test_two_phase_phase1_error_is_not_overwritten(ray_session):
+    # a two-phase rule whose phase-1 agg fails (string column) must surface
+    # the failure, not a vacuous empty-map success
+    r = _run(["x", "y"], "expect_column_values_to_not_be_outliers",
+             method="iqr", multiplier=1.5)
+    assert not r.success
+    assert (r.exception_info or {}).get("raised_exception")
+
+
+def test_table_checksum_ignore_columns_comma_string(ray_session):
+    # contrib contract: ignore_columns is a comma-separated string
+    t1 = pa.table({"id": [1, 2], "v": ["a", "b"]})
+    t3 = pa.table({"id": [9, 8], "v": ["a", "b"]})
+    suite = ExpectationSuite("cks").add(
+        "expect_table_checksum_to_equal_other_table", other_table_name="o",
+        ignore_columns="id")
+    r = validate(rd.from_arrow(t1), suite,
+                 other_tables={"o": rd.from_arrow(t3)}).results[0]
+    assert r.success, r.to_json_dict()
+
+
+def test_day_count_weeks_back(ray_session):
+    # weeks_back=2: only 7/14 days back count; 21/28-day dates absent is fine
+    days = ["2024-03-01"] * 3 + ["2024-02-23"] * 3 + ["2024-02-16"] * 3
+    ds = rd.from_arrow(pa.table({"d": days}))
+    r = validate(ds, ExpectationSuite("wb").add(
+        "expect_day_count_to_be_close_to_equivalent_week_day_mean",
+        column="d", run_date="2024-03-01", threshold=0.25,
+        weeks_back=2)).results[0]
+    assert r.success, r.to_json_dict()
