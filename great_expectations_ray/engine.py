@@ -111,6 +111,12 @@ PAIRED_STAT_TYPES = {
 
 STUB_TYPES: set = set()  # (r1 had the two KS stubs; none remain)
 
+#: map rules that FAIL (not vacuous-pass) on an empty table — contrib
+#: expect_column_values_to_not_be_null_and_column_to_not_be_empty.py:320-321
+FAIL_ON_EMPTY_TYPES = {
+    "expect_column_values_to_not_be_null_and_column_to_not_be_empty",
+}
+
 #: map-style rules whose condition is a GLOBAL property -> phase W
 UNIQUE_TYPES = {
     "expect_column_values_to_be_unique",
@@ -680,7 +686,11 @@ def validate(
                    include_nonnull: bool = True) -> None:
         nonnull = ps.element_count - ps.null_count
         if ps.element_count == 0 or nonnull == 0:
-            success = True  # vacuous (expectation.py:2027-2040)
+            # vacuous (expectation.py:2027-2040) — except the contrib
+            # not_be_null_and_column_to_not_be_empty, whose _validate fails
+            # on total_count in (None, 0) (contrib .../expect_column_values_
+            # to_not_be_null_and_column_to_not_be_empty.py:320-321).
+            success = cfg.expectation_type not in FAIL_ON_EMPTY_TYPES
         else:
             success = mostly_success(nonnull, ps.unexpected_count, cfg.kwargs.get("mostly", 1.0))
         evrs[idx] = ExpectationValidationResult(

@@ -94,6 +94,7 @@ register_condition("expect_column_values_to_be_valid_scientific_notation")(
 )
 
 
+@register_condition("expect_column_values_not_to_be_future_date")  # ref module name
 @register_condition("expect_column_values_to_not_be_future_date")
 def _not_future_date(tbl: pa.Table, kwargs: dict) -> KernelResult:
     """Strings parse with dateutil; a value strictly after today is
@@ -201,6 +202,7 @@ def _foreign_keys_exist(tbl: pa.Table, kwargs: dict) -> KernelResult:
     return KernelResult(meets, valid, arr, nulls)
 
 
+@register_condition("expect_multicolumn_values_not_to_be_all_null")  # ref module name
 @register_condition("expect_multicolumn_values_to_not_be_all_null")
 def _not_all_null(tbl: pa.Table, kwargs: dict) -> KernelResult:
     """Row passes iff ANY of ``column_list`` is non-null
@@ -432,6 +434,12 @@ register_condition("expect_column_values_to_be_valid_json")(
 )
 register_condition("expect_column_values_to_be_in_set_spark_optimized")(
     _K["expect_column_values_to_be_in_set"]
+)
+# Same per-row condition as not_be_null; the empty-table flip to FAILURE
+# (contrib ..._and_column_to_not_be_empty.py:320-321) lives in
+# engine.FAIL_ON_EMPTY_TYPES — kernels only see non-empty batches.
+register_condition("expect_column_values_to_not_be_null_and_column_to_not_be_empty")(
+    _K["expect_column_values_to_not_be_null"]
 )
 
 

@@ -888,3 +888,29 @@ def test_day_count_weeks_back(ray_session):
         column="d", run_date="2024-03-01", threshold=0.25,
         weeks_back=2)).results[0]
     assert r.success, r.to_json_dict()
+
+
+def test_not_null_and_not_empty(ray_session):
+    # non-empty, no nulls -> pass (contrib example "not_null_values")
+    ok = _run(["test", "foo", "for", "bar", "boo"],
+              "expect_column_values_to_not_be_null_and_column_to_not_be_empty")
+    assert ok.success
+
+    # has a null -> fail, null value is the unexpected one
+    r = _run(["test", "foo", None],
+             "expect_column_values_to_not_be_null_and_column_to_not_be_empty")
+    assert not r.success
+    assert r.result["unexpected_count"] == 1
+
+    # EMPTY column -> fail (the delta vs expect_column_values_to_not_be_null,
+    # which is vacuous-true on empty tables)
+    empty = rd.from_arrow(pa.table({"c": pa.array([], type=pa.string())}))
+    suite = ExpectationSuite("ct").add(
+        "expect_column_values_to_not_be_null_and_column_to_not_be_empty",
+        column="c")
+    r_empty = validate(empty, suite).results[0]
+    assert not r_empty.success
+    # ... while the plain not_be_null stays vacuous-true on the same input
+    base = validate(empty, ExpectationSuite("ct2").add(
+        "expect_column_values_to_not_be_null", column="c")).results[0]
+    assert base.success
