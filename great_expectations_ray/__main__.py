@@ -122,6 +122,14 @@ def cmd_profile(args) -> int:
             suite = suggest_suite(profs, name=args.suite_name)
             with open(args.suggest_suite, "w") as f:
                 f.write(suite.to_json())
+        if args.html:
+            from great_expectations_ray.pipelines.data_docs import (
+                render_profiling_page,
+            )
+
+            with open(args.html, "w") as f:
+                f.write(render_profiling_page(
+                    profs, title=f"Profiling: {args.input}"))
     finally:
         _maybe_shutdown(owned)
     return 0
@@ -174,6 +182,7 @@ def main(argv=None) -> int:
     pr = sub.add_parser("profile", help="profile a table; optionally suggest a suite")
     pr.add_argument("--input", required=True)
     pr.add_argument("--suggest-suite", help="write suggested suite JSON here")
+    pr.add_argument("--html", help="write a profiling-results HTML page here")
     pr.add_argument("--suite-name", default="profiled")
     pr.add_argument("--cpus", type=int, default=None)
     pr.set_defaults(fn=cmd_profile)

@@ -219,10 +219,20 @@ def compile_suite(suite: ExpectationSuite) -> _CompiledSuite:
                 plan.agg_columns.add(cfg.kwargs["column"])
             elif t in ORDERED_TYPES:
                 if "partition_by" not in cfg.kwargs or "order_by" not in cfg.kwargs:
-                    raise ValueError(
-                        f"{t} on Ray requires explicit partition_by/order_by kwargs "
-                        "(blocks are unordered; see SURVEY §7)"
-                    )
+                    # plain increasing/decreasing fall back to the GLOBAL
+                    # dataset-order check (reference pandas semantics,
+                    # column_values_increasing.py:20-43) — per-block Ray
+                    # tasks + driver boundary stitch, functions/ordered.py
+                    # global_monotonic.  Contrib ordered ports still require
+                    # explicit keys (their contracts are per-entity).
+                    if t not in (
+                        "expect_column_values_to_be_increasing",
+                        "expect_column_values_to_be_decreasing",
+                    ) or ("partition_by" in cfg.kwargs or "order_by" in cfg.kwargs):
+                        raise ValueError(
+                            f"{t} on Ray requires explicit partition_by/order_by "
+                            "kwargs (blocks are unordered; see SURVEY §7)"
+                        )
                 plan.ordered_rules.append((idx, cfg))
             elif t in DIST_TYPES:
                 plan.dist_rules.append((idx, cfg))
@@ -902,6 +912,24 @@ def validate(
                     strictly=cfg.kwargs.get("strictly", False),
                 )
             else:
+                out = None
+                if "partition_by" not in cfg.kwargs:
+                    # global dataset-order check (reference pandas semantics)
+                    from great_expectations_ray.functions.ordered import (
+                        global_monotonic,
+                    )
+
+                    n, nulls, viol, sample = global_monotonic(
+                        ds, cfg.kwargs["column"],
+                        strictly=cfg.kwargs.get("strictly", False),
+                        decreasing=t.endswith("decreasing"),
+                    )
+                    ps = MapPartialState(
+                        element_count=n + nulls, null_count=nulls,
+                        unexpected_count=viol, unexpected_values=list(sample),
+                    )
+                    finish_map(idx, cfg, ps)
+                    continue
                 out = grouped_monotonic(
                     ds,
                     cfg.kwargs["column"],

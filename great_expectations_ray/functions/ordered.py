@@ -165,3 +165,104 @@ def grouped_ordered_rule(
     return grouped_apply_bucketed(
         ds.select_columns(needed), [partition_by], check_bucket
     )
+
+
+# --------------------------------------------------------------------------- #
+# global (no partition_by) monotonicity — reference pandas semantics
+# --------------------------------------------------------------------------- #
+
+
+def global_monotonic(
+    ds,
+    column: str,
+    *,
+    strictly: bool = False,
+    decreasing: bool = False,
+    sample_cap: int = 20,
+):
+    """Whole-dataset-order monotonicity, the reference's pandas semantics
+    (``column_values_increasing.py:20-43``: ``series.diff()`` over the
+    batch's physical row order, nulls dropped first, first value vacuously
+    conforming) — without requiring ``partition_by``/``order_by``.
+
+    Shape: ``select_columns([column])`` prunes to the ONE needed column
+    before materializing, so only that column's bytes land in the object
+    store; per-block summaries ``(first, last, within-block violations)``
+    run as parallel Ray tasks (vectorized ``np.diff``); the driver stitches
+    block boundaries in block order — O(#blocks) driver work, no shuffle.
+    Raw Ray tasks are used because the Dataset API has no ordered
+    block-index primitive (an ordered zip); block order of a read dataset
+    follows file/fragment order, which is the only global order a
+    distributed Parquet corpus has.
+
+    Returns ``(element_count, null_count, violations, sample_values)``
+    where ``element_count`` counts non-null values considered.
+    """
+    import ray
+
+    import pyarrow as pa
+
+    mat = ds.select_columns([column]).materialize()
+    try:
+        bundles = list(mat.iter_internal_ref_bundles())
+        block_refs = [ref for b in bundles for ref in b.block_refs]
+    except AttributeError:  # older Ray
+        block_refs = mat.get_internal_block_refs()
+
+    @ray.remote
+    def summarize(block) -> dict:
+        tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        col = tbl.column(column)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        import pyarrow.compute as pc
+
+        valid = arr.drop_null()
+        nulls = len(arr) - len(valid)
+        if pa.types.is_string(valid.type) or pa.types.is_large_string(valid.type):
+            raise TypeError(
+                f"{column} is a string column; increasing/decreasing needs a "
+                "numeric/temporal column (cast or parse upstream)"
+            )
+        vals = np.asarray(valid)  # timestamps -> datetime64, diffs compare fine
+        n = len(vals)
+        if n <= 1:
+            return {"n": n, "nulls": nulls, "viol": 0, "sample": [],
+                    "first": vals[0] if n else None,
+                    "last": vals[-1] if n else None}
+        d = np.diff(vals)
+        zero = d - d  # typed zero (works for timedelta64 and numbers)
+        if decreasing:
+            bad = (d >= zero) if strictly else (d > zero)
+        else:
+            bad = (d <= zero) if strictly else (d < zero)
+        sample = vals[1:][bad][:sample_cap]
+        return {"n": n, "nulls": nulls, "viol": int(bad.sum()),
+                "sample": [v.item() if hasattr(v, "item") else v for v in sample],
+                "first": vals[0], "last": vals[-1]}
+
+    summaries = ray.get([summarize.remote(r) for r in block_refs])
+
+    element_count = null_count = violations = 0
+    sample: list = []
+    prev_last = None
+    for s in summaries:
+        element_count += s["n"]
+        null_count += s["nulls"]
+        violations += s["viol"]
+        if len(sample) < sample_cap:
+            sample.extend(s["sample"][: sample_cap - len(sample)])
+        if s["n"] == 0:
+            continue  # all-null block: boundary carries across it
+        if prev_last is not None:
+            first = s["first"]
+            if decreasing:
+                bad = first >= prev_last if strictly else first > prev_last
+            else:
+                bad = first <= prev_last if strictly else first < prev_last
+            if bad:
+                violations += 1
+                if len(sample) < sample_cap:
+                    v = first
+                    sample.append(v.item() if hasattr(v, "item") else v)
+        prev_last = s["last"]
+    return element_count, null_count, violations, sample

@@ -214,6 +214,31 @@ def _evr_rows(results: list[dict]) -> str:
     )
 
 
+def _evr_sections(results: list[dict]) -> str:
+    """Group EVRs into per-column sections, table-level first — the
+    reference's ``_group_evrs_by_column`` layout
+    (render/renderer/page_renderer.py:156-179, "Table-Level Expectations"
+    ordering at :236-239).  Column name comes from the config's ``column``
+    kwarg (``column_A/column_B`` and ``column_list`` land in table-level,
+    matching the reference's single-column grouping rule)."""
+    TABLE = "Table-Level Expectations"
+    sections: dict[str, list[dict]] = {}
+    for evr in results:
+        cfg = evr.get("expectation_config") or {}
+        col = (cfg.get("kwargs") or {}).get("column") or TABLE
+        sections.setdefault(str(col), []).append(evr)
+    ordered = ([TABLE] if TABLE in sections else []) + sorted(
+        k for k in sections if k != TABLE
+    )
+    if len(ordered) <= 1 and TABLE in sections:
+        # nothing but table-level rules: a single flat table reads better
+        return _evr_rows(results)
+    return "".join(
+        f"<h3>{_esc(name)}</h3>" + _evr_rows(sections[name])
+        for name in ordered
+    )
+
+
 def render_validation_page(payload: dict, *, title: str = "Validation result") -> str:
     """HTML page for one stored validation result.  Accepts both shapes:
     a ``SuiteValidationResult.to_json_dict()`` (has ``results``) and a
@@ -237,7 +262,7 @@ def render_validation_page(payload: dict, *, title: str = "Validation result") -
             f"({round(stats.get('success_percent') or 0, 2)}%)</p>"
         )
     if payload.get("results"):
-        parts.append(_evr_rows(payload["results"]))
+        parts.append(_evr_sections(payload["results"]))
     for grp in payload.get("rollup", []):
         keys = {k: v for k, v in grp.items()
                 if k not in ("results", "statistics", "row_count",
@@ -280,6 +305,68 @@ def render_suite_page(suite_dict: dict) -> str:
         + "".join(rows)
         + "</table></body></html>"
     )
+
+
+def render_profiling_page(
+    profiles: dict, *, title: str = "Profiling results"
+) -> str:
+    """Descriptive page over profiler output — the reference's
+    ProfilingResultsPageRenderer (render/renderer/page_renderer.py:875) +
+    ProfilingResultsColumnSectionRenderer (column_section_renderer.py:61)
+    essentials: a table overview, then one section per column with type,
+    missing %, distinct count, numeric stats / string length range, and a
+    value-set bar chart when the profile kept exact value counts.
+
+    ``profiles`` is ``profiler.profile()`` output: name -> ColumnProfile
+    (or an already-serialized ``to_json_dict()`` mapping)."""
+    cols = []
+    for name, prof in profiles.items():
+        d = prof if isinstance(prof, dict) else prof.to_json_dict()
+        cols.append((str(name), d))
+    cols.sort(key=lambda kv: kv[0])
+    row_count = max((d.get("row_count", 0) for _, d in cols), default=0)
+
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body>"
+        f"<h1>{_esc(title)}</h1>"
+        f"<p>rows=<code>{row_count}</code> "
+        f"columns=<code>{len(cols)}</code></p>"
+    ]
+    for name, d in cols:
+        rows = d.get("row_count", 0)
+        nulls = d.get("null_count", 0)
+        missing_pct = round(100.0 * nulls / rows, 2) if rows else 0.0
+        facts = [
+            f"type=<code>{_esc(d.get('dtype'))}</code>",
+            f"missing={missing_pct}% ({nulls})",
+            f"distinct&approx;{_esc(d.get('distinct_estimate'))}",
+        ]
+        if "mean" in d:
+            facts.append(
+                f"min=<code>{_esc(d.get('min'))}</code> "
+                f"max=<code>{_esc(d.get('max'))}</code> "
+                f"mean=<code>{_esc(round(d['mean'], 6))}</code> "
+                f"stdev=<code>{_esc(round(d.get('stdev', 0.0), 6))}</code>"
+            )
+        if "len_min" in d:
+            facts.append(
+                f"value lengths <code>[{_esc(d['len_min'])}, "
+                f"{_esc(d['len_max'])}]</code>"
+            )
+        parts.append(f"<h3>{_esc(name)}</h3><p>" + " | ".join(facts) + "</p>")
+        vs = d.get("value_set")
+        if vs:
+            parts.append(_render_histogram_block(
+                {"details": {"observed_partition": {
+                    "values": [str(v) for v in vs],
+                    # profile keeps the set, not per-value counts: render
+                    # presence bars (the reference's example-values list)
+                    "weights": [1.0] * len(vs),
+                }}}
+            ).replace("Observed distribution", "Distinct values"))
+    parts.append("</body></html>")
+    return "".join(parts)
 
 
 def build_site(root: str, site_dir: Optional[str] = None) -> str:

@@ -44,12 +44,23 @@ def test_increasing_grouped(ordered_ds):
     assert r2.result["unexpected_count"] == 8 - 2  # non-decreasing steps
 
 
-def test_ordered_requires_keys(ordered_ds):
-    suite = ExpectationSuite("bad").add(
+def test_ordered_keyless_runs_global(ordered_ds):
+    # keyless increasing now runs the GLOBAL dataset-order check (pandas
+    # series.diff() parity): rows [1,2,3,4,5, 1,3,2,5,4, 9] have 3
+    # descending steps (5->1, 3->2, 5->4) regardless of block splits
+    suite = ExpectationSuite("glob").add(
         "expect_column_values_to_be_increasing", column="v"
     )
     r = validate(ordered_ds, suite).results[0]
-    assert not r.success and r.exception_info["raised_exception"]
+    assert not r.success
+    assert r.exception_info is None or not r.exception_info.get("raised_exception")
+    assert r.result["unexpected_count"] == 3
+    # HALF-specified keys stay a config error
+    bad = ExpectationSuite("bad").add(
+        "expect_column_values_to_be_increasing", column="v", partition_by="g"
+    )
+    rb = validate(ordered_ds, bad).results[0]
+    assert not rb.success and rb.exception_info["raised_exception"]
 
 
 @pytest.fixture(scope="module")
@@ -390,3 +401,59 @@ def test_increasing_counts_null_partition_keys(ray_session):
     assert null_row["n_violations"] == 1  # 5.0 -> 3.0 within the null group
     a_row = out[out["k"] == "a"].iloc[0]
     assert a_row["n_violations"] == 0
+
+
+def test_increasing_global_no_partition(ray_session):
+    """#21/#22 without partition_by/order_by: the GLOBAL dataset-order check
+    (functions/ordered.py global_monotonic — per-block Ray tasks + driver
+    boundary stitch), matching GX's pandas series.diff() semantics."""
+    import ray.data as rd
+
+    # 3 blocks; within-block violation at 7->3 (block 2), boundary violation
+    # at block1-last=9 -> block2-first=7
+    t = pa.table({"v": [1, 2, 5, 8, 9, 7, 3, 10, 11, 12]})
+    ds = rd.from_arrow(t).repartition(3)
+    suite = ExpectationSuite("gm").add(
+        "expect_column_values_to_be_increasing", column="v")
+    r = validate(ds, suite).results[0]
+    assert r.result["element_count"] == 10
+    assert r.result["unexpected_count"] == 2
+    assert not r.success
+    assert set(r.result["partial_unexpected_list"]) == {7, 3}
+
+    # nulls dropped (reference filter_column_isnull), boundary carries
+    # ACROSS an all-null block; non-strict allows equality
+    t2 = pa.table({"v": [1.0, 2.0, None, None, 2.0, 3.0]})
+    r2 = validate(rd.from_arrow(t2).repartition(3),
+                  ExpectationSuite("gm2").add(
+                      "expect_column_values_to_be_increasing", column="v")
+                  ).results[0]
+    assert r2.success, r2.to_json_dict()
+    assert r2.result["missing_count"] == 2
+
+    # strictly decreasing, mostly: 1 equality violation out of 4 diffs
+    t3 = pa.table({"v": [9, 7, 7, 5, 1]})
+    r3 = validate(rd.from_arrow(t3).repartition(2),
+                  ExpectationSuite("gm3").add(
+                      "expect_column_values_to_be_decreasing", column="v",
+                      strictly=True, mostly=0.7)).results[0]
+    assert r3.result["unexpected_count"] == 1
+    assert r3.success  # 4/5 = 0.8 >= 0.7
+
+    # timestamps work (datetime64 diff path)
+    import datetime as _dt
+    ts = [_dt.datetime(2024, 1, d) for d in (1, 2, 3, 2, 5)]
+    r4 = validate(rd.from_arrow(pa.table({"v": ts})).repartition(2),
+                  ExpectationSuite("gm4").add(
+                      "expect_column_values_to_be_increasing", column="v")
+                  ).results[0]
+    assert r4.result["unexpected_count"] == 1 and not r4.success
+
+    # order_by WITHOUT partition_by: half-specified keys -> failed EVR
+    # (compile-time config error), not a silent global fallback
+    r5 = validate(ds, ExpectationSuite("gm5").add(
+        "expect_column_values_to_be_increasing", column="v",
+        order_by="v")).results[0]
+    assert not r5.success
+    assert "partition_by" in (r5.exception_info or {}).get(
+        "exception_message", "")

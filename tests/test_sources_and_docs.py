@@ -429,3 +429,52 @@ def test_partition_files_by_regex(ray_session, tmp_path):
     # custom regex with one group
     custom = partition_files_by_regex(paths, r"data_(\d{4})")
     assert set(custom) == {("2023",)}
+
+
+def test_render_column_sections_and_profiling_page(tmp_path):
+    """Column-grouped sections (page_renderer.py:156-179 layout) and the
+    profiling page (ProfilingResultsPageRenderer essentials)."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+    from great_expectations_ray.pipelines.data_docs import (
+        render_profiling_page,
+        render_validation_page,
+    )
+    from great_expectations_ray.pipelines.profiler import profile
+
+    ds = rd.from_items(
+        [{"x": float(i % 10), "s": f"v{i % 3}", "n": i} for i in range(60)]
+    )
+    suite = (
+        ExpectationSuite("sections")
+        .add("expect_table_row_count_to_be_between", min_value=1, max_value=100)
+        .add("expect_column_values_to_be_between", column="x",
+             min_value=0, max_value=9)
+        .add("expect_column_values_to_be_in_set", column="s",
+             value_set=["v0", "v1", "v2"])
+    )
+    body = render_validation_page(validate(ds, suite).to_json_dict(), title="t")
+    # table-level section leads; one section per referenced column, sorted
+    assert "<h3>Table-Level Expectations</h3>" in body
+    assert "<h3>s</h3>" in body and "<h3>x</h3>" in body
+    assert body.index("Table-Level Expectations") < body.index("<h3>s</h3>") \
+        < body.index("<h3>x</h3>")
+
+    # a table-rules-only payload renders flat (no pointless single section)
+    flat = render_validation_page(
+        validate(ds, ExpectationSuite("t").add(
+            "expect_table_row_count_to_equal", value=60)).to_json_dict(),
+        title="flat")
+    assert "<h3>" not in flat
+
+    # profiling page: overview, per-column facts, value-set bars
+    profs = profile(ds)
+    page = render_profiling_page(profs, title="prof")
+    assert "columns=<code>3</code>" in page
+    assert "<h3>x</h3>" in page and "<h3>s</h3>" in page and "<h3>n</h3>" in page
+    assert "missing=0.0% (0)" in page
+    assert "mean=" in page and "stdev=" in page          # numeric facts
+    assert "value lengths" in page                        # string facts
+    assert "Distinct values" in page and "histbar" in page  # value-set bars
+    assert "v0" in page and "v2" in page
