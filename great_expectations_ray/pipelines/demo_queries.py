@@ -2910,6 +2910,25 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_dsir_docs(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (stages/dsir.py; Xie et al. 2023):
+    target = lang == 'en' docs, raw = all docs, k = n//4 Gumbel-top-k.
+    Deterministic end-to-end (crc32 hashes, 6dp-rounded logw), so the oracle
+    is an independent per-doc fixture (tools/gen_oracle_fixtures.py)."""
+    from great_expectations_ray.stages.dsir import dsir_select
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n = ds.count()
+    target = ds.filter(expr="lang == 'en'")
+    out = dsir_select(ds, k=max(1, n // 4), column="text", id_col="doc_id",
+                      target_ds=target, raw_ds=ds, concurrency=(1, 2))
+    rows = out.select_columns(["doc_id", "dsir_logw", "selected"]).take_all()
+    df = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame({"doc_id": df["doc_id"],
+                         "logw": df["dsir_logw"].round(6),
+                         "selected": df["selected"]})
+
+
 # --------------------------------------------------------------------------- #
 # registry
 # --------------------------------------------------------------------------- #
@@ -2991,6 +3010,7 @@ QUERIES = {
     # rows-only (no SQL oracle):
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
+    "dsir_docs": q_dsir_docs,
     "bpe_token_stats_docs": q_bpe_token_stats_docs,
     "minhash_verified_docs": q_minhash_verified_docs,
     "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
@@ -3110,6 +3130,8 @@ ORACLE_SQL.update({
         "perplexity_docs", "doc_id, perplexity", _FP_DOCS, "doc_id"),
     "lm_trained_ppl_docs": _fixture_sql(
         "lm_trained_ppl_docs", "doc_id, perplexity", _FP_DOCS, "doc_id"),
+    "dsir_docs": _fixture_sql(
+        "dsir_docs", "doc_id, logw, selected", _FP_DOCS, "doc_id"),
     "minhash_neardup_docs": _fixture_sql(
         "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "cc_cluster_docs": _fixture_sql(
@@ -3420,13 +3442,24 @@ def q_langid_methods_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
-    """Per-doc perplexity by both LMs: the broadcast character-bigram model
-    and the distributed-trained model (bit-identical to the driver trainer)."""
+    """Per-doc LM-based data-selection scores, all methods: the broadcast
+    character-bigram perplexity, the distributed-trained LM perplexity
+    (bit-identical to the driver trainer), and DSIR importance log-weights
+    ('dsir' rows carry logw; 'dsir_sel' rows carry the Gumbel-top-k selection
+    flag as 0/1)."""
     b = _run_part("perplexity_docs", sf_dir)
     t = _run_part("lm_trained_ppl_docs", sf_dir)
+    d = _run_part("dsir_docs", sf_dir)
     b.insert(0, "method", "broadcast")
     t.insert(0, "method", "trained")
-    out = pd.concat([b, t], ignore_index=True)
+    frames = [
+        b, t,
+        pd.DataFrame({"method": "dsir", "doc_id": d["doc_id"],
+                      "perplexity": d["logw"]}),
+        pd.DataFrame({"method": "dsir_sel", "doc_id": d["doc_id"],
+                      "perplexity": d["selected"].astype(np.float64)}),
+    ]
+    out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
 
 
@@ -3520,7 +3553,10 @@ SQL_LANGID_METHODS_DOCS = _union_sql(
 )
 SQL_PERPLEXITY_METHODS_DOCS = _union_sql(
     [("'broadcast' AS method", "doc_id, perplexity", "perplexity_docs"),
-     ("'trained'", "doc_id, perplexity", "lm_trained_ppl_docs")],
+     ("'trained'", "doc_id, perplexity", "lm_trained_ppl_docs"),
+     ("'dsir'", "doc_id, logw AS perplexity", "dsir_docs"),
+     ("'dsir_sel'", "doc_id, CAST(selected AS DOUBLE) AS perplexity",
+      "dsir_docs")],
     "method, doc_id",
 )
 SQL_URLOPS_DOCS = _union_sql(

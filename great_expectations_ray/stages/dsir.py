@@ -1,0 +1,198 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+distribution looks like a target corpus.
+
+Three distributed pieces, each a standard Ray Data shape:
+
+1. **Feature counting** (``fit_hashed_bag``): one streaming pass per corpus
+   -> per-batch SPARSE ``(bucket, cnt)`` partials (map-side pre-aggregation
+   bounds the exchange at ``<= D`` rows per batch) -> ONE bucketed
+   ``groupby`` merge -> a dense ``D``-float vector on the driver.  ``D`` is
+   16384 buckets ~= 128 KB — trivially broadcastable.  This is the same
+   sparse-partials/one-exchange shape as
+   ``perplexity.distributed_train_char_lm``.
+2. **Importance weighting** (``DsirWeigher``): the log-ratio vector rides
+   ``ray.put`` and is fetched ONCE per actor in ``__init__``; each batch
+   computes ``logw(doc) = sum_f c_f * (log p_f - log q_f)`` with numpy
+   (``np.unique`` per doc over crc32-hashed unigram+bigram buckets, then a
+   dot against the broadcast vector).
+3. **Resampling** (``dsir_select``): Gumbel-top-k over ``logw`` with
+   DETERMINISTIC per-doc Gumbel noise (crc32-seeded uniform -> the job is
+   reproducible and oracle-checkable).  Selection threshold = k-th largest
+   key, found from per-block top-k candidates (each block ships at most
+   ``k`` keys; the driver merges ``#blocks x k`` floats — the ANN top-k
+   shape, no global sort).
+
+At 100 TB: two count passes (the target side is normally tiny), one tiny
+exchange each, a 128 KB broadcast, and a candidates-only threshold pass —
+no all-to-all over document bytes anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from zlib import crc32
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: hashed feature dimensionality (buckets) — DSIR's default ballpark
+D = 16384
+
+#: wordish tokenizer (lowercased); bigrams are adjacent token pairs
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def hashed_feature_counts(text: str) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted sparse (buckets, counts) of hashed unigram+bigram features of
+    one document.  crc32 is the bucket hash: deterministic across runs and
+    processes (Python's ``hash`` is salted)."""
+    toks = TOKEN_RE.findall(text.lower())
+    if not toks:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    feats = [crc32(t.encode()) % D for t in toks]
+    feats.extend(
+        crc32((toks[i] + " " + toks[i + 1]).encode()) % D
+        for i in range(len(toks) - 1)
+    )
+    return np.unique(np.asarray(feats, dtype=np.int64), return_counts=True)
+
+
+class _FeatureCounter:
+    """map_batches callable: batch -> sparse (cell, cnt) partials."""
+
+    def __init__(self, column: str):
+        self.column = column
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        col = tbl.column(self.column)
+        texts = pc.fill_null(col, "").to_pylist()
+        agg: dict[int, int] = {}
+        for t in texts:
+            b, c = hashed_feature_counts(t)
+            for bi, ci in zip(b.tolist(), c.tolist()):
+                agg[bi] = agg.get(bi, 0) + ci
+        if not agg:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        cells = np.fromiter(agg.keys(), dtype=np.int64, count=len(agg))
+        cnts = np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
+        order = np.argsort(cells, kind="stable")
+        return pa.table({"cell": pa.array(cells[order]),
+                         "cnt": pa.array(cnts[order])})
+
+
+def fit_hashed_bag(ds, *, column: str = "text", add_k: float = 0.01) -> np.ndarray:
+    """One pass over ``ds[column]`` -> dense log-prob vector (float64[D])
+    of the smoothed hashed-n-gram bag model."""
+    import pandas as _pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    partials = ds.select_columns([column]).map_batches(
+        _FeatureCounter(column), batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+        return g.groupby("cell", sort=False)["cnt"].sum().reset_index()
+
+    rows = grouped_apply_bucketed(partials, ["cell"], merge).take_all()
+    counts = np.zeros(D, dtype=np.float64)
+    for r in rows:
+        counts[r["cell"]] = r["cnt"]
+    sm = counts + add_k
+    return np.log(sm / sm.sum())
+
+
+class DsirWeigher:
+    """Actor-pool stage: adds ``dsir_logw`` per row.  The log-ratio vector
+    (``log p_target - log q_raw``) is fetched from the object store ONCE per
+    actor here in ``__init__`` — never re-shipped per batch."""
+
+    def __init__(self, log_ratio_ref, column: str = "text"):
+        import ray
+
+        self.log_ratio = (
+            ray.get(log_ratio_ref)
+            if not isinstance(log_ratio_ref, np.ndarray) else log_ratio_ref
+        )
+        self.column = column
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        col = tbl.column(self.column)
+        texts = pc.fill_null(col, "").to_pylist()
+        out = np.empty(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
+            b, c = hashed_feature_counts(t)
+            # buckets ascending (np.unique) -> summation order is fixed, so
+            # the value is reproducible for the fixture oracle
+            out[i] = float(np.dot(c.astype(np.float64), self.log_ratio[b]))
+        return tbl.append_column("dsir_logw", pa.array(out))
+
+
+def gumbel_keys(doc_ids: np.ndarray, logw: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic Gumbel-top-k sampling keys: ``logw + G`` where ``G``
+    comes from a crc32-derived uniform per (seed, doc_id) — reproducible
+    resampling (the paper samples without replacement via Gumbel noise)."""
+    u = np.array(
+        [crc32(f"{seed}:{d}".encode()) for d in doc_ids.tolist()],
+        dtype=np.float64,
+    )
+    u = (u + 1.0) / 4294967297.0  # (0, 1)
+    return logw - np.log(-np.log(u))
+
+
+def dsir_select(ds, *, k: int, column: str = "text", id_col: str = "doc_id",
+                target_ds=None, raw_ds=None, seed: int = 0,
+                log_ratio: np.ndarray | None = None,
+                concurrency=(1, 8), batch_size: int = 1024):
+    """Full DSIR pass: fit target/raw bag models (unless a precomputed
+    ``log_ratio`` is given), weigh every doc, and flag the Gumbel-top-k
+    sample.  Returns the dataset with ``dsir_logw``, ``dsir_key`` and
+    ``selected`` columns."""
+    import ray
+
+    if log_ratio is None:
+        log_p = fit_hashed_bag(target_ds, column=column)
+        log_q = fit_hashed_bag(raw_ds if raw_ds is not None else ds, column=column)
+        log_ratio = log_p - log_q
+    ref = ray.put(log_ratio)
+
+    weighted = ds.map_batches(
+        DsirWeigher, fn_constructor_kwargs={"log_ratio_ref": ref, "column": column},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+    )
+
+    def add_key(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl.column(id_col))
+        # logw enters the key ROUNDED to 6dp (spec): kills last-bit
+        # accumulation-order noise so the selected set is bit-reproducible
+        lw = np.round(np.asarray(tbl.column("dsir_logw")), 6)
+        return tbl.append_column("dsir_key", pa.array(gumbel_keys(ids, lw, seed)))
+
+    keyed = weighted.map_batches(add_key, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # threshold = k-th largest key, from per-block top-k candidates only
+    def block_topk(tbl: pa.Table) -> pa.Table:
+        keys = np.asarray(tbl.column("dsir_key"))
+        if len(keys) > k:
+            keys = np.partition(keys, len(keys) - k)[-k:]
+        return pa.table({"cand": pa.array(keys)})
+
+    cands = keyed.map_batches(block_topk, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    cand = np.array([r["cand"] for r in cands], dtype=np.float64)
+    if len(cand) == 0:
+        thresh = np.inf
+    elif len(cand) <= k:
+        thresh = cand.min()
+    else:
+        thresh = np.partition(cand, len(cand) - k)[-k]
+
+    def mark(tbl: pa.Table) -> pa.Table:
+        keys = np.asarray(tbl.column("dsir_key"))
+        return tbl.append_column("selected", pa.array(keys >= thresh))
+
+    return keyed.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)

@@ -574,6 +574,75 @@ def fasttext_fixture(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------------------------- #
+# DSIR importance resampling — independent per-doc reimplementation.
+# Spec constants (stages/dsir.py): D buckets, lowercase [a-z0-9_]+ tokens,
+# crc32 bucket hash, unigrams+bigrams, add_k=0.01 smoothing, logw rounded to
+# 6dp before the crc32-seeded Gumbel key, k = n//4, target = lang == 'en'.
+# --------------------------------------------------------------------------- #
+
+DSIR_D = 16384
+DSIR_TOKEN = re.compile(r"[a-z0-9_]+")
+
+
+def _dsir_doc_counts(text: str) -> dict[int, int]:
+    from zlib import crc32 as _crc
+
+    toks = DSIR_TOKEN.findall((text or "").lower())
+    cnt: dict[int, int] = {}
+    for t in toks:
+        b = _crc(t.encode()) % DSIR_D
+        cnt[b] = cnt.get(b, 0) + 1
+    for i in range(len(toks) - 1):
+        b = _crc((toks[i] + " " + toks[i + 1]).encode()) % DSIR_D
+        cnt[b] = cnt.get(b, 0) + 1
+    return cnt
+
+
+def dsir_fixture(docs: pd.DataFrame, add_k: float = 0.01, seed: int = 0) -> pd.DataFrame:
+    from zlib import crc32 as _crc
+
+    docs = docs.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    per_doc = [_dsir_doc_counts(t) for t in docs["text"]]
+
+    def bag_log_probs(rows: list[dict[int, int]]) -> np.ndarray:
+        counts = np.zeros(DSIR_D, dtype=np.float64)
+        for c in rows:
+            for b, n in c.items():
+                counts[b] += n
+        sm = counts + add_k
+        return np.log(sm / sm.sum())
+
+    is_target = (docs["lang"] == "en").to_numpy()
+    log_p = bag_log_probs([c for c, t in zip(per_doc, is_target) if t])
+    log_q = bag_log_probs(per_doc)
+    ratio = log_p - log_q
+
+    logw = np.empty(len(docs), dtype=np.float64)
+    for i, c in enumerate(per_doc):
+        if not c:
+            logw[i] = 0.0
+            continue
+        bs = sorted(c)  # ascending buckets (summation-order spec)
+        cs = np.array([c[b] for b in bs], dtype=np.float64)
+        logw[i] = float(np.sum(cs * ratio[np.array(bs)]))
+    logw_r = np.round(logw, 6)
+
+    ids = docs["doc_id"].to_numpy()
+    u = np.array([_crc(f"{seed}:{d}".encode()) for d in ids.tolist()],
+                 dtype=np.float64)
+    u = (u + 1.0) / 4294967297.0
+    key = logw_r - np.log(-np.log(u))
+
+    k = max(1, len(docs) // 4)
+    thresh = np.sort(key)[-k]
+    return pd.DataFrame({
+        "doc_id": ids,
+        "logw": logw_r,
+        "selected": key >= thresh,
+    })
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -597,6 +666,7 @@ def main(sf_dirs: list[str]) -> None:
             ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
             ("ivf_ann_topk", ivf_ann_fixture(emb), fp_emb),
             ("fasttext_langid_docs", fasttext_fixture(docs), fp_docs),
+            ("dsir_docs", dsir_fixture(docs), fp_docs),
             ("semdedup_embeddings", semdedup_fixture(emb), fp_emb),
         ]:
             df.insert(0, "fp", np.int64(fp))
