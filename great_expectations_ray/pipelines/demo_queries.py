@@ -1269,6 +1269,29 @@ def q_cc_cluster_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cc_keep_best_docs(sf_dir: str) -> pd.DataFrame:
+    """Best-of-cluster retention over the transitive fuzzy-dedup clusters:
+    keep the LONGEST doc (n_chars; ties -> min doc_id) of each component
+    (stages/cc_cluster.py keep_best_in_cluster).  Oracle: pure SQL window
+    over the cc_cluster fixture joined to documents."""
+    from great_expectations_ray.stages.cc_cluster import (
+        cluster_near_duplicates,
+        keep_best_in_cluster,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    clustered = cluster_near_duplicates(ds, text_col="text", id_col="doc_id")
+    best = keep_best_in_cluster(
+        clustered, ds.select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id", score_col="n_chars",
+    )
+    rows = best.take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "keep": bool(r["keep"])} for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """SimHash hamming-band near-dup marking over documents."""
     from great_expectations_ray.stages.neardup import simhash_mark_duplicates
@@ -3017,6 +3040,7 @@ QUERIES = {
     "fingerprint_overlap_docs": q_fingerprint_overlap_docs,
     "minhash_neardup_docs": q_minhash_neardup_docs,
     "cc_cluster_docs": q_cc_cluster_docs,
+    "cc_keep_best_docs": q_cc_keep_best_docs,
     "simhash_neardup_docs": q_simhash_neardup_docs,
     "embedding_neardup": q_embedding_neardup,
     "lsh_ann_topk": q_lsh_ann_topk,
@@ -3136,6 +3160,15 @@ ORACLE_SQL.update({
         "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "cc_cluster_docs": _fixture_sql(
         "cc_cluster_docs", "doc_id, cluster", _FP_DOCS, "doc_id"),
+    # best-of-cluster retention: SQL window over the cc fixture x documents
+    "cc_keep_best_docs": (
+        "SELECT f.doc_id, (ROW_NUMBER() OVER ("
+        "PARTITION BY f.cluster ORDER BY d.n_chars DESC, f.doc_id ASC) = 1)"
+        " AS keep "
+        f"FROM read_parquet('{os.path.join(_FIXTURES, 'cc_cluster_docs.parquet')}') f "
+        "JOIN documents d USING (doc_id) "
+        f"WHERE f.fp = {_FP_DOCS} ORDER BY f.doc_id"
+    ),
     "simhash_neardup_docs": _fixture_sql(
         "simhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "embedding_neardup": _fixture_sql(
@@ -3387,17 +3420,24 @@ def q_neardup_docs(sf_dir: str) -> pd.DataFrame:
     hyperplane-LSH (vec_id reported as doc_id), and transitive
     connected-component clustering.  ``v`` carries each method's verdict:
     0/1 near-dup flag for the four markers, the CLUSTER ID (min doc id of
-    the component) for the clustering arm."""
+    the component) for the clustering arm, and the best-of-cluster KEEP
+    flag (longest member wins) for the retention arm."""
     frames = []
     for method, name in [("minhash", "minhash_neardup_docs"),
                          ("minhash_verified", "minhash_verified_docs"),
                          ("simhash", "simhash_neardup_docs"),
                          ("embedding", "embedding_neardup"),
-                         ("cc_cluster", "cc_cluster_docs")]:
+                         ("cc_cluster", "cc_cluster_docs"),
+                         ("cc_keep_best", "cc_keep_best_docs")]:
         f = _run_part(name, sf_dir)
         if "vec_id" in f.columns:
             f = f.rename(columns={"vec_id": "doc_id"})
-        v = f["cluster"] if method == "cc_cluster" else f["is_neardup"]
+        if method == "cc_cluster":
+            v = f["cluster"]
+        elif method == "cc_keep_best":
+            v = f["keep"]
+        else:
+            v = f["is_neardup"]
         frames.append(pd.DataFrame({
             "method": method,
             "doc_id": f["doc_id"],
@@ -3532,7 +3572,9 @@ SQL_NEARDUP_DOCS = _union_sql(
      ("'embedding'",
       "vec_id AS doc_id, CAST(is_neardup AS BIGINT) AS v", "embedding_neardup"),
      ("'cc_cluster'",
-      "doc_id, CAST(cluster AS BIGINT) AS v", "cc_cluster_docs")],
+      "doc_id, CAST(cluster AS BIGINT) AS v", "cc_cluster_docs"),
+     ("'cc_keep_best'",
+      "doc_id, CAST(keep AS BIGINT) AS v", "cc_keep_best_docs")],
     "method, doc_id",
 )
 SQL_FINGERPRINT_DOCS = _union_sql(

@@ -272,3 +272,54 @@ def cluster_near_duplicates(
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def keep_best_in_cluster(
+    clustered,
+    score_ds,
+    *,
+    id_col: str,
+    score_col: str,
+    n_buckets: int = 64,
+):
+    """Best-of-cluster retention: ``keep`` = True on the HIGHEST-``score_col``
+    doc of each cluster (ties -> min id) — the production alternative to
+    keep-first, where the retained representative is the best-quality member
+    (longest / highest quality score) rather than the lowest id.
+
+    Shape: one ``hash_bucket_join`` ships (id, cluster) against (id, score)
+    — both tiny verdict columns, never text — then ONE bucketed group on
+    ``cluster`` picks the argmax vectorized (sort + first-of-group, no
+    per-cluster Python).  Docs missing from ``score_ds`` rank below every
+    scored doc (score -inf), so a cluster keeps a scored member when it has
+    one."""
+    import pandas as _pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.joins import hash_bucket_join
+
+    sch = clustered.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
+    id_pd = id_type.to_pandas_dtype()
+
+    joined = hash_bucket_join(
+        clustered.select_columns([id_col, "cluster"]),
+        score_ds.select_columns([id_col, score_col]),
+        on=id_col, how="left", n_buckets=n_buckets,
+    )
+
+    def pick(g: _pd.DataFrame) -> _pd.DataFrame:
+        s = g[score_col].fillna(float("-inf"))
+        g = g.assign(**{score_col: s}).sort_values(
+            ["cluster", score_col, id_col],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        # the join's null padding may have floatified the int id/cluster
+        # columns — restore the source dtype on the way out
+        return _pd.DataFrame({
+            id_col: g[id_col].astype(id_pd),
+            "cluster": g["cluster"].astype(id_pd),
+            "keep": ~g["cluster"].duplicated().to_numpy(),
+        })
+
+    return grouped_apply_bucketed(joined, ["cluster"], pick)

@@ -112,3 +112,33 @@ def test_cluster_matches_union_find_on_emitted_edges(ray_session):
     # keep-one invariant
     keeps = [r for r in cluster_near_duplicates(ds, **kwargs).take_all() if r["keep"]]
     assert len(keeps) == len(set(expected.values()))
+
+
+def test_keep_best_in_cluster(ray_session):
+    """Best-of-cluster retention: keep the highest-score member per cluster
+    (ties -> min id); isolated docs keep themselves; docs missing from the
+    score table lose to any scored clustermate."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from great_expectations_ray.stages.cc_cluster import keep_best_in_cluster
+
+    clustered = rd.from_arrow(pa.table({
+        # clusters: {0,1,2} (min-id 0), {5,6} (min-id 5), {9} isolated
+        "doc_id": [0, 1, 2, 5, 6, 9],
+        "cluster": [0, 0, 0, 5, 5, 9],
+    })).repartition(3)
+    scores = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 5, 9],     # 6 has NO score -> ranks last
+        "score": [10, 99, 99, 1, 7],   # tie 1 vs 2 -> min id (1) wins
+    })).repartition(2)
+
+    out = keep_best_in_cluster(
+        clustered, scores, id_col="doc_id", score_col="score"
+    ).take_all()
+    kept = sorted(r["doc_id"] for r in out if r["keep"])
+    assert kept == [1, 5, 9]
+    assert len(out) == 6
+    # dtypes restored after the join's null padding
+    assert all(isinstance(r["doc_id"], int) for r in out)
