@@ -214,8 +214,6 @@ def global_monotonic(
         tbl = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
         col = tbl.column(column)
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        import pyarrow.compute as pc
-
         valid = arr.drop_null()
         nulls = len(arr) - len(valid)
         if pa.types.is_string(valid.type) or pa.types.is_large_string(valid.type):
