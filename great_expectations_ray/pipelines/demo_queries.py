@@ -1292,6 +1292,26 @@ def q_cc_keep_best_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ngram_jaccard_neardup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup marking: LSH-banded candidates, star
+    pairing per bucket, EXACT deduplicated k-gram Jaccard verify vs the
+    bucket representative (threshold 0.985 — prunes ~half the raw LSH
+    candidates on this corpus, so the verify step is exercised).  Oracle:
+    independent per-doc python-set fixture
+    (tools/gen_oracle_fixtures.py ngram_jaccard_fixture)."""
+    from great_expectations_ray.stages.neardup import ngram_jaccard_mark_duplicates
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_mark_duplicates(
+        ds, text_col="text", id_col="doc_id", threshold=0.985
+    )
+    rows = out.take_all()
+    df = pd.DataFrame([
+        {"doc_id": r["doc_id"], "is_neardup": bool(r["max(is_neardup)"])} for r in rows
+    ])
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_neardup_docs(sf_dir: str) -> pd.DataFrame:
     """SimHash hamming-band near-dup marking over documents."""
     from great_expectations_ray.stages.neardup import simhash_mark_duplicates
@@ -3039,6 +3059,7 @@ QUERIES = {
     "winnow_fingerprint_docs": q_winnow_fingerprint_docs,
     "fingerprint_overlap_docs": q_fingerprint_overlap_docs,
     "minhash_neardup_docs": q_minhash_neardup_docs,
+    "ngram_jaccard_neardup_docs": q_ngram_jaccard_neardup_docs,
     "cc_cluster_docs": q_cc_cluster_docs,
     "cc_keep_best_docs": q_cc_keep_best_docs,
     "simhash_neardup_docs": q_simhash_neardup_docs,
@@ -3158,6 +3179,8 @@ ORACLE_SQL.update({
         "dsir_docs", "doc_id, logw, selected", _FP_DOCS, "doc_id"),
     "minhash_neardup_docs": _fixture_sql(
         "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
+    "ngram_jaccard_neardup_docs": _fixture_sql(
+        "ngram_jaccard_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "cc_cluster_docs": _fixture_sql(
         "cc_cluster_docs", "doc_id, cluster", _FP_DOCS, "doc_id"),
     # best-of-cluster retention: SQL window over the cc fixture x documents
@@ -3415,16 +3438,18 @@ def q_ann_methods_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def q_neardup_docs(sf_dir: str) -> pd.DataFrame:
-    """Near-duplicate marking by all five methods: MinHash-LSH banded,
-    MinHash + signature-Jaccard verify, SimHash band-blocked, embedding
-    hyperplane-LSH (vec_id reported as doc_id), and transitive
-    connected-component clustering.  ``v`` carries each method's verdict:
-    0/1 near-dup flag for the four markers, the CLUSTER ID (min doc id of
-    the component) for the clustering arm, and the best-of-cluster KEEP
-    flag (longest member wins) for the retention arm."""
+    """Near-duplicate marking by every method: MinHash-LSH banded, MinHash
+    + signature-Jaccard verify, EXACT n-gram Jaccard verify (routed shingle
+    sets), SimHash band-blocked, embedding hyperplane-LSH (vec_id reported
+    as doc_id), and transitive connected-component clustering.  ``v``
+    carries each method's verdict: 0/1 near-dup flag for the five markers,
+    the CLUSTER ID (min doc id of the component) for the clustering arm,
+    and the best-of-cluster KEEP flag (longest member wins) for the
+    retention arm."""
     frames = []
     for method, name in [("minhash", "minhash_neardup_docs"),
                          ("minhash_verified", "minhash_verified_docs"),
+                         ("ngram_jaccard", "ngram_jaccard_neardup_docs"),
                          ("simhash", "simhash_neardup_docs"),
                          ("embedding", "embedding_neardup"),
                          ("cc_cluster", "cc_cluster_docs"),
@@ -3567,6 +3592,8 @@ SQL_NEARDUP_DOCS = _union_sql(
       "doc_id, CAST(is_neardup AS BIGINT) AS v", "minhash_neardup_docs"),
      ("'minhash_verified'",
       "doc_id, CAST(is_neardup AS BIGINT) AS v", "minhash_verified_docs"),
+     ("'ngram_jaccard'",
+      "doc_id, CAST(is_neardup AS BIGINT) AS v", "ngram_jaccard_neardup_docs"),
      ("'simhash'",
       "doc_id, CAST(is_neardup AS BIGINT) AS v", "simhash_neardup_docs"),
      ("'embedding'",

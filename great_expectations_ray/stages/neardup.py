@@ -340,6 +340,201 @@ def ngram_jaccard(a: str, b: str, k: int = 8) -> float:
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
+def ngram_jaccard_mark_duplicates(
+    ds,
+    *,
+    text_col: str = "content",
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 8,
+    seed: int = 17,
+    threshold: float = 0.5,
+    max_candidate_pairs: int = 50_000_000,
+):
+    """EXACT n-gram (k-byte-shingle) Jaccard near-dup marking at scale.
+
+    The MinHash arms above verify with the signature-Jaccard ESTIMATE; this
+    stage verifies candidates with the exact deduplicated k-gram Jaccard
+    (over 64-bit shingle hashes — collision odds negligible), the fourth
+    dedup mode next to exact / MinHash-LSH / SimHash.
+
+    Shape (four bounded exchanges, no corpus reshuffle):
+      1. MinHash-LSH banding (same signature/band spec as
+         ``minhash_lsh_mark_duplicates``) → (id, band, bkey), one bucketed
+         exchange of 24-byte rows;
+      2. per (band, bkey) bucket, STAR pairing: each non-minimal member is
+         paired with the bucket REPRESENTATIVE (lowest id) — O(n) pairs per
+         bucket, a hot bucket cannot go quadratic; pairs dedup'd across
+         bands by one 16-byte-row exchange;
+      3. the deduplicated pair list (ids only; guarded by
+         ``max_candidate_pairs``) is broadcast once via ``ray.put``, the
+         corpus streams through an actor pool that computes shingle sets for
+         CANDIDATE rows only and routes them keyed by representative —
+         member sets ship once per pair, each representative's set ships
+         ONCE — then one bucketed group computes every pair's exact Jaccard.
+         Shingle bytes enter the exchange only for candidate docs, never the
+         full corpus (contrast stages/substr_dedup.py's every-position
+         pass);
+      4. per-doc OR across pairs via the bucketed any-mark.
+
+    is_neardup(d) = EXISTS (band, bkey) bucket whose representative r < d
+    has J_kgram(d, r) >= threshold.  Docs shorter than ``shingle_k`` have
+    empty shingle sets: J(empty, empty) = 1.0 (the ``ngram_jaccard``
+    convention; such docs also share the all-max signature so they bucket
+    together), J(empty, nonempty) = 0.0.
+
+    Returns a Dataset of (id_col, ``max(is_neardup)``) like the other
+    marking arms.
+    """
+    import ray
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        sig = minhash_signatures(
+            tbl.column(text_col), num_perm=num_perm, shingle_k=shingle_k, seed=seed
+        )
+        bk = band_keys(sig, bands)
+        n = len(sig)
+        ids = np.asarray(tbl.column(id_col))
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+            "bkey": pa.array(bk.reshape(-1)),
+        })
+
+    def star_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby(["band", "bkey"], sort=False)[id_col].transform("min")
+        ids = g[id_col].to_numpy()
+        m = ids != rep.to_numpy()
+        return pd.DataFrame({"a": rep.to_numpy()[m], "b": ids[m]})
+
+    def distinct_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs_ds = grouped_apply_bucketed(exploded, ["band", "bkey"], star_pairs)
+    pairs_ds = grouped_apply_bucketed(pairs_ds, ["a", "b"], distinct_pairs)
+
+    # Candidate pairs are ids only (16 B/pair) and near-dup-proportional, so
+    # the driver pull is bounded like the bloom/substr candidate broadcasts;
+    # to_pandas(limit=) raises rather than silently materializing more.
+    pairs_df = pairs_ds.to_pandas(limit=max_candidate_pairs)
+
+    def all_false(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "is_neardup": np.zeros(len(df), dtype=bool),
+        })
+
+    base = ds.select_columns([id_col]).map_batches(all_false, batch_format="pandas")
+    if len(pairs_df) == 0:  # no candidates anywhere (also loses its columns)
+        return _bucketed_any_mark(base, id_col)
+
+    a_ids = pairs_df["a"].to_numpy().astype(np.int64)
+    b_ids = pairs_df["b"].to_numpy().astype(np.int64)
+    order = np.argsort(b_ids, kind="stable")
+    pairs_ref = ray.put((a_ids[order], b_ids[order], np.unique(a_ids)))
+
+    sh_type = pa.list_(pa.uint64())
+    empty_routed = pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "role": pa.array([], pa.int8()),
+        "sh": pa.array([], sh_type),
+    })
+
+    class _RouteSets:
+        """Per-actor: fetch the pair routing once; per batch: shingle the
+        candidate rows and emit set-carrying rows keyed by representative."""
+
+        def __init__(self):
+            a_by_b, b_sorted, reps = ray.get(pairs_ref)
+            self.a_by_b, self.b_sorted, self.reps = a_by_b, b_sorted, reps
+            self.cand = pa.array(np.unique(np.concatenate([b_sorted, reps])))
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            ids_arr = tbl.column(id_col).combine_chunks()
+            keep = pc.fill_null(pc.is_in(ids_arr, value_set=self.cand), False)
+            sub = tbl.filter(keep)
+            if sub.num_rows == 0:
+                return empty_routed
+            content = pc.fill_null(sub.column(text_col).combine_chunks(), "")
+            if not pa.types.is_large_string(content.type):
+                content = pc.cast(content, pa.large_string())
+            bufs = content.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=np.int64)[
+                content.offset : content.offset + len(content) + 1
+            ]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            hashes, counts = _shingle_hashes(data, offsets, shingle_k)
+            firsts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=firsts[1:])
+            ids = np.asarray(sub.column(id_col), dtype=np.int64)
+            out_a, out_b, out_role, out_sh = [], [], [], []
+            for i, doc in enumerate(ids):
+                sh = np.unique(hashes[firsts[i] : firsts[i] + counts[i]])
+                lo = np.searchsorted(self.b_sorted, doc, side="left")
+                hi = np.searchsorted(self.b_sorted, doc, side="right")
+                for rep in self.a_by_b[lo:hi]:  # member side, once per pair
+                    out_a.append(int(rep))
+                    out_b.append(int(doc))
+                    out_role.append(0)
+                    out_sh.append(sh)
+                j = np.searchsorted(self.reps, doc)
+                if j < len(self.reps) and self.reps[j] == doc:  # rep: ONCE
+                    out_a.append(int(doc))
+                    out_b.append(-1)
+                    out_role.append(1)
+                    out_sh.append(sh)
+            if not out_a:
+                return empty_routed
+            return pa.table({
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "role": pa.array(out_role, pa.int8()),
+                "sh": pa.array(out_sh, sh_type),
+            })
+
+    routed = ds.select_columns([id_col, text_col]).map_batches(
+        _RouteSets,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_b: list[int] = []
+        out_flag: list[bool] = []
+        for _, grp in g.groupby("a", sort=False):
+            rep_rows = grp[grp["role"] == 1]
+            if len(rep_rows) == 0:
+                continue
+            sa = np.asarray(rep_rows["sh"].iloc[0], dtype=np.uint64)
+            mem = grp[grp["role"] == 0]
+            for b, sb in zip(mem["b"].to_numpy(), mem["sh"].to_numpy()):
+                sb = np.asarray(sb, dtype=np.uint64)
+                if sa.size == 0 and sb.size == 0:
+                    j = 1.0
+                elif sa.size == 0 or sb.size == 0:
+                    j = 0.0
+                else:
+                    inter = int(np.isin(sb, sa, assume_unique=True).sum())
+                    j = inter / (sa.size + sb.size - inter)
+                out_b.append(int(b))
+                out_flag.append(j >= threshold)
+        return pd.DataFrame({
+            id_col: np.asarray(out_b, dtype=np.int64),
+            "is_neardup": np.asarray(out_flag, dtype=bool),
+        })
+
+    verified = grouped_apply_bucketed(routed, ["a"], verify_bucket)
+    return _bucketed_any_mark(verified.union(base), id_col)
+
+
 def embedding_mark_duplicates(
     ds,
     *,

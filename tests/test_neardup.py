@@ -235,3 +235,98 @@ def test_winnowing_property_vs_naive():
         assert cnt == max(len(by) - 4, 0)
         want = sorted({min(hs[i : i + 3]) for i in range(max(len(hs) - 2, 0))})
         assert got.tolist() == want, text
+
+
+def test_ngram_jaccard_exact_verify_discriminates():
+    """Exact-Jaccard stage: identical docs marked; a HIGH-but-sub-threshold
+    near-dup that LSH-collides must NOT be marked (the exact verify prunes
+    what the raw banding would flag); unrelated docs not marked."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.neardup import ngram_jaccard_mark_duplicates
+
+    base = "def process(data):\n    return sum(x.value for x in data)\n" * 6
+    exact = base
+    near = base.replace("process", "handle")  # J ~= 0.8: collides, prunable
+    other = "completely unrelated text about nothing in particular " * 8
+    jn = ngram_jaccard(base, near, k=8)
+    assert 0.5 < jn < 0.95
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([base, exact, near, other], pa.string()),
+    })
+    ds = rd.from_arrow(t)
+
+    out = ngram_jaccard_mark_duplicates(
+        ds, text_col="text", id_col="doc_id", threshold=0.99)
+    marked = {r["doc_id"]: bool(r["max(is_neardup)"]) for r in out.take_all()}
+    assert marked == {1: False, 2: True, 3: False, 4: False}
+
+    # sanity: raw LSH banding WOULD have flagged the near copy
+    raw = minhash_lsh_mark_duplicates(ds, text_col="text", id_col="doc_id")
+    raw_marked = {r["doc_id"]: bool(r["max(is_neardup)"]) for r in raw.take_all()}
+    assert raw_marked[3] is True
+
+    # at a permissive threshold the same near copy IS marked
+    out2 = ngram_jaccard_mark_duplicates(
+        ds, text_col="text", id_col="doc_id", threshold=0.5)
+    marked2 = {r["doc_id"]: bool(r["max(is_neardup)"]) for r in out2.take_all()}
+    assert marked2 == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_ngram_jaccard_stage_empty_and_short_docs():
+    """Docs shorter than shingle_k have empty shingle sets: they share the
+    all-max signature, bucket together, and J(empty, empty) = 1.0 marks the
+    non-minimal ones; a no-candidate corpus yields all False."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.neardup import ngram_jaccard_mark_duplicates
+
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(["ab", "cd", "x" * 500], pa.string()),
+    })
+    out = ngram_jaccard_mark_duplicates(
+        rd.from_arrow(t), text_col="text", id_col="doc_id", threshold=0.9)
+    marked = {r["doc_id"]: bool(r["max(is_neardup)"]) for r in out.take_all()}
+    assert marked == {10: False, 11: True, 12: False}
+
+    # fully distinct long docs: no pairs at all -> all False
+    t2 = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta " * 10,
+            "one two three four five six seven eight " * 10,
+        ], pa.string()),
+    })
+    out2 = ngram_jaccard_mark_duplicates(
+        rd.from_arrow(t2), text_col="text", id_col="doc_id")
+    marked2 = {r["doc_id"]: bool(r["max(is_neardup)"]) for r in out2.take_all()}
+    assert marked2 == {1: False, 2: False}
+
+
+def test_ngram_jaccard_stage_matches_fixture_oracle():
+    """Distributed stage output == the independent per-doc python-set
+    reimplementation on a mixed synthetic corpus."""
+    import sys
+
+    import ray.data as rd
+
+    sys.path.insert(0, "tools")
+    from gen_oracle_fixtures import ngram_jaccard_fixture
+
+    from great_expectations_ray.stages.neardup import ngram_jaccard_mark_duplicates
+
+    _, df = _corpus_ds(400)
+    docs = df.rename(columns={"content": "text"})[["doc_id", "text"]]
+    expected = ngram_jaccard_fixture(docs, threshold=0.9)
+    out = ngram_jaccard_mark_duplicates(
+        rd.from_pandas(docs), text_col="text", id_col="doc_id", threshold=0.9)
+    got = (pd.DataFrame(out.take_all())
+           .rename(columns={"max(is_neardup)": "is_neardup"})
+           .sort_values("doc_id").reset_index(drop=True))
+    assert int(expected.is_neardup.sum()) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "is_neardup": bool}),
+        expected.astype({"doc_id": "int64", "is_neardup": bool}),
+    )

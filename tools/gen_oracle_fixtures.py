@@ -289,6 +289,54 @@ def minhash_verified_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8,
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def ngram_jaccard_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8,
+                          seed=17, threshold=0.5) -> pd.DataFrame:
+    """Exact-Jaccard star-verified variant: a doc is near-dup iff in SOME
+    band bucket the EXACT k-gram Jaccard (python sets of shingle hashes)
+    between the doc and the bucket's MINIMUM-id member >= threshold.
+    J(empty, empty) = 1.0, J(empty, nonempty) = 0.0.  Independent of the
+    stage's routed-exchange execution path."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    bvec = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+
+    shing: dict[int, set] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        h = _doc_shingle_hashes(text, k)
+        shing[int(doc_id)] = set(h.tolist())
+        if len(h) == 0:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            sig = (h[:, None] * a[None, :] + bvec[None, :]).min(axis=0)
+        for bi in range(bands):
+            bk = 0
+            for j in range(bi * r, (bi + 1) * r):
+                bk = (bk * FNV_B + int(sig[j])) & M64
+            buckets.setdefault((bi, bk), []).append(int(doc_id))
+
+    dup = {int(d): False for d in docs["doc_id"]}
+    for members in buckets.values():
+        lo = min(members)
+        slo = shing[lo]
+        for m in members:
+            if m == lo or dup[m]:
+                continue
+            sm = shing[m]
+            if not slo and not sm:
+                jac = 1.0
+            elif not slo or not sm:
+                jac = 0.0
+            else:
+                inter = len(slo & sm)
+                jac = inter / (len(slo) + len(sm) - inter)
+            if jac >= threshold:
+                dup[m] = True
+    ids = sorted(dup)
+    return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
+
+
 def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
     """Winnowing fingerprints per doc: unique window-of-w minima over the
     shingle hashes; count + xor-fold digest (int64 view)."""
@@ -658,6 +706,11 @@ def main(sf_dirs: list[str]) -> None:
             ("lm_trained_ppl_docs", lm_trained_fixture(docs), fp_docs),
             ("minhash_neardup_docs", minhash_fixture(docs), fp_docs),
             ("minhash_verified_docs", minhash_verified_fixture(docs), fp_docs),
+            # threshold matches the catalog query (0.985 discriminates on
+            # this corpus: candidate-pair Jaccard spans 0.92-1.0, so the
+            # exact verify demonstrably prunes ~half the LSH candidates)
+            ("ngram_jaccard_neardup_docs",
+             ngram_jaccard_fixture(docs, threshold=0.985), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
