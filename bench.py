@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "boilerplate_docs",
     "chunk_docs",
     "web_pipeline_docs",
+    "dsir_docs",
+    "cc_cluster_docs",
+    "bpe_train_merges",
 ]
 
 

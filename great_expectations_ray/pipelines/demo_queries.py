@@ -3181,6 +3181,8 @@ ORACLE_SQL.update({
         "minhash_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "ngram_jaccard_neardup_docs": _fixture_sql(
         "ngram_jaccard_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
+    "bpe_train_merges": _fixture_sql(
+        "bpe_train_merges", "rank, pair, cnt", _FP_DOCS, "rank"),
     "cc_cluster_docs": _fixture_sql(
         "cc_cluster_docs", "doc_id, cluster", _FP_DOCS, "doc_id"),
     # best-of-cluster retention: SQL window over the cc fixture x documents
@@ -3541,16 +3543,45 @@ def q_urlops_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["op", "doc_id"], kind="mergesort").reset_index(drop=True)
 
 
+def q_bpe_train_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer TRAINING over documents: streaming word
+    counts (map-side value_counts pre-combine, one bucketed exchange),
+    deterministic top-K cut, incremental driver merge loop
+    (stages/bpe_train.py).  Oracle: independent naive recount-per-round
+    fixture (tools/gen_oracle_fixtures.py bpe_train_fixture)."""
+    from great_expectations_ray.stages.bpe_train import train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    m = train_bpe(ds, text_col="text", num_merges=60)
+    out = pd.DataFrame({
+        "rank": m["rank"],
+        "pair": m["left"] + " " + m["right"],
+        "cnt": m["cnt"],
+    })
+    return out.sort_values("rank").reset_index(drop=True)
+
+
+# defined after the constituent copy was taken (its fixture SQL already sits in
+# CONSTITUENT_ORACLE_SQL); it rides the public catalog as the 'bpe_train' arm
+# of token_stats_methods_docs, keeping the gate at exactly 50 entries.
+CONSTITUENT_QUERIES["bpe_train_merges"] = q_bpe_train_merges
+
+
 def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     """Token statistics per language by both tokenizers, as generic (v1, v2):
-    whitespace = (tokens, alnum_chars); bpe = (ws_tokens, bpe_tokens)."""
+    whitespace = (tokens, alnum_chars); bpe = (ws_tokens, bpe_tokens); plus
+    the TRAINED-tokenizer arm 'bpe_train' carrying the learned merge table
+    (lang = merged pair, v1 = rank, v2 = pair frequency at merge time)."""
     ws = _run_part("token_stats_docs", sf_dir)
     bpe = _run_part("bpe_token_stats_docs", sf_dir)
+    tr = _run_part("bpe_train_merges", sf_dir)
     frames = [
         pd.DataFrame({"method": "whitespace", "lang": ws["lang"],
                       "v1": ws["tokens"], "v2": ws["alnum_chars"]}),
         pd.DataFrame({"method": "bpe", "lang": bpe["lang"],
                       "v1": bpe["ws_tokens"], "v2": bpe["bpe_tokens"]}),
+        pd.DataFrame({"method": "bpe_train", "lang": tr["pair"],
+                      "v1": tr["rank"], "v2": tr["cnt"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
@@ -3637,7 +3668,9 @@ SQL_TOKEN_STATS_METHODS_DOCS = _union_sql(
     [("'whitespace' AS method", "lang, tokens AS v1, alnum_chars AS v2",
       "token_stats_docs"),
      ("'bpe'", "lang, ws_tokens AS v1, bpe_tokens AS v2",
-      "bpe_token_stats_docs")],
+      "bpe_token_stats_docs"),
+     ("'bpe_train'", "pair AS lang, rank AS v1, cnt AS v2",
+      "bpe_train_merges")],
     "method, lang",
 )
 SQL_CODE_PAYLOAD_CORPUS = _union_sql(

@@ -70,6 +70,7 @@ def test_query_matches_oracle(name, con):
 FIXTURE_QUERIES = [
     "langid_methods_docs", "perplexity_methods_docs", "neardup_docs",
     "ann_methods_topk", "fingerprint_docs", "semdedup_embeddings",
+    "token_stats_methods_docs",
 ]
 SF01_DIR = "/root/testdata/sf0.01"
 

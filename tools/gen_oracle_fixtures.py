@@ -337,6 +337,58 @@ def ngram_jaccard_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8,
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def bpe_train_fixture(docs: pd.DataFrame, num_merges=60, max_words=30_000,
+                      min_pair_count=2) -> pd.DataFrame:
+    """Character-level BPE merges learned from word frequencies — NAIVE
+    reference implementation: full pair recount every round (the stage
+    maintains an incremental pair->words index; only the spec is shared).
+    Spec: words = runs split on ASCII whitespace [ \\t\\n\\r\\f\\v]; top-K
+    cut by (count desc, word asc); winning pair = max count, ties ->
+    lexicographically smallest; stop when best count < min_pair_count."""
+    import re as _re
+
+    counts: dict[str, int] = {}
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    for text in docs["text"]:
+        for w in splitter.split(text or ""):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    seqs = {w: list(w) for w, _ in top}
+    wcnt = dict(top)
+
+    rows = []
+    for rank in range(num_merges):
+        pc_: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            c = wcnt[w]
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                pc_[p] = pc_.get(p, 0) + c
+        if not pc_:
+            break
+        best_c = max(pc_.values())
+        if best_c < min_pair_count:
+            break
+        best = min(p for p, c in pc_.items() if c == best_c)
+        rows.append({"rank": rank, "pair": best[0] + " " + best[1],
+                     "cnt": best_c})
+        new_sym = best[0] + best[1]
+        for w, syms in seqs.items():
+            merged, j = [], 0
+            while j < len(syms):
+                if (j < len(syms) - 1 and syms[j] == best[0]
+                        and syms[j + 1] == best[1]):
+                    merged.append(new_sym)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            seqs[w] = merged
+    df = pd.DataFrame(rows, columns=["rank", "pair", "cnt"])
+    return df.astype({"rank": "int64", "cnt": "int64"})
+
+
 def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
     """Winnowing fingerprints per doc: unique window-of-w minima over the
     shingle hashes; count + xor-fold digest (int64 view)."""
@@ -711,6 +763,7 @@ def main(sf_dirs: list[str]) -> None:
             # exact verify demonstrably prunes ~half the LSH candidates)
             ("ngram_jaccard_neardup_docs",
              ngram_jaccard_fixture(docs, threshold=0.985), fp_docs),
+            ("bpe_train_merges", bpe_train_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
