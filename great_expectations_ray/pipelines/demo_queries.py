@@ -2964,7 +2964,8 @@ def q_dsir_docs(sf_dir: str) -> pd.DataFrame:
     n = ds.count()
     target = ds.filter(expr="lang == 'en'")
     out = dsir_select(ds, k=max(1, n // 4), column="text", id_col="doc_id",
-                      target_ds=target, raw_ds=ds, concurrency=(1, 2))
+                      target_ds=target, raw_ds=ds, concurrency=(1, 4),
+                      flags_only=True)
     rows = out.select_columns(["doc_id", "dsir_logw", "selected"]).take_all()
     df = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
     return pd.DataFrame({"doc_id": df["doc_id"],

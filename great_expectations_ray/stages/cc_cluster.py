@@ -88,6 +88,34 @@ def minhash_bucket_edges(
     )
 
 
+def _driver_union_find(pairs) -> dict:
+    """Path-halving union-find over an iterable of (u, v) pairs; returns
+    {node: min-id-of-component} for every node seen.  Works for any orderable
+    id type (ints, strings)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by id order keeps the root = the component min directly
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges,
     *,
@@ -95,9 +123,17 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 30,
     n_buckets: int = 64,
+    max_driver_edges: int = 1_000_000,
 ):
     """(node, component) for every node appearing in ``edges``; component =
     the minimum node id in the connected component.
+
+    ADAPTIVE, like ``stages/boilerplate.py``'s set-vs-join split: when the
+    edge set is small (``count() <= max_driver_edges`` — edges are CANDIDATE
+    PAIRS after LSH banding, typically a tiny fraction of the corpus) the
+    components come from one driver-local union-find over the collected
+    pairs — O(E α(E)) and no propagation rounds.  Above the cap the
+    distributed path runs:
 
     Hash-min label propagation WITH shortcut doubling: each round every node
     takes the min of its own label and the labels of its neighbours over
@@ -106,11 +142,27 @@ def connected_components(
     not O(diameter).  One round = one tagged-union bucketed exchange
     (deliver labels along edges) + one bucketed group-min; the driver sees
     only a per-round changed-count scalar.  Stops when a round changes
-    nothing.
+    nothing.  Both paths emit identical (node, component) labels.
 
     Isolated nodes (no edges) are the caller's concern — they are their own
     component by definition and never enter the exchange."""
+    import ray.data as rd
+
     from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    if max_driver_edges and edges.count() <= max_driver_edges:
+        batches = list(edges.iter_batches(batch_format="pyarrow"))
+        tbl = pa.concat_tables(batches) if batches else pa.table(
+            {src: pa.array([], pa.int64()), dst: pa.array([], pa.int64())}
+        )
+        labels = _driver_union_find(
+            zip(tbl.column(src).to_pylist(), tbl.column(dst).to_pylist())
+        )
+        node_type = tbl.schema.field(src).type
+        return rd.from_arrow(pa.table({
+            "node": pa.array(list(labels.keys()), node_type),
+            "component": pa.array(list(labels.values()), node_type),
+        }))
 
     # symmetrize once: messages must flow both directions
     def sym(tbl: pa.Table) -> pa.Table:
@@ -238,21 +290,84 @@ def cluster_near_duplicates(
     seed: int = 17,
     max_iters: int = 30,
     n_buckets: int = 64,
+    max_driver_edges: int = 1_000_000,
 ):
     """Full fuzzy-dedup clustering: (id, cluster, keep) for EVERY input row.
     ``cluster`` = min doc id of the transitive near-dup component (self for
     docs with no candidates); ``keep`` = True on exactly one doc per
-    cluster."""
+    cluster.
+
+    When the candidate-edge set fits the driver cap, the label map is built
+    by driver union-find and BROADCAST (``ray.put`` once, fetched once per
+    actor — the ``_ParagraphRewriter`` pattern), replacing the assignment
+    hash join; lookups are vectorized ``np.searchsorted`` for numeric ids.
+    Above the cap the distributed propagation + bucketed join path runs.
+    Both paths emit identical rows."""
+    import ray
+
     from great_expectations_ray.functions.joins import hash_bucket_join
 
     edges = minhash_bucket_edges(
         ds, text_col=text_col, id_col=id_col, num_perm=num_perm,
         bands=bands, shingle_k=shingle_k, seed=seed, n_buckets=n_buckets,
     ).materialize()
-    comp = connected_components(edges, max_iters=max_iters, n_buckets=n_buckets)
 
     src_schema = ds.schema()
     id_type = dict(zip(src_schema.names, src_schema.types))[id_col]
+
+    if max_driver_edges and edges.count() <= max_driver_edges:
+        batches = list(edges.iter_batches(batch_format="pyarrow"))
+        pairs_tbl = pa.concat_tables(batches) if batches else pa.table(
+            {"src": pa.array([], id_type), "dst": pa.array([], id_type)}
+        )
+        labels = _driver_union_find(zip(
+            pairs_tbl.column("src").to_pylist(),
+            pairs_tbl.column("dst").to_pylist(),
+        ))
+        numeric = pa.types.is_integer(id_type) or pa.types.is_floating(id_type)
+        if numeric:
+            keys = np.array(sorted(labels), dtype=id_type.to_pandas_dtype())
+            vals = np.array([labels[k] for k in keys.tolist()],
+                            dtype=id_type.to_pandas_dtype())
+            ref = ray.put((keys, vals))
+        else:
+            ref = ray.put(labels)
+
+        class _Assign:
+            """Fetches the label map once per actor; vectorized lookup."""
+
+            def __init__(self):
+                self.m = ray.get(ref)
+
+            def __call__(self, tbl: pa.Table) -> pa.Table:
+                ids = pc.cast(tbl.column(id_col), id_type)
+                if numeric:
+                    keys_, vals_ = self.m
+                    a = np.asarray(ids.combine_chunks())
+                    if len(keys_) == 0:
+                        cl = ids
+                    else:
+                        pos = np.minimum(np.searchsorted(keys_, a),
+                                         len(keys_) - 1)
+                        cl = pa.array(
+                            np.where(keys_[pos] == a, vals_[pos], a), id_type)
+                else:
+                    m = self.m
+                    cl = pa.array(
+                        [m.get(i, i) for i in ids.to_pylist()], id_type)
+                return pa.table({
+                    id_col: ids,
+                    "cluster": cl,
+                    "keep": pc.equal(ids, cl),
+                })
+
+        return ds.select_columns([id_col]).map_batches(
+            _Assign, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+
+    comp = connected_components(edges, max_iters=max_iters,
+                                n_buckets=n_buckets, max_driver_edges=0)
 
     joined = hash_bucket_join(
         ds.select_columns([id_col]),

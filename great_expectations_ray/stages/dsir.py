@@ -96,12 +96,53 @@ def fit_hashed_bag(ds, *, column: str = "text", add_k: float = 0.01) -> np.ndarr
     def merge(g: _pd.DataFrame) -> _pd.DataFrame:
         return g.groupby("cell", sort=False)["cnt"].sum().reset_index()
 
-    rows = grouped_apply_bucketed(partials, ["cell"], merge).take_all()
+    # the cell domain is bounded (<= D per side), so few buckets suffice;
+    # 64 halves the groupby-sort fixed cost vs the 256 default
+    rows = grouped_apply_bucketed(partials, ["cell"], merge,
+                                  n_buckets=64).take_all()
     counts = np.zeros(D, dtype=np.float64)
     for r in rows:
         counts[r["cell"]] = r["cnt"]
     sm = counts + add_k
     return np.log(sm / sm.sum())
+
+
+def fit_hashed_bag_pair(
+    target_ds, raw_ds, *, column: str = "text", add_k: float = 0.01
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit BOTH bag models in ONE streaming execution: the two corpora's
+    sparse partials union with a ``side`` tag (0 = target, 1 = raw) and share
+    a single bucketed merge exchange.  Numerically identical to two
+    ``fit_hashed_bag`` calls — the per-cell sums are integer — but halves the
+    fixed per-execution cost (one executor spin-up, one exchange)."""
+    import pandas as _pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def tagged(ds_, side: int):
+        def tag(tbl: pa.Table) -> pa.Table:
+            return tbl.append_column(
+                "side", pa.array(np.full(tbl.num_rows, side, dtype=np.int8)))
+
+        return ds_.select_columns([column]).map_batches(
+            _FeatureCounter(column), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+        return (g.groupby(["side", "cell"], sort=False)["cnt"].sum()
+                .reset_index())
+
+    rows = grouped_apply_bucketed(
+        tagged(target_ds, 0).union(tagged(raw_ds, 1)), ["cell"], merge,
+        n_buckets=64,
+    ).take_all()
+    counts = np.zeros((2, D), dtype=np.float64)
+    for r in rows:
+        counts[r["side"], r["cell"]] = r["cnt"]
+    sm = counts + add_k
+    logs = np.log(sm / sm.sum(axis=1, keepdims=True))
+    return logs[0], logs[1]
 
 
 class DsirWeigher:
@@ -145,20 +186,32 @@ def gumbel_keys(doc_ids: np.ndarray, logw: np.ndarray, seed: int = 0) -> np.ndar
 def dsir_select(ds, *, k: int, column: str = "text", id_col: str = "doc_id",
                 target_ds=None, raw_ds=None, seed: int = 0,
                 log_ratio: np.ndarray | None = None,
-                concurrency=(1, 8), batch_size: int = 1024):
+                concurrency=(1, 8), batch_size: int = 1024,
+                flags_only: bool = False):
     """Full DSIR pass: fit target/raw bag models (unless a precomputed
-    ``log_ratio`` is given), weigh every doc, and flag the Gumbel-top-k
-    sample.  Returns the dataset with ``dsir_logw``, ``dsir_key`` and
-    ``selected`` columns."""
+    ``log_ratio`` is given — both models share ONE streaming execution via
+    ``fit_hashed_bag_pair``), weigh every doc, and flag the Gumbel-top-k
+    sample.
+
+    Default: returns the dataset with ``dsir_logw``, ``dsir_key`` and
+    ``selected`` columns appended — document bytes are never materialized,
+    at the cost of the weigher running twice (threshold pass + output pass).
+
+    ``flags_only=True``: returns just ``(id_col, dsir_logw, dsir_key,
+    selected)`` with the weigher run ONCE — the projected verdict columns
+    (~25 B/doc) are materialized between the threshold and mark passes.
+    Right when the caller only needs the selection verdicts (rejoin to the
+    corpus by id, or feed a downstream filter)."""
     import ray
 
     if log_ratio is None:
-        log_p = fit_hashed_bag(target_ds, column=column)
-        log_q = fit_hashed_bag(raw_ds if raw_ds is not None else ds, column=column)
+        log_p, log_q = fit_hashed_bag_pair(
+            target_ds, raw_ds if raw_ds is not None else ds, column=column)
         log_ratio = log_p - log_q
     ref = ray.put(log_ratio)
 
-    weighted = ds.map_batches(
+    src = ds.select_columns([id_col, column]) if flags_only else ds
+    weighted = src.map_batches(
         DsirWeigher, fn_constructor_kwargs={"log_ratio_ref": ref, "column": column},
         batch_format="pyarrow", zero_copy_batch=True,
         concurrency=concurrency, batch_size=batch_size,
@@ -169,10 +222,15 @@ def dsir_select(ds, *, k: int, column: str = "text", id_col: str = "doc_id",
         # logw enters the key ROUNDED to 6dp (spec): kills last-bit
         # accumulation-order noise so the selected set is bit-reproducible
         lw = np.round(np.asarray(tbl.column("dsir_logw")), 6)
-        return tbl.append_column("dsir_key", pa.array(gumbel_keys(ids, lw, seed)))
+        tbl = tbl.append_column("dsir_key", pa.array(gumbel_keys(ids, lw, seed)))
+        return tbl.select([id_col, "dsir_logw", "dsir_key"]) if flags_only else tbl
 
     keyed = weighted.map_batches(add_key, batch_format="pyarrow",
                                  zero_copy_batch=True)
+    if flags_only:
+        # one weigher execution total: the tiny projection is materialized,
+        # then both the threshold scan and the mark pass read it back
+        keyed = keyed.materialize()
 
     # threshold = k-th largest key, from per-block top-k candidates only
     def block_topk(tbl: pa.Table) -> pa.Table:

@@ -32,23 +32,31 @@ def _union_find(edges, nodes):
 
 
 def test_connected_components_chain_multiround(ray_session):
-    # a 6-node chain forces multiple propagation rounds; 10-11 is separate
+    # a 6-node chain forces multiple propagation rounds; 10-11 is separate.
+    # both the driver union-find fast path (default) and the distributed
+    # propagation path (max_driver_edges=0) must emit identical labels.
     edges = rd.from_arrow(pa.table({
         "src": [1, 2, 3, 4, 5, 10],
         "dst": [2, 3, 4, 5, 6, 11],
     })).repartition(3)
-    out = {r["node"]: r["component"]
-           for r in connected_components(edges).take_all()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+    for cap in (1_000_000, 0):
+        out = {r["node"]: r["component"]
+               for r in connected_components(
+                   edges, max_driver_edges=cap).take_all()}
+        assert out == expected, f"max_driver_edges={cap}"
 
 
 def test_connected_components_string_ids(ray_session):
     edges = rd.from_arrow(pa.table({
         "src": ["b", "c", "x"], "dst": ["a", "b", "y"],
     }))
-    out = {r["node"]: r["component"]
-           for r in connected_components(edges).take_all()}
-    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    expected = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for cap in (1_000_000, 0):
+        out = {r["node"]: r["component"]
+               for r in connected_components(
+                   edges, max_driver_edges=cap).take_all()}
+        assert out == expected, f"max_driver_edges={cap}"
 
 
 def test_connected_components_matches_union_find_random(ray_session):
@@ -62,8 +70,11 @@ def test_connected_components_matches_union_find_random(ray_session):
     ds = rd.from_arrow(pa.table({
         "src": [e[0] for e in edges], "dst": [e[1] for e in edges],
     })).repartition(5)
-    out = {r["node"]: r["component"] for r in connected_components(ds).take_all()}
-    assert out == expected
+    for cap in (1_000_000, 0):
+        out = {r["node"]: r["component"]
+               for r in connected_components(
+                   ds, max_driver_edges=cap).take_all()}
+        assert out == expected, f"max_driver_edges={cap}"
 
 
 def test_cluster_near_duplicates_end_to_end(ray_session):
@@ -106,9 +117,12 @@ def test_cluster_matches_union_find_on_emitted_edges(ray_session):
     edge_rows = minhash_bucket_edges(ds, **kwargs).take_all()
     edges = [(r["src"], r["dst"]) for r in edge_rows]
     expected = _union_find(edges, set(ids))
-    out = {r["doc_id"]: r["cluster"]
-           for r in cluster_near_duplicates(ds, **kwargs).take_all()}
-    assert out == expected
+    # broadcast fast path (default cap) and distributed join path must agree
+    for cap in (1_000_000, 0):
+        out = {r["doc_id"]: r["cluster"]
+               for r in cluster_near_duplicates(
+                   ds, max_driver_edges=cap, **kwargs).take_all()}
+        assert out == expected, f"max_driver_edges={cap}"
     # keep-one invariant
     keeps = [r for r in cluster_near_duplicates(ds, **kwargs).take_all() if r["keep"]]
     assert len(keeps) == len(set(expected.values()))

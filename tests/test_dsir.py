@@ -14,6 +14,7 @@ from great_expectations_ray.stages.dsir import (
     DsirWeigher,
     dsir_select,
     fit_hashed_bag,
+    fit_hashed_bag_pair,
     gumbel_keys,
     hashed_feature_counts,
 )
@@ -99,3 +100,30 @@ def test_weigher_empty_text(ray_session):
     w = DsirWeigher(ray.put(lr), column="text")
     out = w(pa.table({"text": ["", None, "abc"]}))
     assert out.column("dsir_logw").to_pylist() == [0.0, 0.0, 0.0]
+
+
+def test_fit_hashed_bag_pair_matches_two_single_fits(ray_session):
+    t_texts = ["aa bb aa", "cc dd"]
+    r_texts = ["aa bb aa", "cc dd", "ee ff gg", "aa"]
+    t = rd.from_arrow(pa.table({"text": t_texts})).repartition(2)
+    r = rd.from_arrow(pa.table({"text": r_texts})).repartition(3)
+    log_p, log_q = fit_hashed_bag_pair(t, r, column="text")
+    assert np.allclose(log_p, fit_hashed_bag(t, column="text"))
+    assert np.allclose(log_q, fit_hashed_bag(r, column="text"))
+
+
+def test_dsir_flags_only_matches_full_output(ray_session):
+    rows = [{"doc_id": i, "text": f"token{i % 7} alpha beta {i % 3}"}
+            for i in range(30)]
+    kwargs = dict(k=5, target_ds=rd.from_items(rows[:10]),
+                  column="text", id_col="doc_id")
+    full = dsir_select(rd.from_items(rows).repartition(4), **kwargs).to_pandas()
+    flags = dsir_select(rd.from_items(rows).repartition(4), flags_only=True,
+                        **kwargs).to_pandas()
+    assert sorted(flags.columns) == ["doc_id", "dsir_key", "dsir_logw",
+                                     "selected"]
+    full = full.sort_values("doc_id").reset_index(drop=True)
+    flags = flags.sort_values("doc_id").reset_index(drop=True)
+    assert np.allclose(full["dsir_logw"], flags["dsir_logw"])
+    assert np.allclose(full["dsir_key"], flags["dsir_key"])
+    assert (full["selected"] == flags["selected"]).all()
