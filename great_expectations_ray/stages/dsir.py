@@ -4,12 +4,13 @@ distribution looks like a target corpus.
 
 Three distributed pieces, each a standard Ray Data shape:
 
-1. **Feature counting** (``fit_hashed_bag``): one streaming pass per corpus
-   -> per-batch SPARSE ``(bucket, cnt)`` partials (map-side pre-aggregation
-   bounds the exchange at ``<= D`` rows per batch) -> ONE bucketed
-   ``groupby`` merge -> a dense ``D``-float vector on the driver.  ``D`` is
-   16384 buckets ~= 128 KB — trivially broadcastable.  This is the same
-   sparse-partials/one-exchange shape as
+1. **Feature counting** (``fit_hashed_bag`` / ``fit_hashed_bag_pair``): one
+   streaming pass -> per-batch SPARSE ``(bucket, cnt)`` partials (map-side
+   pre-aggregation bounds the exchange at ``<= D`` rows per batch) -> ONE
+   bucketed ``groupby`` merge -> a dense ``D``-float vector on the driver.
+   The pair variant fits target AND raw models in a single execution via a
+   side-tagged union.  ``D`` is 16384 buckets ~= 128 KB — trivially
+   broadcastable.  This is the same sparse-partials/one-exchange shape as
    ``perplexity.distributed_train_char_lm``.
 2. **Importance weighting** (``DsirWeigher``): the log-ratio vector rides
    ``ray.put`` and is fetched ONCE per actor in ``__init__``; each batch
@@ -23,8 +24,8 @@ Three distributed pieces, each a standard Ray Data shape:
    ``k`` keys; the driver merges ``#blocks x k`` floats — the ANN top-k
    shape, no global sort).
 
-At 100 TB: two count passes (the target side is normally tiny), one tiny
-exchange each, a 128 KB broadcast, and a candidates-only threshold pass —
+At 100 TB: ONE shared count pass (the target side is normally tiny), one
+tiny exchange, a 128 KB broadcast, and a candidates-only threshold pass —
 no all-to-all over document bytes anywhere.
 """
 
