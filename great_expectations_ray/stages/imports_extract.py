@@ -106,10 +106,24 @@ class ImportCounter:
 
 
 def import_counts(ds, *, content_col: str = "content",
-                  patterns: tuple[str, ...] = DEFAULT_IMPORT_PATTERNS):
-    """Dataset -> Dataset[(module, cnt)] corpus-wide dependency counts."""
+                  patterns: tuple[str, ...] = DEFAULT_IMPORT_PATTERNS,
+                  n_buckets: int = 256):
+    """Dataset -> Dataset[(module, cnt)] corpus-wide dependency counts.
+
+    Module-name cardinality is corpus-scale (every distinct import in a code
+    corpus), so the partial-sum merge runs on the bucketed substrate instead
+    of Ray's per-group reduce (``functions/bucketed.py`` rationale)."""
+    import pandas as _pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
     partials = ds.map_batches(
         ImportCounter(content_col, patterns),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return partials.groupby("module").sum("cnt").rename_columns(["module", "cnt"])
+
+    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+        return g.groupby("module", sort=False)["cnt"].sum().reset_index()
+
+    return grouped_apply_bucketed(partials, ["module"], merge,
+                                  n_buckets=n_buckets)

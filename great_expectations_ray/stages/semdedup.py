@@ -87,13 +87,10 @@ def semdedup(
             emb_col: tbl.column(emb_col),
         })
 
-    def prune(g: pa.Table) -> pa.Table:
-        # Arrow-native: sort by id, then view the embedding list column's
-        # contiguous value buffer as an (n, d) matrix in one reshape — no
-        # per-row np.asarray conversion (the former pandas object-column
-        # np.stack walked every cell)
-        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
-        g = g.take(order)
+    def prune_one(g: pa.Table) -> pa.Table:
+        # Arrow-native on an id-sorted single-cluster slice: view the
+        # embedding list column's contiguous value buffer as an (n, d)
+        # matrix in one reshape — no per-row np.asarray conversion
         M = _emb_matrix(g.column(emb_col))
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
         head = min(g.num_rows, max_cluster_size)
@@ -105,5 +102,27 @@ def semdedup(
             "is_dup": pa.array(is_dup),
         })
 
+    def prune_bucket(g: pa.Table) -> pa.Table:
+        # one bucket holds MANY clusters (cluster count is n/cluster_size —
+        # unbounded, so Ray's per-group reduce is the wrong substrate); sort
+        # by (cluster, id) once and prune each equal-cluster run
+        order = pc.sort_indices(
+            g, sort_keys=[("cluster", "ascending"), (id_col, "ascending")])
+        g = g.take(order)
+        cl = np.asarray(g.column("cluster"))
+        if len(cl) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "is_dup": pa.array([], pa.bool_())})
+        starts = np.flatnonzero(np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.append(starts[1:], len(cl))
+        return pa.concat_tables(
+            [prune_one(g.slice(int(s), int(e - s)))
+             for s, e in zip(starts, ends)]
+        )
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
     labeled = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return labeled.groupby("cluster").map_groups(prune, batch_format="pyarrow")
+    return grouped_apply_bucketed(labeled, ["cluster"], prune_bucket,
+                                  batch_format="pyarrow")
