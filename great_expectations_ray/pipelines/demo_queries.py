@@ -2737,6 +2737,55 @@ FROM ch ORDER BY doc_id, chunk_idx
 """
 
 
+def q_fim_docs(sf_dir: str) -> pd.DataFrame:
+    """Fill-in-the-middle transform (stages/fim.py; Bavarian et al. 2022):
+    PSM layout at modular-deterministic cut points, vectorized ASCII byte
+    slicing.  cut_lo = -1 encodes "not applied" so the apply decision is
+    value-checked too; md5 of the transformed text proves the layout."""
+    from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.fim import fim_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = fim_documents(ds)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        applied = tbl.column("fim_applied")
+        lo = pc.if_else(applied, tbl.column("cut_lo"),
+                        pa.scalar(-1, pa.int64()))
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "cut_lo": lo,
+            "cut_hi": tbl.column("cut_hi"),
+            "fim_md5": md5_column(tbl.column("fim_text")),
+        })
+
+    res = out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_FIM_DOCS = """
+WITH f AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+         (doc_id * 7919 + 13) % (CAST(length(text) AS BIGINT) + 1) AS i,
+         (doc_id * 104729 + 7) % (CAST(length(text) AS BIGINT) + 1) AS j
+  FROM documents),
+g AS (
+  SELECT doc_id, text, LEAST(i, j) AS lo, GREATEST(i, j) AS hi,
+         (doc_id % 2 = 0 AND L >= 2) AS applied
+  FROM f)
+SELECT doc_id,
+  CASE WHEN applied THEN lo ELSE -1 END AS cut_lo,
+  CASE WHEN applied THEN hi ELSE 0 END AS cut_hi,
+  md5(CASE WHEN applied THEN
+    '<fim_prefix>' || substr(text, 1, CAST(lo AS INTEGER))
+    || '<fim_suffix>' || substr(text, CAST(hi AS INTEGER) + 1)
+    || '<fim_middle>'
+    || substr(text, CAST(lo AS INTEGER) + 1, CAST(hi - lo AS INTEGER))
+  ELSE text END) AS fim_md5
+FROM g ORDER BY doc_id
+"""
+
+
 _WEB_CAP_K = 30
 
 
@@ -3049,6 +3098,7 @@ QUERIES = {
     "lm_trained_ppl_docs": q_lm_trained_ppl_docs,
     "grouped_quantiles_docs": q_grouped_quantiles_docs,
     "chunk_docs": q_chunk_docs,
+    "fim_docs": q_fim_docs,
     "web_pipeline_docs": q_web_pipeline_docs,
     "media_decode_stats": q_media_decode_stats,
     # rows-only (no SQL oracle):
@@ -3139,6 +3189,7 @@ ORACLE_SQL = {
     "substr_dup_docs": SQL_SUBSTR_DUP_DOCS,
     "grouped_quantiles_docs": SQL_GROUPED_QUANTILES_DOCS,
     "chunk_docs": SQL_CHUNK_DOCS,
+    "fim_docs": SQL_FIM_DOCS,
     "web_pipeline_docs": SQL_WEB_PIPELINE_DOCS,
     "media_decode_stats": SQL_MEDIA_DECODE_STATS,
 }
@@ -3588,6 +3639,26 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
 
 
+def q_chunk_fim_docs(sf_dir: str) -> pd.DataFrame:
+    """Document reshaping for training, both methods in one frame:
+    'chunk' = fixed-size overlapping chunks (v1 = chunk_idx, v2 = start,
+    h = chunk md5); 'fim' = fill-in-the-middle PSM transform (v1 = cut_lo,
+    -1 when not applied; v2 = cut_hi; h = transformed-text md5)."""
+    ch = _run_part("chunk_docs", sf_dir)
+    fi = _run_part("fim_docs", sf_dir)
+    frames = [
+        pd.DataFrame({"method": "chunk", "doc_id": ch["doc_id"],
+                      "v1": ch["chunk_idx"], "v2": ch["start"],
+                      "h": ch["chunk_md5"]}),
+        pd.DataFrame({"method": "fim", "doc_id": fi["doc_id"],
+                      "v1": fi["cut_lo"], "v2": fi["cut_hi"],
+                      "h": fi["fim_md5"]}),
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["method", "doc_id", "v1"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def q_code_payload_corpus(sf_dir: str) -> pd.DataFrame:
     """Code-payload extraction in one frame: import counts ('imports', module,
     '', cnt) and per-repo license majority ('license', repo, license, cnt)."""
@@ -3680,6 +3751,13 @@ SQL_CODE_PAYLOAD_CORPUS = _union_sql(
       "license_majority_corpus")],
     "kind, key",
 )
+SQL_CHUNK_FIM_DOCS = _union_sql(
+    [("'chunk' AS method",
+      "doc_id, chunk_idx AS v1, start AS v2, chunk_md5 AS h", "chunk_docs"),
+     ("'fim'", "doc_id, cut_lo AS v1, cut_hi AS v2, fim_md5 AS h",
+      "fim_docs")],
+    "method, doc_id, v1",
+)
 
 
 # ---- the public 50-entry catalog ------------------------------------------ #
@@ -3731,7 +3809,7 @@ QUERIES = {
     "fingerprint_docs": q_fingerprint_docs,
     "perplexity_methods_docs": q_perplexity_methods_docs,
     "grouped_quantiles_docs": q_grouped_quantiles_docs,
-    "chunk_docs": q_chunk_docs,
+    "chunk_fim_docs": q_chunk_fim_docs,
     "web_pipeline_docs": q_web_pipeline_docs,
     "media_decode_stats": q_media_decode_stats,
     "neardup_docs": q_neardup_docs,
@@ -3756,6 +3834,7 @@ ORACLE_SQL.update({
     "urlops_docs": SQL_URLOPS_DOCS,
     "token_stats_methods_docs": SQL_TOKEN_STATS_METHODS_DOCS,
     "code_payload_corpus": SQL_CODE_PAYLOAD_CORPUS,
+    "chunk_fim_docs": SQL_CHUNK_FIM_DOCS,
 })
 
 assert len(QUERIES) == 50, f"catalog must stay at 50 entries, got {len(QUERIES)}"
