@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "cc_cluster_docs",
     "bpe_train_merges",
     "fim_docs",
+    "html_extract_docs",
 ]
 
 

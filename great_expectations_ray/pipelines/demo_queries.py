@@ -2192,6 +2192,66 @@ n AS (SELECT doc_id, dirty,
 SELECT doc_id, norm_text, (norm_text <> dirty) AS changed FROM n ORDER BY doc_id
 """
 
+_HTML_PRE = ("<html><head><title>Doc </title>"
+             "<style>p{color:red}</style>"
+             "<script>var x = '<b>not text</b>';</script></head><body><p>")
+_HTML_POST = ('</p><!-- footer --><div class="f">&amp; fin&nbsp;</div>'
+              "</body></html>")
+
+
+def q_html_extract_docs(sf_dir: str) -> pd.DataFrame:
+    """HTML -> text extraction (stages/html_extract.py): every doc is
+    wrapped in a deterministic HTML shell (title/style/script/comment/
+    entities) on BOTH sides, then the identical RE2 pipeline extracts the
+    text — char count + md5 prove the result."""
+    from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.html_extract import extract_html_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(tbl: pa.Table) -> pa.Table:
+        t = pc.cast(pc.fill_null(tbl.column("text"), ""), pa.large_string())
+        n = tbl.num_rows
+
+        def lit(s):
+            return pa.array([s] * n, pa.large_string())
+
+        html = pc.binary_join_element_wise(
+            lit(_HTML_PRE), t, lit(_HTML_POST),
+            pa.scalar("", pa.large_string()))
+        return pa.table({"doc_id": tbl.column("doc_id"), "html": html})
+
+    pages = ds.map_batches(wrap, batch_format="pyarrow", zero_copy_batch=True)
+    out = extract_html_text(pages)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        t = tbl.column("text")
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(t), pa.int64()),
+            "out_md5": md5_column(t),
+        })
+
+    res = out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_html_extract_docs() -> str:
+    from great_expectations_ray.stages.html_extract import oracle_sql_expr
+
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return (
+        "WITH h AS (SELECT doc_id, "
+        f"'{pre}' || coalesce(text, '') || '{post}' AS html FROM documents), "
+        f"e AS (SELECT doc_id, {oracle_sql_expr('html')} AS t FROM h) "
+        "SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, "
+        "md5(t) AS out_md5 FROM e ORDER BY doc_id"
+    )
+
+
+SQL_HTML_EXTRACT_DOCS = _sql_html_extract_docs()
+
 
 # --------------------------------------------------------------------------- #
 # code-payload corpus queries (code metrics / imports / licenses)
@@ -3087,6 +3147,7 @@ QUERIES = {
     "bm25_search_docs": q_bm25_search_docs,
     "mix_repetition_docs": q_mix_repetition_docs,
     "normalize_docs": q_normalize_docs,
+    "html_extract_docs": q_html_extract_docs,
     "code_metrics_corpus": q_code_metrics_corpus,
     "imports_corpus": q_imports_corpus,
     "license_majority_corpus": q_license_majority_corpus,
@@ -3179,6 +3240,7 @@ ORACLE_SQL = {
     "bm25_search_docs": SQL_BM25_SEARCH_DOCS,
     "mix_repetition_docs": SQL_MIX_REPETITION_DOCS,
     "normalize_docs": SQL_NORMALIZE_DOCS,
+    "html_extract_docs": SQL_HTML_EXTRACT_DOCS,
     "code_metrics_corpus": SQL_CODE_METRICS_CORPUS,
     "imports_corpus": SQL_IMPORTS_CORPUS,
     "license_majority_corpus": SQL_LICENSE_MAJORITY_CORPUS,
@@ -3639,6 +3701,30 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
 
 
+def q_rewrite_docs(sf_dir: str) -> pd.DataFrame:
+    """Text rewrite methods in one frame: 'normalize' = the full
+    normalization pipeline (control-strip/NFC/quotes/lowercase/ws), 'html' =
+    HTML -> text extraction over a deterministic HTML shell.  For each:
+    v = output char count, h = output md5."""
+    import hashlib
+
+    nz = _run_part("normalize_docs", sf_dir)
+    hx = _run_part("html_extract_docs", sf_dir)
+    frames = [
+        pd.DataFrame({
+            "method": "normalize", "doc_id": nz["doc_id"],
+            "v": nz["norm_text"].str.len().astype("int64"),
+            "h": [hashlib.md5(s.encode()).hexdigest()
+                  for s in nz["norm_text"]],
+        }),
+        pd.DataFrame({"method": "html", "doc_id": hx["doc_id"],
+                      "v": hx["n_chars"], "h": hx["out_md5"]}),
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["method", "doc_id"],
+                           kind="mergesort").reset_index(drop=True)
+
+
 def q_chunk_fim_docs(sf_dir: str) -> pd.DataFrame:
     """Document reshaping for training, both methods in one frame:
     'chunk' = fixed-size overlapping chunks (v1 = chunk_idx, v2 = start,
@@ -3758,6 +3844,13 @@ SQL_CHUNK_FIM_DOCS = _union_sql(
       "fim_docs")],
     "method, doc_id, v1",
 )
+SQL_REWRITE_DOCS = _union_sql(
+    [("'normalize' AS method",
+      "doc_id, CAST(length(norm_text) AS BIGINT) AS v, md5(norm_text) AS h",
+      "normalize_docs"),
+     ("'html'", "doc_id, n_chars AS v, out_md5 AS h", "html_extract_docs")],
+    "method, doc_id",
+)
 
 
 # ---- the public 50-entry catalog ------------------------------------------ #
@@ -3800,7 +3893,7 @@ QUERIES = {
     "c4_clean_docs": q_c4_clean_docs,
     "bm25_search_docs": q_bm25_search_docs,
     "mix_repetition_docs": q_mix_repetition_docs,
-    "normalize_docs": q_normalize_docs,
+    "rewrite_docs": q_rewrite_docs,
     "code_metrics_corpus": q_code_metrics_corpus,
     "code_payload_corpus": q_code_payload_corpus,
     "urlops_docs": q_urlops_docs,
@@ -3835,6 +3928,7 @@ ORACLE_SQL.update({
     "token_stats_methods_docs": SQL_TOKEN_STATS_METHODS_DOCS,
     "code_payload_corpus": SQL_CODE_PAYLOAD_CORPUS,
     "chunk_fim_docs": SQL_CHUNK_FIM_DOCS,
+    "rewrite_docs": SQL_REWRITE_DOCS,
 })
 
 assert len(QUERIES) == 50, f"catalog must stay at 50 entries, got {len(QUERIES)}"
