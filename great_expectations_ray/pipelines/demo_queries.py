@@ -3297,6 +3297,14 @@ ORACLE_SQL.update({
         "ngram_jaccard_neardup_docs", "doc_id, is_neardup", _FP_DOCS, "doc_id"),
     "bpe_train_merges": _fixture_sql(
         "bpe_train_merges", "rank, pair, cnt", _FP_DOCS, "rank"),
+    # trained-tokenizer apply: per-doc fixture aggregated per language
+    "bpe_apply_docs": (
+        "SELECT d.lang, SUM(f.bpe_tokens) AS bpe_tokens, "
+        "COUNT(*) AS n_docs "
+        f"FROM read_parquet('{os.path.join(_FIXTURES, 'bpe_apply_docs.parquet')}') f "
+        "JOIN documents d USING (doc_id) "
+        f"WHERE f.fp = {_FP_DOCS} GROUP BY d.lang ORDER BY d.lang"
+    ),
     "cc_cluster_docs": _fixture_sql(
         "cc_cluster_docs", "doc_id, cluster", _FP_DOCS, "doc_id"),
     # best-of-cluster retention: SQL window over the cc fixture x documents
@@ -3681,6 +3689,36 @@ def q_bpe_train_merges(sf_dir: str) -> pd.DataFrame:
 CONSTITUENT_QUERIES["bpe_train_merges"] = q_bpe_train_merges
 
 
+def q_bpe_apply_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END trained-tokenizer application: learn the BPE merges from
+    the corpus (stages/bpe_train.py train_bpe), then tokenize the SAME corpus
+    with the broadcast encoder (apply_bpe) and report per-language token
+    totals.  Oracle: independent per-doc sequential-merge fixture
+    (tools/gen_oracle_fixtures.py bpe_apply_fixture) aggregated in SQL."""
+    from great_expectations_ray.stages.bpe_train import apply_bpe, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    merges = train_bpe(ds, text_col="text", num_merges=60)
+    toks = apply_bpe(ds, merges, text_col="text", id_col="doc_id",
+                     keep_cols=("lang",))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by("lang").aggregate(
+            [("bpe_tokens", "sum"), ("doc_id", "count")])
+
+    rows = (toks.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all())
+    df = pd.DataFrame(rows)
+    out = (df.groupby("lang", sort=True)
+           .agg(bpe_tokens=("bpe_tokens_sum", "sum"),
+                n_docs=("doc_id_count", "sum"))
+           .reset_index())
+    return out.astype({"bpe_tokens": "int64", "n_docs": "int64"})
+
+
+CONSTITUENT_QUERIES["bpe_apply_docs"] = q_bpe_apply_docs
+
+
 def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     """Token statistics per language by both tokenizers, as generic (v1, v2):
     whitespace = (tokens, alnum_chars); bpe = (ws_tokens, bpe_tokens); plus
@@ -3689,6 +3727,7 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     ws = _run_part("token_stats_docs", sf_dir)
     bpe = _run_part("bpe_token_stats_docs", sf_dir)
     tr = _run_part("bpe_train_merges", sf_dir)
+    ap = _run_part("bpe_apply_docs", sf_dir)
     frames = [
         pd.DataFrame({"method": "whitespace", "lang": ws["lang"],
                       "v1": ws["tokens"], "v2": ws["alnum_chars"]}),
@@ -3696,6 +3735,8 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "v1": bpe["ws_tokens"], "v2": bpe["bpe_tokens"]}),
         pd.DataFrame({"method": "bpe_train", "lang": tr["pair"],
                       "v1": tr["rank"], "v2": tr["cnt"]}),
+        pd.DataFrame({"method": "bpe_apply", "lang": ap["lang"],
+                      "v1": ap["bpe_tokens"], "v2": ap["n_docs"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
@@ -3828,7 +3869,9 @@ SQL_TOKEN_STATS_METHODS_DOCS = _union_sql(
      ("'bpe'", "lang, ws_tokens AS v1, bpe_tokens AS v2",
       "bpe_token_stats_docs"),
      ("'bpe_train'", "pair AS lang, rank AS v1, cnt AS v2",
-      "bpe_train_merges")],
+      "bpe_train_merges"),
+     ("'bpe_apply'", "lang, bpe_tokens AS v1, n_docs AS v2",
+      "bpe_apply_docs")],
     "method, lang",
 )
 SQL_CODE_PAYLOAD_CORPUS = _union_sql(

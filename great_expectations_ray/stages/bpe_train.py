@@ -213,12 +213,13 @@ def apply_bpe(
     *,
     text_col: str = "content",
     id_col: str,
+    keep_cols: tuple[str, ...] = (),
     concurrency=(1, 8),
 ):
     """Per-doc token counts under the learned tokenizer: broadcast the merge
     ranks once (``ray.put``), encode inside an actor pool with a per-actor
     word cache (Zipf makes the cache hit rate high).  Returns a Dataset of
-    (id_col, bpe_tokens)."""
+    (id_col, *keep_cols, bpe_tokens)."""
     import ray
 
     ranks = {(l, r): int(k) for k, l, r in
@@ -248,12 +249,13 @@ def apply_bpe(
                         self.cache[w] = c
                     n += c
                 out[i] = n
-            return pa.table({
-                id_col: tbl.column(id_col),
-                "bpe_tokens": pa.array(out),
-            })
+            cols = {id_col: tbl.column(id_col)}
+            for c in keep_cols:
+                cols[c] = tbl.column(c)
+            cols["bpe_tokens"] = pa.array(out)
+            return pa.table(cols)
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, *keep_cols, text_col]).map_batches(
         _Encoder,
         batch_format="pyarrow",
         zero_copy_batch=True,

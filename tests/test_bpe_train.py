@@ -123,3 +123,26 @@ def test_encode_word_and_apply():
     got = {r["doc_id"]: r["bpe_tokens"] for r in out.take_all()}
     exp1 = sum(len(encode_word(w, ranks)) for w in ["low", "lower", "lowest"])
     assert got == {1: exp1, 2: 3}
+
+
+def test_apply_matches_sequential_fixture_apply(ray_session):
+    """Stage apply (lowest-rank rescans, per-actor cache) == the fixture's
+    sequential rank-order application on a randomized corpus."""
+    from gen_oracle_fixtures import bpe_apply_fixture
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    vocab = ["".join(rng.choice(list("abcdefgh"), size=rng.integers(2, 10)))
+             for _ in range(200)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(120)]
+    docs = pd.DataFrame({"doc_id": range(120), "text": texts})
+    expected = bpe_apply_fixture(docs, num_merges=40)
+
+    from great_expectations_ray.stages.bpe_train import apply_bpe, train_bpe
+    ds = rd.from_pandas(docs).repartition(5)
+    merges = train_bpe(ds, text_col="text", num_merges=40)
+    got = (apply_bpe(ds, merges, text_col="text", id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "bpe_tokens": "int64"}), expected)

@@ -389,6 +389,50 @@ def bpe_train_fixture(docs: pd.DataFrame, num_merges=60, max_words=30_000,
     return df.astype({"rank": "int64", "cnt": "int64"})
 
 
+def bpe_apply_fixture(docs: pd.DataFrame, num_merges=60, max_words=30_000,
+                      min_pair_count=2) -> pd.DataFrame:
+    """Per-doc token counts under the learned BPE — INDEPENDENT apply: the
+    merges are applied to each word SEQUENTIALLY in rank order (classic
+    subword-nmt order; the stage instead re-scans for the lowest-rank pair
+    present — the two strategies provably coincide because a pair's operands
+    must exist before it can be learned, so its rank exceeds the ranks that
+    created them)."""
+    import re as _re
+
+    merges_df = bpe_train_fixture(docs, num_merges=num_merges,
+                                  max_words=max_words,
+                                  min_pair_count=min_pair_count)
+    merges = [tuple(p.split(" ")) for p in merges_df["pair"]]
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    cache: dict[str, int] = {}
+
+    def encode_len(w: str) -> int:
+        n = cache.get(w)
+        if n is not None:
+            return n
+        syms = list(w)
+        for left, right in merges:
+            j, out = 0, []
+            while j < len(syms):
+                if (j < len(syms) - 1 and syms[j] == left
+                        and syms[j + 1] == right):
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        cache[w] = len(syms)
+        return cache[w]
+
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        tot = sum(encode_len(w) for w in splitter.split(text or "") if w)
+        rows.append({"doc_id": did, "bpe_tokens": tot})
+    return pd.DataFrame(rows).astype({"doc_id": "int64",
+                                      "bpe_tokens": "int64"})
+
+
 def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
     """Winnowing fingerprints per doc: unique window-of-w minima over the
     shingle hashes; count + xor-fold digest (int64 view)."""
@@ -764,6 +808,7 @@ def main(sf_dirs: list[str]) -> None:
             ("ngram_jaccard_neardup_docs",
              ngram_jaccard_fixture(docs, threshold=0.985), fp_docs),
             ("bpe_train_merges", bpe_train_fixture(docs), fp_docs),
+            ("bpe_apply_docs", bpe_apply_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
