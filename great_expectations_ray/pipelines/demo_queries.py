@@ -3548,15 +3548,60 @@ ORDER BY doc_id
 """
 
 
+def q_kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed spherical k-means (fixed-point Lloyd, bit-reproducible
+    under any partitioning) + actor-pool assignment."""
+    from great_expectations_ray.stages.kmeans import assign_kmeans, fit_kmeans
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = fit_kmeans(ds, k=8, iters=6, seed=0)
+    rows = assign_kmeans(ds, C).select_columns(
+        ["vec_id", "cluster", "sim"]).take_all()
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
+def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
+    """One-pass streaming PCA (fixed-point moment fold) + broadcast
+    projection onto the top-2 components."""
+    from great_expectations_ray.stages.pca import fit_pca, project_pca
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    model = fit_pca(ds, n_components=2)
+    rows = project_pca(ds, model).select_columns(
+        ["vec_id", "pc1", "pc2"]).take_all()
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+CONSTITUENT_QUERIES["pca_embeddings"] = q_pca_embeddings
+CONSTITUENT_ORACLE_SQL["kmeans_embeddings"] = _fixture_sql(
+    "kmeans_embeddings", "vec_id, cluster, sim", _FP_EMB, "vec_id")
+CONSTITUENT_ORACLE_SQL["pca_embeddings"] = _fixture_sql(
+    "pca_embeddings", "vec_id, pc1, pc2", _FP_EMB, "vec_id")
+
+
 def q_ann_methods_topk(sf_dir: str) -> pd.DataFrame:
-    """ANN top-k by all three methods: brute-force cosine, hyperplane-LSH
-    bucketed, IVF (seeded k-means) probed."""
+    """Embedding-ops family in one frame: ANN top-k by all three methods
+    (brute-force cosine, hyperplane-LSH bucketed, IVF probed), distributed
+    k-means (cluster assignment + cosine-to-centroid arms), and streaming
+    PCA (pc1/pc2 projection arms)."""
     frames = []
     for method, name in [("brute", "ann_topk"), ("lsh", "lsh_ann_topk"),
                          ("ivf", "ivf_ann_topk")]:
         f = _run_part(name, sf_dir)
         f.insert(0, "method", method)
         frames.append(f)
+    km = _run_part("kmeans_embeddings", sf_dir)
+    frames.append(pd.DataFrame({"method": "kmeans_assign",
+                                "vec_id": km["vec_id"],
+                                "sim": km["cluster"].astype("float64")}))
+    frames.append(pd.DataFrame({"method": "kmeans_sim",
+                                "vec_id": km["vec_id"], "sim": km["sim"]}))
+    pc = _run_part("pca_embeddings", sf_dir)
+    frames.append(pd.DataFrame({"method": "pca1", "vec_id": pc["vec_id"],
+                                "sim": pc["pc1"]}))
+    frames.append(pd.DataFrame({"method": "pca2", "vec_id": pc["vec_id"],
+                                "sim": pc["pc2"]}))
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "vec_id"], kind="mergesort").reset_index(drop=True)
 
@@ -3814,7 +3859,12 @@ def _union_sql(parts: list[tuple[str, str, str]], order: str) -> str:
 SQL_ANN_METHODS_TOPK = _union_sql(
     [("'brute' AS method", "vec_id, sim", "ann_topk"),
      ("'lsh'", "vec_id, sim", "lsh_ann_topk"),
-     ("'ivf'", "vec_id, sim", "ivf_ann_topk")],
+     ("'ivf'", "vec_id, sim", "ivf_ann_topk"),
+     ("'kmeans_assign'", "vec_id, CAST(cluster AS DOUBLE) AS sim",
+      "kmeans_embeddings"),
+     ("'kmeans_sim'", "vec_id, sim", "kmeans_embeddings"),
+     ("'pca1'", "vec_id, pc1 AS sim", "pca_embeddings"),
+     ("'pca2'", "vec_id, pc2 AS sim", "pca_embeddings")],
     "method, vec_id",
 )
 SQL_NEARDUP_DOCS = _union_sql(

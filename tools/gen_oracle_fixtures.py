@@ -787,6 +787,85 @@ def dsir_fixture(docs: pd.DataFrame, add_k: float = 0.01, seed: int = 0) -> pd.D
     })
 
 
+# --------------------------------------------------------------------------- #
+# distributed k-means / PCA — whole-matrix numpy reimplementations of the
+# fixed-point accumulation SPEC (scale bits, splitmix init, sign convention);
+# the stages compute the same integer sums per batch + Python-int fold.
+# --------------------------------------------------------------------------- #
+
+KM_SCALE_BITS, KM_K, KM_ITERS, KM_SEED = 34, 8, 6, 0
+PCA_SCALE_BITS, PCA_NCOMP = 20, 2
+
+
+def _splitmix64_one(x: int) -> int:
+    z = (x + 0x9E3779B97F4A7C15) & M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M64
+    return z ^ (z >> 31)
+
+
+def kmeans_fixture(emb: pd.DataFrame) -> pd.DataFrame:
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+
+    def unit(X):
+        return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+
+    keys = [(_splitmix64_one((int(i) & M64) ^ KM_SEED), int(i)) for i in ids]
+    pick = [i for _, i in sorted(zip(keys, range(len(ids))))[:KM_K]]
+    C = unit(M[pick].copy())
+
+    scale = float(1 << KM_SCALE_BITS)
+    Xn = unit(M)
+    for _ in range(KM_ITERS):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        Q = np.rint(Xn * scale).astype(np.int64)
+        for c in range(KM_K):
+            members = Q[assign == c]
+            if len(members):
+                s = [int(v) for v in members.sum(axis=0)]  # exact at this n
+                m = np.array([float(v) for v in s], dtype=np.float64)
+                m /= scale * len(members)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-30:
+                    C[c] = m / nrm
+    sims = Xn @ C.T
+    assign = np.argmax(sims, axis=1)
+    best = np.round(sims[np.arange(len(assign)), assign], 6)
+    return pd.DataFrame({"vec_id": ids, "cluster": assign.astype(np.int64),
+                         "sim": best}).sort_values("vec_id",
+                                                   kind="mergesort").reset_index(drop=True)
+
+
+def pca_fixture(emb: pd.DataFrame) -> pd.DataFrame:
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    n = M.shape[0]
+    dim = M.shape[1]
+    Q = np.rint(M * float(1 << PCA_SCALE_BITS)).astype(np.int64)
+    S = [int(v) for v in Q.sum(axis=0)]
+    G = Q.T @ Q  # exact int64 at this n
+    denom = float((1 << (2 * PCA_SCALE_BITS)) * n * (n - 1))
+    cov = np.empty((dim, dim), dtype=np.float64)
+    for i in range(dim):
+        for j in range(i, dim):
+            num = n * int(G[i, j]) - S[i] * S[j]
+            cov[i, j] = cov[j, i] = float(num) / denom
+    mean = np.array([float(s) for s in S], dtype=np.float64)
+    mean /= float((1 << PCA_SCALE_BITS) * n)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_NCOMP]
+    comps = evecs[:, order].T.copy()
+    for r in range(comps.shape[0]):
+        piv = int(np.argmax(np.abs(comps[r])))
+        if comps[r, piv] < 0:
+            comps[r] = -comps[r]
+    scores = np.round((M - mean) @ comps.T, 6)
+    return pd.DataFrame({"vec_id": ids, "pc1": scores[:, 0],
+                         "pc2": scores[:, 1]}).sort_values(
+        "vec_id", kind="mergesort").reset_index(drop=True)
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -819,6 +898,8 @@ def main(sf_dirs: list[str]) -> None:
             ("fasttext_langid_docs", fasttext_fixture(docs), fp_docs),
             ("dsir_docs", dsir_fixture(docs), fp_docs),
             ("semdedup_embeddings", semdedup_fixture(emb), fp_emb),
+            ("kmeans_embeddings", kmeans_fixture(emb), fp_emb),
+            ("pca_embeddings", pca_fixture(emb), fp_emb),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
