@@ -3572,6 +3572,68 @@ def q_pca_embeddings(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
 
 
+def q_knn_graph_embeddings(sf_dir: str) -> pd.DataFrame:
+    """kNN-graph strip: exact cosine top-5 neighbors for the 8 lowest
+    vec_ids in ONE corpus stream (fixed-point int64 dots — bit-reproducible
+    and pure-SQL-oracle-able; see stages/ann.multi_query_topk)."""
+    from great_expectations_ray.stages.ann import multi_query_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = sorted(ds.filter(expr="vec_id < 8").take_all(),
+                   key=lambda r: r["vec_id"])
+    qids = [int(r["vec_id"]) for r in qrows]
+    Qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    triples = multi_query_topk(ds, qids, Qm, k=5)
+    return pd.DataFrame(triples, columns=["qid", "vec_id", "sim"]) \
+        .sort_values(["qid", "vec_id"]).reset_index(drop=True)
+
+
+SQL_KNN_GRAPH_EMBEDDINGS = """
+WITH qi AS (SELECT vec_id AS qid,
+  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1048576.0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 8),
+ei AS (SELECT vec_id,
+  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE)*1048576.0) AS BIGINT)) AS ev
+  FROM embeddings),
+sims AS (SELECT qi.qid, ei.vec_id,
+  CAST(list_sum(list_transform(list_zip(qi.qv, ei.ev), x -> x[1]*x[2])) AS BIGINT) AS dot,
+  CAST(list_sum(list_transform(qi.qv, v -> v*v)) AS BIGINT) AS qn2,
+  CAST(list_sum(list_transform(ei.ev, v -> v*v)) AS BIGINT) AS en2
+ FROM qi CROSS JOIN ei WHERE ei.vec_id != qi.qid AND
+  CAST(list_sum(list_transform(ei.ev, v -> v*v)) AS BIGINT) > 0)
+SELECT qid, vec_id,
+  CAST(dot AS DOUBLE)/sqrt(CAST(qn2 AS DOUBLE)*CAST(en2 AS DOUBLE)) AS sim
+FROM sims
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) <= 5
+ORDER BY qid, vec_id
+"""
+
+def q_kmeans_cap_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Cluster-capped diversity sampling (SSL-curation retention): keep at
+    most 8 members per k-means cluster, lowest vec_id first — distributed
+    fit + assign, then ONE bucketed window exchange (windowed_rank)."""
+    from great_expectations_ray.functions.window_rank import windowed_rank
+    from great_expectations_ray.stages.kmeans import assign_kmeans, fit_kmeans
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    C = fit_kmeans(ds, k=8, iters=6, seed=0)
+    assigned = assign_kmeans(ds, C).select_columns(["vec_id", "cluster"])
+    ranked = windowed_rank(assigned, partition_by="cluster",
+                           order_by="vec_id", outputs=("row_number",),
+                           keep_cols=("vec_id",))
+    df = pd.DataFrame(ranked.take_all())
+    df["keep"] = (df["row_number"] <= 8).astype("int64")
+    return df[["vec_id", "keep"]].sort_values("vec_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["kmeans_cap_embeddings"] = q_kmeans_cap_embeddings
+CONSTITUENT_ORACLE_SQL["kmeans_cap_embeddings"] = _fixture_sql(
+    "kmeans_embeddings",
+    "vec_id, CAST(ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY vec_id)"
+    " <= 8 AS BIGINT) AS keep",
+    _FP_EMB, "vec_id")
+CONSTITUENT_QUERIES["knn_graph_embeddings"] = q_knn_graph_embeddings
+CONSTITUENT_ORACLE_SQL["knn_graph_embeddings"] = SQL_KNN_GRAPH_EMBEDDINGS
 CONSTITUENT_QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 CONSTITUENT_QUERIES["pca_embeddings"] = q_pca_embeddings
 CONSTITUENT_ORACLE_SQL["kmeans_embeddings"] = _fixture_sql(
@@ -3583,8 +3645,10 @@ CONSTITUENT_ORACLE_SQL["pca_embeddings"] = _fixture_sql(
 def q_ann_methods_topk(sf_dir: str) -> pd.DataFrame:
     """Embedding-ops family in one frame: ANN top-k by all three methods
     (brute-force cosine, hyperplane-LSH bucketed, IVF probed), distributed
-    k-means (cluster assignment + cosine-to-centroid arms), and streaming
-    PCA (pc1/pc2 projection arms)."""
+    k-means (cluster assignment + cosine-to-centroid arms), streaming
+    PCA (pc1/pc2 projection arms), the multi-query kNN-graph strip
+    (encoded qid*100000+neighbor key), and cluster-capped diversity
+    sampling (keep flag as sim)."""
     frames = []
     for method, name in [("brute", "ann_topk"), ("lsh", "lsh_ann_topk"),
                          ("ivf", "ivf_ann_topk")]:
@@ -3602,6 +3666,16 @@ def q_ann_methods_topk(sf_dir: str) -> pd.DataFrame:
                                 "sim": pc["pc1"]}))
     frames.append(pd.DataFrame({"method": "pca2", "vec_id": pc["vec_id"],
                                 "sim": pc["pc2"]}))
+    kn = _run_part("knn_graph_embeddings", sf_dir)
+    frames.append(pd.DataFrame({
+        "method": "knn",
+        # encoded (query, neighbor) key — vec-id space < 100000 documented
+        "vec_id": kn["qid"] * 100000 + kn["vec_id"],
+        "sim": kn["sim"]}))
+    kc = _run_part("kmeans_cap_embeddings", sf_dir)
+    frames.append(pd.DataFrame({"method": "kmeans_cap",
+                                "vec_id": kc["vec_id"],
+                                "sim": kc["keep"].astype("float64")}))
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "vec_id"], kind="mergesort").reset_index(drop=True)
 
@@ -3864,7 +3938,10 @@ SQL_ANN_METHODS_TOPK = _union_sql(
       "kmeans_embeddings"),
      ("'kmeans_sim'", "vec_id, sim", "kmeans_embeddings"),
      ("'pca1'", "vec_id, pc1 AS sim", "pca_embeddings"),
-     ("'pca2'", "vec_id, pc2 AS sim", "pca_embeddings")],
+     ("'pca2'", "vec_id, pc2 AS sim", "pca_embeddings"),
+     ("'knn'", "qid*100000 + vec_id AS vec_id, sim", "knn_graph_embeddings"),
+     ("'kmeans_cap'", "vec_id, CAST(keep AS DOUBLE) AS sim",
+      "kmeans_cap_embeddings")],
     "method, vec_id",
 )
 SQL_NEARDUP_DOCS = _union_sql(

@@ -232,9 +232,19 @@ def partitioner_to_sql(partitioner: dict) -> str:
         return (
             f"{col} >= {partitioner['min']!r} AND {col} < {partitioner['max']!r}"
         )
+    if t == "hashed":
+        # parity with functions/partitioners.partition_on_hashed_column:
+        # md5(str(value)), last 8 hex chars as int, mod n_buckets.  str()/
+        # VARCHAR agree for integer and string columns (floats format
+        # differently — partition those in Ray after the read).
+        return (
+            f"(CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 25, 8)) "
+            f"AS BIGINT) % {int(partitioner['n_buckets'])}) "
+            f"= {int(partitioner['value'])}"
+        )
     raise NotImplementedError(
-        f"partitioner type {t!r} is not SQL-pushable (hashed partitioners "
-        "need a portable hash function; partition in Ray after the read)"
+        f"partitioner type {t!r} is not SQL-pushable; "
+        "partition in Ray after the read"
     )
 
 
@@ -255,6 +265,17 @@ def sampler_to_sql(sampler: dict) -> tuple[str | None, int | None]:
             for v in sampler["values"]
         )
         return f"{col} IN ({vals})", None
+    if t == "hash":
+        # parity with stages/dedup.sample_using_hash: md5(str(value)) hex
+        # suffix equality (reference ``sample_using_hash``).  Same str()/
+        # VARCHAR caveat as the hashed partitioner: ints/strings only.
+        col = _quote_ident(sampler["column"])
+        digits = int(sampler.get("digits", 1))
+        matches = str(sampler.get("matches", "0")).replace("'", "''")
+        return (
+            f"substr(md5(CAST({col} AS VARCHAR)), {33 - digits}, {digits}) "
+            f"= '{matches}'"
+        ), None
     raise NotImplementedError(
         f"sampler type {t!r} is not SQL-pushable (random samplers depend on "
         "backend RNG; sample in Ray after the read)"

@@ -205,3 +205,84 @@ def ivf_topk(
     rows = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True).take_all()
     best = heapq.nsmallest(k, rows, key=lambda r: (-r["cosine"], r[id_col]))
     return [(int(r[id_col]), float(r["cosine"])) for r in best]
+
+
+def multi_query_topk(
+    ds,
+    query_ids,
+    query_matrix,
+    k: int = 5,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    scale_bits: int = 20,
+):
+    """kNN-graph strip: exact cosine top-k neighbors for a BOUNDED query set
+    in ONE corpus stream (the batch form of similarity search — building a
+    full kNN graph = running strips of Q queries; Q is the broadcast side).
+
+    The query block (ids + matrix + norms) ships once via ``ray.put``; each
+    batch computes one integer matmul and emits its LOCAL per-query top-k,
+    so the driver merge sees Q x k x #blocks rows — never the corpus.
+
+    Fixed-point contract (what makes the result bit-reproducible AND
+    expressible as a pure-SQL oracle): every element is quantized
+    ``floor(float64(v) * 2**scale_bits)`` — the multiply is exact for
+    float32 inputs (power-of-two scale), so floor is unambiguous — and the
+    dot products / squared norms are EXACT int64 arithmetic.  The only
+    float steps, ``dot / sqrt(qn2 * en2)``, are single IEEE operations on
+    exactly-known integers, identical in any engine (DuckDB included).
+    Ranking ties break by ascending id.  Rows whose quantized norm is zero
+    are excluded (cosine undefined).
+    """
+    import ray
+
+    scale = float(1 << scale_bits)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    Qi = np.floor(np.asarray(query_matrix, dtype=np.float64) * scale).astype(np.int64)
+    qn2 = (Qi * Qi).sum(axis=1).astype(np.float64)
+    q_ref = ray.put((qids, Qi, qn2))
+
+    def local(tbl: pa.Table) -> pa.Table:
+        qids_, Qi_, qn2_ = ray.get(q_ref)
+        M = _emb_matrix(tbl.column(emb_col))
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if M.shape[0] == 0:
+            return empty
+        Ei = np.floor(M * scale).astype(np.int64)
+        en2 = (Ei * Ei).sum(axis=1).astype(np.float64)
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        valid = en2 > 0
+        if not valid.all():
+            Ei, en2, ids = Ei[valid], en2[valid], ids[valid]
+        if Ei.shape[0] == 0:
+            return empty
+        dots = Ei @ Qi_.T  # exact int64: |q| < 2^(scale_bits+6) per element
+        sims = dots.astype(np.float64) / np.sqrt(en2[:, None] * qn2_[None, :])
+        out_q, out_i, out_s = [], [], []
+        for j in range(len(qids_)):
+            s = sims[:, j].copy()
+            s[ids == qids_[j]] = -np.inf  # exclude self
+            take = min(k, len(s))
+            part = np.argpartition(-s, take - 1)[:take]
+            keep = part[np.isfinite(s[part])]
+            out_q.append(np.full(len(keep), qids_[j], dtype=np.int64))
+            out_i.append(ids[keep])
+            out_s.append(s[keep])
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_i)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+    rows = ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(int(r["qid"]), []).append(r)
+    out = []
+    for qid in sorted(per_q):
+        best = heapq.nsmallest(k, per_q[qid],
+                               key=lambda r: (-r["sim"], r[id_col]))
+        out.extend((qid, int(r[id_col]), float(r["sim"])) for r in best)
+    return out

@@ -315,10 +315,37 @@ def test_sql_pushdown_row_condition_partitioner_sampler(tmp_path, ray_session):
         base, row_condition='col("name") == "o\'brien" and col("v") > 1')
     assert "''" in sql and "WHERE" in sql  # quote escaped, predicate present
 
+    # hashed partitioner pushdown: md5-tail mod in SQL — value parity with
+    # the in-Ray functions/partitioners.partition_on_hashed_column
+    import hashlib
+
+    def _bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[24:32], 16) % 7
+
+    ds = read_sql_source(
+        base, factory,
+        partitioner={"type": "hashed", "column": "id", "n_buckets": 7,
+                     "value": 3},
+    )
+    assert sorted(r["id"] for r in ds.take_all()) == [
+        i for i in range(100) if _bucket(i) == 3]
+
+    # hash sampler pushdown: md5 hex-suffix equality — reference
+    # sample_using_hash semantics (stages/dedup.sample_using_hash)
+    def _tail(i: int) -> str:
+        return hashlib.md5(str(i).encode()).hexdigest()[-1:]
+
+    ds = read_sql_source(
+        base, factory,
+        sampler={"type": "hash", "column": "id", "digits": 1, "matches": "a"},
+    )
+    assert sorted(r["id"] for r in ds.take_all()) == [
+        i for i in range(100) if _tail(i) == "a"]
+
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="hashed"):
-        compile_sql_pushdown(base, partitioner={"type": "hashed", "column": "id"})
+    with _pytest.raises(NotImplementedError, match="random"):
+        compile_sql_pushdown(base, sampler={"type": "random", "p": 0.5})
 
 
 def test_fwf_pickle_partitioner_readers(tmp_path):
