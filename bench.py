@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "fim_docs",
     "html_extract_docs",
+    "kmeans_embeddings",
+    "knn_graph_embeddings",
 ]
 
 

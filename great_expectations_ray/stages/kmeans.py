@@ -142,9 +142,17 @@ def lloyd_update(ds, C: np.ndarray, *, emb_col: str = "embedding") -> np.ndarray
     )
     # exact fold: Python ints (arbitrary precision), streamed — the driver
     # never holds more than one partial batch
+    return _fold_partials(partials.iter_batches(batch_format="pyarrow"),
+                          k, dim, C)
+
+
+def _fold_partials(tables, k: int, dim: int, C: np.ndarray) -> np.ndarray:
+    """Exact Python-int fold of partial tables → new unit centroids.
+    Integer sums are order-independent, so ANY grouping of the input into
+    tables gives bit-identical output."""
     counts = [0] * k
     sums = [[0] * dim for _ in range(k)]
-    for b in partials.iter_batches(batch_format="pyarrow"):
+    for b in tables:
         cl = b.column("cluster").to_pylist()
         n = b.column("count").to_pylist()
         qs = b.column("qsum").to_pylist()
@@ -166,10 +174,36 @@ def lloyd_update(ds, C: np.ndarray, *, emb_col: str = "embedding") -> np.ndarray
 
 
 def fit_kmeans(ds, k: int = 8, iters: int = 6, *, id_col: str = "vec_id",
-               emb_col: str = "embedding", seed: int = 0) -> np.ndarray:
+               emb_col: str = "embedding", seed: int = 0,
+               max_driver_rows: int = 100_000) -> np.ndarray:
     """Distributed spherical k-means fit: ``iters`` + 1 streaming passes
     (init pick + Lloyd updates), no shuffle, bit-reproducible under any
-    partitioning (see module docstring)."""
+    partitioning (see module docstring).
+
+    Small tables (≤ ``max_driver_rows``) take a driver fast path: ONE
+    materialization, then the SAME quantized-integer iteration locally —
+    bit-identical to the distributed path by construction (integer partial
+    sums are order-independent), without paying ``iters`` × executor
+    fixed cost.  Same pattern as stages/cc_cluster's max_driver_edges."""
+    if max_driver_rows and ds.count() <= max_driver_rows:
+        import ray as _ray
+
+        refs = ds.select_columns([id_col, emb_col]).to_arrow_refs()
+        tables = [t for t in _ray.get(refs) if t.num_rows]
+        if not tables:
+            raise ValueError("kmeans: empty dataset")
+        tbl = pa.concat_tables(tables)
+        ids = np.asarray(tbl.column(id_col), dtype=np.int64)
+        keys = _splitmix64(ids.view(np.uint64) ^ np.uint64(seed & _U64))
+        order = sorted(range(len(ids)), key=lambda i: (int(keys[i]), int(ids[i])))
+        pick = order[:min(k, len(ids))]
+        M = _emb_matrix(tbl.column(emb_col))
+        C = _normalize_rows(M[pick].astype(np.float64, copy=True))
+        dim = C.shape[1]
+        for _ in range(iters):
+            C = _fold_partials([_batch_partials(tbl, C, emb_col)],
+                               C.shape[0], dim, C)
+        return C
     C = init_centroids(ds, k, id_col=id_col, emb_col=emb_col, seed=seed)
     for _ in range(iters):
         C = lloyd_update(ds, C, emb_col=emb_col)

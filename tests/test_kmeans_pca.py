@@ -31,14 +31,25 @@ def test_kmeans_bitwise_stable_under_repartition(ray_session):
     df = _emb_df()
     ds1 = rd.from_pandas(df)
     ds2 = rd.from_pandas(df).repartition(7)
-    C1 = fit_kmeans(ds1, k=4, iters=4, seed=3)
-    C2 = fit_kmeans(ds2, k=4, iters=4, seed=3)
+    # max_driver_rows=0 forces the distributed path on both
+    C1 = fit_kmeans(ds1, k=4, iters=4, seed=3, max_driver_rows=0)
+    C2 = fit_kmeans(ds2, k=4, iters=4, seed=3, max_driver_rows=0)
     assert np.array_equal(C1, C2)  # bit-identical, not allclose
 
     a1 = assign_kmeans(ds1, C1).to_pandas().sort_values("vec_id")
     a2 = assign_kmeans(ds2, C2).to_pandas().sort_values("vec_id")
     assert a1["cluster"].tolist() == a2["cluster"].tolist()
     assert a1["sim"].tolist() == a2["sim"].tolist()
+
+
+def test_kmeans_driver_fast_path_is_bit_identical(ray_session):
+    """The small-table fast path (one materialization, same integer math)
+    must equal the distributed path bit-for-bit."""
+    df = _emb_df(100, seed=7)
+    ds = rd.from_pandas(df).repartition(5)
+    C_fast = fit_kmeans(ds, k=4, iters=4, seed=3)  # 100 <= cap -> fast
+    C_dist = fit_kmeans(ds, k=4, iters=4, seed=3, max_driver_rows=0)
+    assert np.array_equal(C_fast, C_dist)
 
 
 def test_kmeans_init_is_partitioning_free(ray_session):
