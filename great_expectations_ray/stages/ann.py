@@ -240,6 +240,10 @@ def multi_query_topk(
     scale = float(1 << scale_bits)
     qids = np.asarray(query_ids, dtype=np.int64)
     Qi = np.floor(np.asarray(query_matrix, dtype=np.float64) * scale).astype(np.int64)
+    if np.abs(Qi).max(initial=0) >= (1 << 25):
+        raise ValueError(
+            "multi_query_topk: query magnitude too large for "
+            f"scale_bits={scale_bits}; normalize the column or lower it")
     qn2 = (Qi * Qi).sum(axis=1).astype(np.float64)
     q_ref = ray.put((qids, Qi, qn2))
 
@@ -252,6 +256,11 @@ def multi_query_topk(
         if M.shape[0] == 0:
             return empty
         Ei = np.floor(M * scale).astype(np.int64)
+        if np.abs(Ei).max(initial=0) >= (1 << 25):
+            # dot-product bound: 2^25 els over <=2^13 dims stay under 2^63
+            raise ValueError(
+                "multi_query_topk: input magnitude too large for "
+                f"scale_bits={scale_bits}; normalize the column or lower it")
         en2 = (Ei * Ei).sum(axis=1).astype(np.float64)
         ids = np.asarray(tbl.column(id_col), dtype=np.int64)
         valid = en2 > 0
