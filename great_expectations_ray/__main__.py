@@ -5,6 +5,7 @@ Commands:
   validate  apply a suite JSON to one table and print the suite result
   docs      build the static Data Docs HTML site from stored results
   profile   one-pass column profile; optionally emit a suggested suite
+  dedup     deduplicate a parquet corpus (exact/minhash/simhash/paragraph)
   drift     diff two tables' profiles; exit 1 when drift is detected
 """
 
@@ -149,6 +150,70 @@ def cmd_drift(args) -> int:
     return 1 if rep["drifted"] else 0
 
 
+def cmd_dedup(args) -> int:
+    """Deduplicate a parquet corpus and write the survivors (partitioned).
+
+    exact      keep-first by key columns (bucketed, skew-mitigated)
+    minhash    drop LSH near-duplicates (banded MinHash, verified)
+    simhash    drop Hamming-blocked near-duplicates
+    paragraph  rewrite docs so each paragraph survives once corpus-wide
+    """
+    import ray.data as rd
+
+    owned = _init_ray(args.cpus)
+    try:
+        ds = rd.read_parquet(args.input)
+        n_in = ds.count()
+        if args.method == "exact":
+            from great_expectations_ray.stages.dedup import dedup_exact
+
+            keys = (args.key_cols.split(",") if args.key_cols
+                    else [args.text_col])
+            out = dedup_exact(ds, key_columns=keys, order_by=args.id_col)
+        elif args.method in ("minhash", "simhash"):
+            from great_expectations_ray.functions.joins import hash_bucket_join
+            from great_expectations_ray.stages import neardup
+
+            if args.method == "minhash":
+                marks = neardup.minhash_lsh_mark_duplicates(
+                    ds, text_col=args.text_col, id_col=args.id_col,
+                    jaccard_threshold=args.jaccard_threshold)
+            else:
+                marks = neardup.simhash_mark_duplicates(
+                    ds, text_col=args.text_col, id_col=args.id_col)
+            # bucketed any-mark reducers emit Ray's aggregate column name
+            # (pandas blocks — Dataset.rename_columns needs Arrow blocks)
+            if "max(is_neardup)" in marks.schema().names:
+                marks = marks.map_batches(
+                    lambda df: df.rename(
+                        columns={"max(is_neardup)": "is_neardup"}),
+                    batch_format="pandas")
+            flagged = marks.filter(expr="is_neardup == True")
+            joined = hash_bucket_join(ds, flagged, on=args.id_col, how="left")
+
+            def keep(df):
+                m = df["is_neardup"].fillna(False).astype(bool)
+                return df[~m].drop(columns=["is_neardup"])
+
+            out = joined.map_batches(keep, batch_format="pandas")
+        elif args.method == "paragraph":
+            from great_expectations_ray.stages.paragraph_dedup import dedup_paragraphs
+
+            out = dedup_paragraphs(ds, text_col=args.text_col,
+                                   id_col=args.id_col)
+        else:  # pragma: no cover — argparse choices guard this
+            raise ValueError(args.method)
+        out.repartition(args.partitions).write_parquet(args.output)
+        n_out = rd.read_parquet(args.output).count()
+        print(json.dumps({"method": args.method, "rows_in": n_in,
+                          "rows_out": n_out,
+                          "rows_dropped": n_in - n_out,
+                          "output": args.output}))
+    finally:
+        _maybe_shutdown(owned)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="great_expectations_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -186,6 +251,23 @@ def main(argv=None) -> int:
     pr.add_argument("--suite-name", default="profiled")
     pr.add_argument("--cpus", type=int, default=None)
     pr.set_defaults(fn=cmd_profile)
+
+    dd = sub.add_parser("dedup", help="deduplicate a parquet corpus")
+    dd.add_argument("--input", required=True, help="input parquet glob")
+    dd.add_argument("--output", required=True, help="output directory")
+    dd.add_argument("--method", default="exact",
+                    choices=["exact", "minhash", "simhash", "paragraph"])
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--key-cols",
+                    help="exact method: comma-separated key columns "
+                         "(default: the text column)")
+    dd.add_argument("--jaccard-threshold", type=float, default=None,
+                    help="minhash: verify candidates at this signature-"
+                         "Jaccard threshold")
+    dd.add_argument("--partitions", type=int, default=8)
+    dd.add_argument("--cpus", type=int, default=None)
+    dd.set_defaults(fn=cmd_dedup)
 
     dr = sub.add_parser("drift", help="diff two tables' profiles (exit 1 on drift)")
     dr.add_argument("--baseline", required=True)

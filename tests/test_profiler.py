@@ -87,3 +87,27 @@ def test_cli_profile_and_drift(ray_session, tmp_path):
     rc = main(["drift", "--baseline", "/root/testdata/sf0.001/region.parquet",
                "--current", "/root/testdata/sf0.001/nation.parquet"])
     assert rc == 1  # different schema -> drift
+
+
+def test_cli_dedup_methods(ray_session, tmp_path):
+    """CLI: dedup writes the filtered corpus and reports the drop count;
+    minhash must drop exactly the corpus's planted near-duplicates."""
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out_exact = str(tmp_path / "exact")
+    rc = main(["dedup", "--input", docs, "--output", out_exact,
+               "--method", "exact", "--key-cols", "text"])
+    assert rc == 0
+    n_exact = pq.read_table(out_exact).num_rows
+    assert 0 < n_exact <= 500
+
+    out_mh = str(tmp_path / "mh")
+    rc = main(["dedup", "--input", docs, "--output", out_mh,
+               "--method", "minhash"])
+    assert rc == 0
+    kept = pq.read_table(out_mh)
+    assert kept.num_rows == 476  # 500 - 24 planted near-dups
+    assert "is_neardup" not in kept.schema.names  # helper column dropped
