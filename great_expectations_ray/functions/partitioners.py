@@ -122,3 +122,47 @@ def sample_using_a_list(ds, column: str, value_list: list):
         return tbl.filter(pc.is_in(tbl.column(column), value_set=vals))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_exact_n(ds, n: int, *, column: str, keep_cols: list[str] | None = None):
+    """Deterministic EXACT-N uniform sample — no RNG, no shuffle.
+
+    Rows are ranked by ``md5(str(value))`` (hex-string order, ties by the
+    value itself) and the global bottom-N win.  md5 of a high-entropy key
+    is uniform, so this is a uniform sample that is (a) identical under any
+    partitioning — each block emits only its LOCAL bottom-N candidates and
+    the driver merges #blocks × N keys, (b) expressible in SQL for oracle
+    checks: ``ORDER BY md5(CAST(c AS VARCHAR)), c LIMIT N`` (hex chars sort
+    identically as bytes and under SQL collation).
+
+    Returns the sampled rows as a driver-side pandas DataFrame (a sample is
+    driver-bounded by definition); ``keep_cols`` defaults to just
+    ``column``.  str()/VARCHAR parity: integer and string key columns.
+    """
+    import heapq
+
+    import pandas as pd
+
+    from great_expectations_ray.stages.dedup import md5_column
+
+    cols = sorted(set(keep_cols or []) | {column})
+    pruned = ds.select_columns(cols)
+
+    def local_bottom(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return tbl.append_column("__md5", pa.array([], pa.string()))
+        h = md5_column(tbl.column(column))
+        order = pc.sort_indices(
+            pa.table({"h": h, "v": tbl.column(column)}),
+            sort_keys=[("h", "ascending"), ("v", "ascending")],
+        )
+        take = order[: min(n, tbl.num_rows)]
+        return tbl.take(take).append_column("__md5", h.take(take))
+
+    rows = pruned.map_batches(local_bottom, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    best = heapq.nsmallest(n, rows, key=lambda r: (r["__md5"], r[column]))
+    df = pd.DataFrame(best)
+    if df.empty:
+        return pd.DataFrame(columns=cols)
+    return df.drop(columns=["__md5"]).reset_index(drop=True)

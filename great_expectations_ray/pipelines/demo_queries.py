@@ -3400,11 +3400,31 @@ _COLUMN_MAP_VERDICT_PARTS = [
     "row_condition_lineitem", "json_parseable_events", "mod_sample_events",
     "hash_sample_events", "pushdown_read", "customers_without_orders",
 ]
+def q_exact_n_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic exact-N uniform sample (md5-ordered bottom-N, no RNG,
+    per-block candidates + driver merge — functions/partitioners.
+    sample_exact_n), folded to (n, sum_ids) for the verdict frame."""
+    from great_expectations_ray.functions.partitioners import sample_exact_n
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    picked = sample_exact_n(ds, 37, column="doc_id")
+    return pd.DataFrame({"n": [np.int64(len(picked))],
+                         "sum_ids": [np.int64(picked["doc_id"].sum())]})
+
+
+CONSTITUENT_QUERIES["exact_n_sample_docs"] = q_exact_n_sample_docs
+CONSTITUENT_ORACLE_SQL["exact_n_sample_docs"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS "
+    "sum_ids FROM (SELECT doc_id FROM documents "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 37)"
+)
+_VERDICT_COLS["exact_n_sample_docs"] = [("n", "num"), ("sum_ids", "num")]
+
 _AGG_STATS_VERDICT_PARTS = [
     "agg_quantity", "distinct_mktsegment", "most_common_returnflag",
     "quantiles_price", "unique_prefix_violations", "compound_unique_orders",
     "zscore_quantity", "kl_event_types", "cramers_events",
-    "ks_uniform_quantity",
+    "ks_uniform_quantity", "exact_n_sample_docs",
 ]
 
 

@@ -217,3 +217,24 @@ def test_window_rank_composite_order_and_nulls(ray_session):
     assert out.loc[4, "dense_rank"] == 2
     # rank must not leak across partitions (id=3 is b's first row)
     assert out.loc[3, "row_number"] == 1
+
+
+def test_sample_exact_n_is_partitioning_free(ray_session):
+    """md5-ordered exact-N sample: same N rows under any partitioning;
+    count is EXACTLY n (RNG-free, unlike p-based random_sample)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.partitioners import sample_exact_n
+
+    df = pd.DataFrame({"id": range(200), "v": [f"s{i}" for i in range(200)]})
+    a = sample_exact_n(rd.from_pandas(df), 17, column="id", keep_cols=["v"])
+    b = sample_exact_n(rd.from_pandas(df).repartition(9), 17, column="id",
+                       keep_cols=["v"])
+    assert len(a) == 17
+    assert sorted(a["id"]) == sorted(b["id"])
+    # matches the SQL spec ordering exactly
+    import hashlib
+    want = sorted(range(200),
+                  key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:17]
+    assert sorted(a["id"]) == sorted(want)
