@@ -108,23 +108,23 @@ def _batch_partials(tbl: pa.Table, C: np.ndarray, emb_col: str) -> pa.Table:
             "count": pa.array([], pa.int64()),
             "qsum": pa.array([], pa.list_(pa.int64())),
         })
-    out_cl, out_n, out_s = [], [], []
+    # ONE (k × dim) partial per batch: slice sums accumulate in int64
+    # (cell bound 2^SCALE_BITS · batch_rows ≤ 2^34 · 2^28 < 2^63 — far
+    # above any real block), so the exchange carries k rows per BLOCK,
+    # not per 64k-row slice — #blocks × k total at any corpus size.
+    S = np.zeros((k, dim), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
     for lo in range(0, M.shape[0], MAX_BATCH_ROWS):
         Xn = _normalize_rows(M[lo:lo + MAX_BATCH_ROWS])
         assign = np.argmax(Xn @ C.T, axis=1)
         Q = np.rint(Xn * float(1 << SCALE_BITS)).astype(np.int64)
-        S = np.zeros((k, dim), dtype=np.int64)
         np.add.at(S, assign, Q)
-        counts = np.bincount(assign, minlength=k).astype(np.int64)
-        present = np.nonzero(counts)[0]
-        out_cl.append(present.astype(np.int64))
-        out_n.append(counts[present])
-        out_s.append(S[present])
-    cl = np.concatenate(out_cl)
+        counts += np.bincount(assign, minlength=k).astype(np.int64)
+    present = np.nonzero(counts)[0]
     return pa.table({
-        "cluster": pa.array(cl),
-        "count": pa.array(np.concatenate(out_n)),
-        "qsum": pa.array(list(np.concatenate(out_s))) if len(cl)
+        "cluster": pa.array(present.astype(np.int64)),
+        "count": pa.array(counts[present]),
+        "qsum": pa.array(list(S[present])) if len(present)
         else pa.array([], pa.list_(pa.int64())),
     })
 

@@ -8,7 +8,9 @@ Scale shape
 -----------
 ONE streaming pass: each batch emits a single partial row — ``n`` (int64),
 the quantized column sums (int64[dim]) and the quantized Gram matrix
-``QᵀQ`` flattened (int64[dim²]).  No shuffle; the driver folds the partial
+``QᵀQ`` flattened as DECIMAL STRINGS (slice Grams are int64-safe, the
+per-block accumulation is arbitrary-precision, so one row per block is
+exact at any corpus size).  No shuffle; the driver folds the partial
 stream with constant memory and runs an eigendecomposition on the dim×dim
 covariance (dim is small — 64 here — so the driver step is O(dim³), corpus-
 size-free).  Projection is a broadcast matmul per batch.
@@ -60,13 +62,21 @@ class PCAModel:
 
 
 def _batch_moments(tbl: pa.Table, emb_col: str) -> pa.Table:
+    """ONE partial row per batch: slice Grams (int64-safe under
+    ``MAX_BATCH_ROWS``) accumulate into arbitrary-precision Python ints,
+    and the Gram ships as DECIMAL STRINGS — exact beyond int64, so the
+    partial stream stays one row × dim² cells per BLOCK at any corpus
+    size (emitting raw per-4096-row slices would be ~100× the volume at
+    web scale).  Column sums stay int64 (cell ≤ 2^25 · block rows)."""
     M = _emb_matrix(tbl.column(emb_col))
     if M.shape[0] == 0:
         return pa.table({"n": pa.array([], pa.int64()),
                          "qsum": pa.array([], pa.list_(pa.int64())),
-                         "qgram": pa.array([], pa.list_(pa.int64()))})
-    ns, sums, grams = [], [], []
+                         "qgram": pa.array([], pa.list_(pa.string()))})
     scale = float(1 << SCALE_BITS)
+    n = 0
+    S: np.ndarray | None = None
+    G: list[int] | None = None
     for lo in range(0, M.shape[0], MAX_BATCH_ROWS):
         X = M[lo:lo + MAX_BATCH_ROWS]
         Q = np.rint(X * scale).astype(np.int64)
@@ -75,12 +85,20 @@ def _batch_moments(tbl: pa.Table, emb_col: str) -> pa.Table:
                 "pca: input magnitude too large for SCALE_BITS="
                 f"{SCALE_BITS} (|v*2^{SCALE_BITS}| >= 2^{QMAX_BITS}); "
                 "standardize the column or lower SCALE_BITS")
-        ns.append(Q.shape[0])
-        sums.append(Q.sum(axis=0))
-        grams.append((Q.T @ Q).reshape(-1))
-    return pa.table({"n": pa.array(np.asarray(ns, dtype=np.int64)),
-                     "qsum": pa.array(list(np.stack(sums))),
-                     "qgram": pa.array(list(np.stack(grams)))})
+        n += Q.shape[0]
+        s = Q.sum(axis=0)
+        g = (Q.T @ Q).reshape(-1)
+        if S is None:
+            S = s
+            G = [int(v) for v in g]
+        else:
+            S = S + s
+            for j, v in enumerate(g):
+                G[j] += int(v)
+    return pa.table({"n": pa.array([n], pa.int64()),
+                     "qsum": pa.array([S]),
+                     "qgram": pa.array([[str(v) for v in G]],
+                                       pa.list_(pa.string()))})
 
 
 def fit_pca(ds, n_components: int = 4, *, emb_col: str = "embedding") -> PCAModel:
@@ -99,12 +117,12 @@ def fit_pca(ds, n_components: int = 4, *, emb_col: str = "embedding") -> PCAMode
             n_total += cnt
             if S is None:
                 S = list(qs)
-                G = list(qg)
+                G = [int(v) for v in qg]
             else:
                 for j, v in enumerate(qs):
                     S[j] += v
                 for j, v in enumerate(qg):
-                    G[j] += v
+                    G[j] += int(v)
     if S is None or n_total < 2:
         raise ValueError("pca: need at least 2 rows")
     dim = len(S)
