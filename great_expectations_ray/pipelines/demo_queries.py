@@ -3654,6 +3654,27 @@ CONSTITUENT_ORACLE_SQL["kmeans_cap_embeddings"] = _fixture_sql(
     _FP_EMB, "vec_id")
 CONSTITUENT_QUERIES["knn_graph_embeddings"] = q_knn_graph_embeddings
 CONSTITUENT_ORACLE_SQL["knn_graph_embeddings"] = SQL_KNN_GRAPH_EMBEDDINGS
+
+
+def q_pq_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Product quantization: distributed fixed-point per-subspace Lloyd fit
+    (bit-reproducible under any partitioning), actor-pool encode to packed
+    base-16 codes, ADC approximate cosine vs the vec_id=0 query (the
+    compression half of the ANN story — 64 floats -> 4 codes per row)."""
+    from great_expectations_ray.stages.pq import encode_pq, fit_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_row = [r for r in ds.filter(expr="vec_id == 0").take(1)][0]
+    query = np.asarray(q_row["embedding"], dtype=np.float64)
+    model = fit_pq(ds, m=4, ncodes=16, iters=6, seed=5)
+    rows = encode_pq(ds, model, query=query).select_columns(
+        ["vec_id", "code", "adc"]).take_all()
+    return pd.DataFrame(rows).sort_values("vec_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["pq_embeddings"] = q_pq_embeddings
+CONSTITUENT_ORACLE_SQL["pq_embeddings"] = _fixture_sql(
+    "pq_embeddings", "vec_id, code, adc", _FP_EMB, "vec_id")
 CONSTITUENT_QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 CONSTITUENT_QUERIES["pca_embeddings"] = q_pca_embeddings
 CONSTITUENT_ORACLE_SQL["kmeans_embeddings"] = _fixture_sql(
@@ -3696,6 +3717,12 @@ def q_ann_methods_topk(sf_dir: str) -> pd.DataFrame:
     frames.append(pd.DataFrame({"method": "kmeans_cap",
                                 "vec_id": kc["vec_id"],
                                 "sim": kc["keep"].astype("float64")}))
+    pq = _run_part("pq_embeddings", sf_dir)
+    frames.append(pd.DataFrame({"method": "pq_code", "vec_id": pq["vec_id"],
+                                # packed code < 16^4 — exact as float64
+                                "sim": pq["code"].astype("float64")}))
+    frames.append(pd.DataFrame({"method": "pq_adc", "vec_id": pq["vec_id"],
+                                "sim": pq["adc"]}))
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "vec_id"], kind="mergesort").reset_index(drop=True)
 
@@ -3961,7 +3988,9 @@ SQL_ANN_METHODS_TOPK = _union_sql(
      ("'pca2'", "vec_id, pc2 AS sim", "pca_embeddings"),
      ("'knn'", "qid*100000 + vec_id AS vec_id, sim", "knn_graph_embeddings"),
      ("'kmeans_cap'", "vec_id, CAST(keep AS DOUBLE) AS sim",
-      "kmeans_cap_embeddings")],
+      "kmeans_cap_embeddings"),
+     ("'pq_code'", "vec_id, CAST(code AS DOUBLE) AS sim", "pq_embeddings"),
+     ("'pq_adc'", "vec_id, adc AS sim", "pq_embeddings")],
     "method, vec_id",
 )
 SQL_NEARDUP_DOCS = _union_sql(

@@ -866,6 +866,65 @@ def pca_fixture(emb: pd.DataFrame) -> pd.DataFrame:
         "vec_id", kind="mergesort").reset_index(drop=True)
 
 
+PQ_M, PQ_NCODES, PQ_ITERS, PQ_SEED = 4, 16, 6, 5
+
+
+def pq_fixture(emb: pd.DataFrame) -> pd.DataFrame:
+    """Product quantization (Jégou et al. 2011) spec reimplementation:
+    unit rows, splitmix64 bottom-ncodes init, per-subspace Euclidean Lloyd
+    with exact-int quantized sums (KM_SCALE_BITS fixed point), base-ncodes
+    packed code, ADC vs the vec_id=0 query (sequential subspace sum)."""
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    n, dim = M.shape
+    subdim = dim // PQ_M
+    Xn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+
+    keys = [(_splitmix64_one((int(i) & M64) ^ PQ_SEED), int(i)) for i in ids]
+    pick = [i for _, i in sorted(zip(keys, range(n)))[:PQ_NCODES]]
+    C = np.stack([Xn[pick, s * subdim:(s + 1) * subdim].copy()
+                  for s in range(PQ_M)])  # (m, ncodes, subdim)
+
+    scale = float(1 << KM_SCALE_BITS)
+    Q = np.rint(Xn * scale).astype(np.int64)
+
+    def assign_all(Cb: np.ndarray) -> np.ndarray:
+        codes = np.empty((n, PQ_M), dtype=np.int64)
+        for s in range(PQ_M):
+            V = Xn[:, s * subdim:(s + 1) * subdim]
+            Cs = Cb[s]
+            codes[:, s] = np.argmax(
+                V @ Cs.T - 0.5 * (Cs * Cs).sum(axis=1)[None, :], axis=1)
+        return codes
+
+    for _ in range(PQ_ITERS):
+        codes = assign_all(C)
+        for s in range(PQ_M):
+            Qs = Q[:, s * subdim:(s + 1) * subdim]
+            for c in range(PQ_NCODES):
+                members = Qs[codes[:, s] == c]
+                if len(members):
+                    tot = [int(v) for v in members.sum(axis=0)]  # exact
+                    C[s, c] = np.array([float(v) for v in tot],
+                                       dtype=np.float64) / (scale * len(members))
+
+    codes = assign_all(C)
+    packed = np.zeros(n, dtype=np.int64)
+    for s in range(PQ_M - 1, -1, -1):
+        packed = packed * PQ_NCODES + codes[:, s]
+
+    q = M[ids == 0][0]
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    lut = np.stack([C[s] @ qn[s * subdim:(s + 1) * subdim]
+                    for s in range(PQ_M)])
+    adc = np.zeros(n, dtype=np.float64)
+    for s in range(PQ_M):
+        adc = adc + lut[s][codes[:, s]]
+    return pd.DataFrame({"vec_id": ids, "code": packed,
+                         "adc": np.round(adc, 6)}).sort_values(
+        "vec_id", kind="mergesort").reset_index(drop=True)
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -900,6 +959,7 @@ def main(sf_dirs: list[str]) -> None:
             ("semdedup_embeddings", semdedup_fixture(emb), fp_emb),
             ("kmeans_embeddings", kmeans_fixture(emb), fp_emb),
             ("pca_embeddings", pca_fixture(emb), fp_emb),
+            ("pq_embeddings", pq_fixture(emb), fp_emb),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
