@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "html_extract_docs",
     "kmeans_embeddings",
     "knn_graph_embeddings",
+    "pq_embeddings",
 ]
 
 

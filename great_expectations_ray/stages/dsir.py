@@ -48,7 +48,10 @@ TOKEN_RE = re.compile(r"[a-z0-9_]+")
 def hashed_feature_counts(text: str) -> tuple[np.ndarray, np.ndarray]:
     """Sorted sparse (buckets, counts) of hashed unigram+bigram features of
     one document.  crc32 is the bucket hash: deterministic across runs and
-    processes (Python's ``hash`` is salted)."""
+    processes (Python's ``hash`` is salted).  Per-doc reference form of the
+    spec; the batch stages use the vectorized ``_batch_feature_buckets``
+    (same feature multiset, hash computed once per DISTINCT token/bigram
+    per batch instead of per occurrence)."""
     toks = TOKEN_RE.findall(text.lower())
     if not toks:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -60,6 +63,64 @@ def hashed_feature_counts(text: str) -> tuple[np.ndarray, np.ndarray]:
     return np.unique(np.asarray(feats, dtype=np.int64), return_counts=True)
 
 
+def _batch_feature_buckets(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized hashed-feature extraction over a whole batch column:
+    Arrow-side lower+tokenize (``split_pattern_regex`` on the complement of
+    ``TOKEN_RE``'s class — same token stream as ``findall``), dictionary-
+    encode the flat token array, crc32 ONCE per distinct token (and per
+    distinct adjacent pair for bigrams), scatter back through the indices.
+
+    Returns ``(doc_idx, bucket)`` int64 arrays with one entry per feature
+    OCCURRENCE — exactly the multiset ``hashed_feature_counts`` builds doc
+    by doc, so per-doc ``np.unique`` over a slice reproduces its output
+    bit-for-bit.  The Zipf head does the work: a batch's distinct-token
+    count is tiny next to its occurrence count, so the Python-level crc32
+    loop runs over the dictionary only."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    low = pc.utf8_lower(pc.fill_null(col, ""))
+    lst = pc.split_pattern_regex(low, "[^a-z0-9_]+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = lst.flatten()  # offset-aware: exactly the concatenated tokens
+    n_tok_per_doc = np.asarray(pc.list_value_length(lst), dtype=np.int64)
+    doc_of_tok = np.repeat(np.arange(len(lst), dtype=np.int64), n_tok_per_doc)
+
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    idx = np.asarray(denc.indices, dtype=np.int64)
+    words = denc.dictionary.to_pylist()
+    # split emits "" at boundaries ("", "a b ".split -> trailing "");
+    # findall never does — mark and drop them
+    dict_buckets = np.fromiter(
+        ((crc32(w.encode()) % D) if w else -1 for w in words),
+        dtype=np.int64, count=len(words))
+    keep = dict_buckets[idx] >= 0
+    idx, doc_of_tok = idx[keep], doc_of_tok[keep]
+    uni_buckets = dict_buckets[idx]
+
+    # bigrams: adjacent surviving tokens within the same doc
+    if len(idx) > 1:
+        same_doc = doc_of_tok[:-1] == doc_of_tok[1:]
+        left, right = idx[:-1][same_doc], idx[1:][same_doc]
+        bi_docs = doc_of_tok[:-1][same_doc]
+        pair_key = left * len(words) + right
+        upairs, inv = np.unique(pair_key, return_inverse=True)
+        ul, ur = upairs // len(words), upairs % len(words)
+        pair_buckets = np.fromiter(
+            (crc32((words[li] + " " + words[ri]).encode()) % D
+             for li, ri in zip(ul.tolist(), ur.tolist())),
+            dtype=np.int64, count=len(upairs))
+        bi_buckets = pair_buckets[inv]
+    else:
+        bi_docs = np.empty(0, np.int64)
+        bi_buckets = np.empty(0, np.int64)
+
+    return (np.concatenate([doc_of_tok, bi_docs]),
+            np.concatenate([uni_buckets, bi_buckets]))
+
+
 class _FeatureCounter:
     """map_batches callable: batch -> sparse (cell, cnt) partials."""
 
@@ -67,21 +128,14 @@ class _FeatureCounter:
         self.column = column
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        col = tbl.column(self.column)
-        texts = pc.fill_null(col, "").to_pylist()
-        agg: dict[int, int] = {}
-        for t in texts:
-            b, c = hashed_feature_counts(t)
-            for bi, ci in zip(b.tolist(), c.tolist()):
-                agg[bi] = agg.get(bi, 0) + ci
-        if not agg:
+        _, buckets = _batch_feature_buckets(tbl.column(self.column))
+        if len(buckets) == 0:
             return pa.table({"cell": pa.array([], pa.int64()),
                              "cnt": pa.array([], pa.int64())})
-        cells = np.fromiter(agg.keys(), dtype=np.int64, count=len(agg))
-        cnts = np.fromiter(agg.values(), dtype=np.int64, count=len(agg))
-        order = np.argsort(cells, kind="stable")
-        return pa.table({"cell": pa.array(cells[order]),
-                         "cnt": pa.array(cnts[order])})
+        # batch-level occurrence counts == sum of the per-doc counts
+        cells, cnts = np.unique(buckets, return_counts=True)
+        return pa.table({"cell": pa.array(cells),
+                         "cnt": pa.array(cnts.astype(np.int64))})
 
 
 def fit_hashed_bag(ds, *, column: str = "text", add_k: float = 0.01) -> np.ndarray:
@@ -161,14 +215,20 @@ class DsirWeigher:
         self.column = column
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        col = tbl.column(self.column)
-        texts = pc.fill_null(col, "").to_pylist()
-        out = np.empty(len(texts), dtype=np.float64)
-        for i, t in enumerate(texts):
-            b, c = hashed_feature_counts(t)
-            # buckets ascending (np.unique) -> summation order is fixed, so
-            # the value is reproducible for the fixture oracle
-            out[i] = float(np.dot(c.astype(np.float64), self.log_ratio[b]))
+        docs, buckets = _batch_feature_buckets(tbl.column(self.column))
+        out = np.zeros(tbl.num_rows, dtype=np.float64)
+        if len(docs):
+            order = np.argsort(docs, kind="stable")
+            docs, buckets = docs[order], buckets[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(np.diff(docs))[0] + 1, [len(docs)]])
+            for s, e in zip(starts[:-1], starts[1:]):
+                # per-doc buckets ascending (np.unique) then np.dot — the
+                # exact summation the fixture oracle specifies, so the
+                # value is bit-identical to the per-doc reference form
+                b, c = np.unique(buckets[s:e], return_counts=True)
+                out[docs[s]] = float(
+                    np.dot(c.astype(np.float64), self.log_ratio[b]))
         return tbl.append_column("dsir_logw", pa.array(out))
 
 

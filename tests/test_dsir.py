@@ -29,6 +29,23 @@ def test_hashed_feature_counts_unigrams_and_bigrams():
     assert len(b2) == 0 and len(c2) == 0
 
 
+def test_batch_feature_buckets_matches_per_doc_reference():
+    from great_expectations_ray.stages.dsir import _batch_feature_buckets
+
+    texts = ["Hello world hello", "", "  --- !!! ", "a", "a b a b a",
+             "Ünïcode tökens 123 foo_bar", None, "trailing space ",
+             " leading", "a-b-c_d e", "ONE\ntwo\tthree"]
+    docs, buckets = _batch_feature_buckets(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        b_ref, c_ref = hashed_feature_counts(t or "")
+        mine = buckets[docs == i]
+        if len(mine) == 0:
+            assert len(b_ref) == 0
+            continue
+        b2, c2 = np.unique(mine, return_counts=True)
+        assert np.array_equal(b_ref, b2) and np.array_equal(c_ref, c2), t
+
+
 def test_fit_hashed_bag_matches_local_counts(ray_session):
     texts = ["aa bb aa", "bb cc", "aa"]
     ds = rd.from_arrow(pa.table({"text": texts})).repartition(2)
