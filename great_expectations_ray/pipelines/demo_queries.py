@@ -3783,16 +3783,47 @@ def q_fingerprint_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["method", "id_a", "v1"], kind="mergesort").reset_index(drop=True)
 
 
+def q_logreg_docs(sf_dir: str) -> pd.DataFrame:
+    """Distributed logistic-regression classifier (rule-distillation shape):
+    full-batch GD over every row — exact int64 gradient partials, one fold
+    per iteration, bit-reproducible under any partitioning — then actor-pool
+    scoring.  Target: lang == 'en'."""
+    from great_expectations_ray.stages.logreg import fit_logreg, score_logreg
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def add_y(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "y", pc.equal(pc.fill_null(tbl.column("lang"), ""), "en"))
+
+    labeled = ds.map_batches(add_y, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    w = fit_logreg(labeled, y_col="y", text_col="text", iters=8, lr=2.0)
+    rows = score_logreg(ds, w).select_columns(
+        ["doc_id", "prob", "pred"]).take_all()
+    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["logreg_docs"] = q_logreg_docs
+CONSTITUENT_ORACLE_SQL["logreg_docs"] = _fixture_sql(
+    "logreg_docs", "doc_id, prob, pred", _FP_DOCS, "doc_id")
+
+
 def q_langid_methods_docs(sf_dir: str) -> pd.DataFrame:
-    """Language-ID by both stages: the n-gram heuristic actor and the
-    fastText-architecture classifier (heuristic rows: pred_score = 0)."""
+    """Language-ID / classifier family: the n-gram heuristic actor, the
+    fastText-architecture classifier (heuristic rows: pred_score = 0), and
+    the distributed logistic-regression en-vs-rest scorer."""
     heur = _run_part("langid_docs", sf_dir)
     fast = _run_part("fasttext_langid_docs", sf_dir)
     heur = pd.DataFrame({"method": "heuristic", "doc_id": heur["doc_id"],
                          "pred_label": heur["lang_pred"], "pred_score": 0.0})
     fast.insert(0, "method", "fasttext")
+    lr = _run_part("logreg_docs", sf_dir)
+    lr = pd.DataFrame({"method": "logreg", "doc_id": lr["doc_id"],
+                       "pred_label": np.where(lr["pred"] == 1, "en", "other"),
+                       "pred_score": lr["prob"]})
     cols = ["method", "doc_id", "pred_label", "pred_score"]
-    out = pd.concat([heur[cols], fast[cols]], ignore_index=True)
+    out = pd.concat([heur[cols], fast[cols], lr[cols]], ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
 
 
@@ -4023,7 +4054,10 @@ SQL_LANGID_METHODS_DOCS = _union_sql(
     [("'heuristic' AS method",
       "doc_id, lang_pred AS pred_label, CAST(0.0 AS DOUBLE) AS pred_score",
       "langid_docs"),
-     ("'fasttext'", "doc_id, pred_label, pred_score", "fasttext_langid_docs")],
+     ("'fasttext'", "doc_id, pred_label, pred_score", "fasttext_langid_docs"),
+     ("'logreg'",
+      "doc_id, CASE WHEN pred = 1 THEN 'en' ELSE 'other' END AS pred_label, "
+      "prob AS pred_score", "logreg_docs")],
     "method, doc_id",
 )
 SQL_PERPLEXITY_METHODS_DOCS = _union_sql(

@@ -866,6 +866,50 @@ def pca_fixture(emb: pd.DataFrame) -> pd.DataFrame:
         "vec_id", kind="mergesort").reset_index(drop=True)
 
 
+LR_SCALE_X, LR_SCALE_G, LR_ITERS, LR_LR = 20, 40, 8, 2.0
+
+
+def logreg_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    """Distributed logistic regression (stages/logreg.py) spec: quantized
+    fastText-architecture doc vectors + bias, dimension-sequential margins,
+    per-row gradient quantization at 2^LR_SCALE_G before exact integer sums,
+    LR_ITERS full-batch GD steps at lr=LR_LR; target = lang == 'en'."""
+    rng = np.random.Generator(np.random.PCG64(CL_SEED))
+    E = (rng.random((CL_BUCKETS, CL_DIM), dtype=np.float32) - 0.5).astype(np.float32)
+    docs = docs.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    n = len(docs)
+    X = np.empty((n, CL_DIM + 1), dtype=np.float64)
+    for i, text in enumerate(docs["text"]):
+        v, _nf = _cl_doc_vec(text, E)
+        xq = np.rint(v * float(1 << LR_SCALE_X)).astype(np.int64)
+        X[i, :CL_DIM] = xq.astype(np.float64) / float(1 << LR_SCALE_X)
+    X[:, CL_DIM] = 1.0
+    y = (docs["lang"] == "en").to_numpy().astype(np.float64)
+
+    def margins(w: np.ndarray) -> np.ndarray:
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(CL_DIM + 1):  # sequential dot (spec)
+            acc += X[:, d] * w[d]
+        return acc
+
+    w = np.zeros(CL_DIM + 1, dtype=np.float64)
+    for _ in range(LR_ITERS):
+        p = 1.0 / (1.0 + np.exp(-margins(w)))
+        gq = np.rint(((p - y)[:, None] * X) * float(1 << LR_SCALE_G)).astype(np.int64)
+        G = [int(v) for v in gq.sum(axis=0)]  # exact at this n
+        denom = float(1 << LR_SCALE_G) * n
+        w = np.array([w[j] - LR_LR * (float(G[j]) / denom)
+                      for j in range(CL_DIM + 1)], dtype=np.float64)
+
+    m = margins(w)
+    prob = np.round(1.0 / (1.0 + np.exp(-m)), 6)
+    return pd.DataFrame({
+        "doc_id": docs["doc_id"].to_numpy(),
+        "prob": prob,
+        "pred": (m >= 0).astype(np.int64),
+    })
+
+
 PQ_M, PQ_NCODES, PQ_ITERS, PQ_SEED = 4, 16, 6, 5
 
 
@@ -955,6 +999,7 @@ def main(sf_dirs: list[str]) -> None:
             ("lsh_ann_topk", lsh_ann_fixture(emb), fp_emb),
             ("ivf_ann_topk", ivf_ann_fixture(emb), fp_emb),
             ("fasttext_langid_docs", fasttext_fixture(docs), fp_docs),
+            ("logreg_docs", logreg_fixture(docs), fp_docs),
             ("dsir_docs", dsir_fixture(docs), fp_docs),
             ("semdedup_embeddings", semdedup_fixture(emb), fp_emb),
             ("kmeans_embeddings", kmeans_fixture(emb), fp_emb),
