@@ -4106,6 +4106,64 @@ SQL_REWRITE_DOCS = _union_sql(
 )
 
 
+def q_shuffle_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic training-order shuffle (stages/shuffle.py): global
+    position in seeded-md5 order via one sort + the packing-style
+    distributed prefix sum; shard = pos % 8."""
+    from great_expectations_ray.stages.shuffle import training_shuffle
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    out = training_shuffle(ds, id_col="doc_id", n_shards=8, seed=0)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_SHUFFLE_DOCS = """
+WITH k AS (SELECT doc_id,
+                  md5('0:' || CAST(doc_id AS VARCHAR)) AS skey
+           FROM documents),
+r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY skey) - 1 AS pos
+      FROM k)
+SELECT doc_id, CAST(pos % 8 AS BIGINT) AS shard, CAST(pos AS BIGINT) AS pos
+FROM r ORDER BY doc_id
+"""
+
+CONSTITUENT_QUERIES["shuffle_docs"] = q_shuffle_docs
+CONSTITUENT_ORACLE_SQL["shuffle_docs"] = SQL_SHUFFLE_DOCS
+
+
+def q_pack_shuffle_docs(sf_dir: str) -> pd.DataFrame:
+    """Training-corpus assembly family in one frame: concat-and-chunk
+    sequence packing (v1=tokens, v2=token_offset, v3=seq_id) and the
+    deterministic training-order shuffle (v1=shard, v2=pos, v3=0)."""
+    pk = _run_part("pack_docs", sf_dir)
+    sh = _run_part("shuffle_docs", sf_dir)
+    frames = [
+        pd.DataFrame({"method": "pack", "doc_id": pk["doc_id"],
+                      "v1": pk["tokens"], "v2": pk["token_offset"],
+                      "v3": pk["seq_id"]}),
+        pd.DataFrame({"method": "shuffle", "doc_id": sh["doc_id"],
+                      "v1": sh["shard"], "v2": sh["pos"],
+                      "v3": np.int64(0)}),
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["method", "doc_id"],
+                           kind="mergesort").reset_index(drop=True)
+
+
+SQL_PACK_SHUFFLE_DOCS = _union_sql(
+    [("'pack' AS method",
+      "doc_id, CAST(tokens AS BIGINT) AS v1, token_offset AS v2, "
+      "seq_id AS v3", "pack_docs"),
+     ("'shuffle'",
+      "doc_id, shard AS v1, pos AS v2, CAST(0 AS BIGINT) AS v3",
+      "shuffle_docs")],
+    "method, doc_id",
+)
+CONSTITUENT_ORACLE_SQL["pack_shuffle_docs"] = SQL_PACK_SHUFFLE_DOCS
+CONSTITUENT_QUERIES["pack_shuffle_docs"] = q_pack_shuffle_docs
+
+
 # ---- the public 50-entry catalog ------------------------------------------ #
 
 QUERIES = {
@@ -4130,7 +4188,7 @@ QUERIES = {
     "props_extract_events": q_props_extract_events,
     "repetition_docs": q_repetition_docs,
     "decontaminate_docs": q_decontaminate_docs,
-    "pack_docs": q_pack_docs,
+    "pack_shuffle_docs": q_pack_shuffle_docs,
     "stratified_docs": q_stratified_docs,
     "profile_lineitem": q_profile_lineitem,
     "asof_events": q_asof_events,

@@ -52,3 +52,36 @@ def test_bad_seq_len(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": [1], "tokens": [2]}))
     with pytest.raises(ValueError):
         global_token_offsets(ds, token_col="tokens", order_col="doc_id", seq_len=0)
+
+
+# ---- deterministic training shuffle (stages/shuffle.py) ------------------- #
+
+
+def test_training_shuffle_positions_and_shards(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.stages.shuffle import training_shuffle
+
+    n = 101
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(n))})).repartition(5)
+    out = training_shuffle(ds, n_shards=8, seed=0).to_pandas()
+    assert sorted(out["pos"].tolist()) == list(range(n))  # a permutation
+    assert (out["shard"] == out["pos"] % 8).all()
+    sizes = out["shard"].value_counts()
+    assert sizes.max() - sizes.min() <= 1  # balanced to +/- 1
+
+
+def test_training_shuffle_deterministic_and_seeded(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.stages.shuffle import training_shuffle
+
+    ds1 = rd.from_arrow(pa.table({"doc_id": list(range(64))}))
+    ds2 = rd.from_arrow(pa.table({"doc_id": list(range(64))})).repartition(7)
+    a = training_shuffle(ds1, seed=3).to_pandas().sort_values("doc_id")
+    b = training_shuffle(ds2, seed=3).to_pandas().sort_values("doc_id")
+    assert a["pos"].tolist() == b["pos"].tolist()  # partitioning-invariant
+    c = training_shuffle(ds1, seed=4).to_pandas().sort_values("doc_id")
+    assert a["pos"].tolist() != c["pos"].tolist()  # seed changes the order
+    # not the identity order (it actually shuffles)
+    assert a["pos"].tolist() != sorted(a["pos"].tolist())
