@@ -2523,10 +2523,19 @@ ORDER BY domain, doc_id
 
 
 def q_toxicity_docs(sf_dir: str) -> pd.DataFrame:
-    """Toxicity scoring + masking scrub (stages/toxicity.py): merged
-    word-boundary alternation, count + rewrite per batch, md5 of the
-    masked content proves rewrite parity row-for-row."""
+    """Content-policy family over one derived corpus, three policy engines
+    in one pass chain: toxicity scoring + masking scrub (stages/toxicity.py,
+    merged word-boundary alternation; md5 of the masked content proves
+    rewrite parity row-for-row), Luhn-validated payment-card detection
+    (stages/luhn.py: RE2 candidate prefilter + per-match ISO 7812 checksum
+    — doc_id%7 plants a valid Visa / an invalid 16-digit / a valid Diners /
+    a 20-digit non-candidate run), and large-dictionary phrase tagging
+    (stages/dictmatch.py: exact token-n-gram matching against a broadcast
+    dictionary — the scale path when the list outgrows one alternation)."""
     from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.dictmatch import (
+        DEFAULT_PHRASES, tag_phrases)
+    from great_expectations_ray.stages.luhn import CardScrubber
     from great_expectations_ray.stages.toxicity import score_toxicity
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -2536,6 +2545,7 @@ def q_toxicity_docs(sf_dir: str) -> pd.DataFrame:
         ids = doc_id.to_numpy()
         n = len(ids)
         r5 = ids % 5
+        r7 = ids % 7
 
         def lit(s):
             return pa.array([s] * n, pa.string())
@@ -2543,13 +2553,23 @@ def q_toxicity_docs(sf_dir: str) -> pd.DataFrame:
         suffix = pc.if_else(pa.array(r5 == 0), lit(" damn idiot spam"),
                  pc.if_else(pa.array(r5 == 1), lit(" Hell no"),
                  pc.if_else(pa.array(r5 == 2), lit(" hellish tale"), lit(""))))
+        cc = pc.if_else(pa.array(r7 == 0), lit(" card 4539 1488 0343 6467 ok"),
+             pc.if_else(pa.array(r7 == 1), lit(" card 4539148803436468 bad"),
+             pc.if_else(pa.array(r7 == 2), lit(" num 30569309025904 end"),
+             pc.if_else(pa.array(r7 == 3), lit(" run 12345678901234567890 no"),
+                        lit("")))))
         content = pc.binary_join_element_wise(
-            pc.cast(tbl.column("text").combine_chunks(), pa.string()), suffix, "")
+            pc.cast(tbl.column("text").combine_chunks(), pa.string()),
+            suffix, cc, "")
         return pa.table({"doc_id": doc_id, "content": content})
 
-    scored = score_toxicity(
-        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
-        mask=True)
+    derived = ds.map_batches(derive, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    scored = score_toxicity(derived, mask=True)
+    carded = scored.map_batches(
+        CardScrubber("content", rewrite=False),
+        batch_format="pyarrow", zero_copy_batch=True)
+    tagged = tag_phrases(carded, DEFAULT_PHRASES, content_col="content")
 
     def finish(tbl: pa.Table) -> pa.Table:
         return pa.table({
@@ -2559,13 +2579,19 @@ def q_toxicity_docs(sf_dir: str) -> pd.DataFrame:
             "tox_score": tbl.column("tox_score"),
             "toxic": tbl.column("toxic"),
             "masked_md5": md5_column(tbl.column("masked")),
+            "cc_candidates": tbl.column("cc_candidates"),
+            "cc_valid": tbl.column("cc_valid"),
+            "dict_hits": tbl.column("dict_hits"),
+            "dict_flag": tbl.column("dict_flag"),
         })
 
-    out = scored.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    out = tagged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
 _TOX_PAT_SQL = r"(?i)\b(?:damn|hell|crap|idiot|stupid|moron|jerk)\b"
+
+_CC_PAT_SQL = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
 
 SQL_TOXICITY_DOCS = rf"""
 WITH tox_corpus AS (
@@ -2573,20 +2599,66 @@ WITH tox_corpus AS (
          text || CASE doc_id % 5 WHEN 0 THEN ' damn idiot spam'
                                  WHEN 1 THEN ' Hell no'
                                  WHEN 2 THEN ' hellish tale'
+                                 ELSE '' END
+              || CASE doc_id % 7 WHEN 0 THEN ' card 4539 1488 0343 6467 ok'
+                                 WHEN 1 THEN ' card 4539148803436468 bad'
+                                 WHEN 2 THEN ' num 30569309025904 end'
+                                 WHEN 3 THEN ' run 12345678901234567890 no'
                                  ELSE '' END AS content
   FROM documents),
 m AS (SELECT doc_id,
         len(regexp_extract_all(content, '{_TOX_PAT_SQL}')) AS tox_matches,
         len(regexp_extract_all(content, '\S+')) AS word_cnt,
         md5(regexp_replace(content, '{_TOX_PAT_SQL}', '****', 'g')) AS masked_md5
-      FROM tox_corpus)
-SELECT doc_id,
+      FROM tox_corpus),
+cand AS (
+  SELECT doc_id, unnest(regexp_extract_all(content, '{_CC_PAT_SQL}')) AS raw
+  FROM tox_corpus),
+luhn AS (
+  SELECT doc_id,
+    (len(ds) BETWEEN 13 AND 19) AND
+    (list_sum(list_transform(range(1, len(ds) + 1),
+       i -> CASE WHEN (len(ds) - i) % 2 = 1
+            THEN CASE WHEN CAST(substr(ds, i, 1) AS INT) * 2 > 9
+                 THEN CAST(substr(ds, i, 1) AS INT) * 2 - 9
+                 ELSE CAST(substr(ds, i, 1) AS INT) * 2 END
+            ELSE CAST(substr(ds, i, 1) AS INT) END)) % 10 = 0) AS valid
+  FROM (SELECT doc_id, regexp_replace(raw, '[^0-9]', '', 'g') AS ds FROM cand)),
+cc AS (
+  SELECT doc_id, count(*) AS n_cand,
+         sum(CASE WHEN valid THEN 1 ELSE 0 END) AS n_valid
+  FROM luhn GROUP BY doc_id),
+tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(content), '[^a-z0-9_]+'),
+                x -> x <> '') AS t
+  FROM tox_corpus),
+dict AS (
+  SELECT doc_id,
+    len(list_filter(t, x -> list_contains(['spark', 'dup'], x)))
+    + CASE WHEN len(t) >= 2 THEN
+        len(list_filter(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]),
+            x -> list_contains(['table scan', 'hash join', 'order sort'], x)))
+      ELSE 0 END
+    + CASE WHEN len(t) >= 3 THEN
+        len(list_filter(list_transform(range(1, len(t) - 1),
+                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+            x -> list_contains(['key order sort'], x)))
+      ELSE 0 END AS hits
+  FROM tok)
+SELECT m.doc_id,
   CAST(tox_matches AS BIGINT) AS tox_matches,
   CAST(word_cnt AS BIGINT) AS word_cnt,
   CASE WHEN word_cnt > 0 THEN CAST(tox_matches AS DOUBLE) / word_cnt ELSE 0.0 END AS tox_score,
   (CASE WHEN word_cnt > 0 THEN CAST(tox_matches AS DOUBLE) / word_cnt ELSE 0.0 END) > 0.01 AS toxic,
-  masked_md5
-FROM m ORDER BY doc_id
+  masked_md5,
+  CAST(coalesce(cc.n_cand, 0) AS BIGINT) AS cc_candidates,
+  CAST(coalesce(cc.n_valid, 0) AS BIGINT) AS cc_valid,
+  CAST(coalesce(dict.hits, 0) AS BIGINT) AS dict_hits,
+  coalesce(dict.hits, 0) > 0 AS dict_flag
+FROM m LEFT JOIN cc ON m.doc_id = cc.doc_id
+       LEFT JOIN dict ON m.doc_id = dict.doc_id
+ORDER BY m.doc_id
 """
 
 
