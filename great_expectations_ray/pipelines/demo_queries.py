@@ -1980,12 +1980,21 @@ GROUP BY value ORDER BY cnt DESC, value LIMIT 10
 
 
 def q_bloom_incremental_dedup(sf_dir: str) -> pd.DataFrame:
-    """Incremental dedup vs a prior snapshot (stages/bloomdedup.py): docs
-    with doc_id % 3 == 0 act as the snapshot; every other doc is marked
-    is_known iff its 30-char text prefix exists in the snapshot.  Bloom
-    prefilter bounds the verify exchange to overlap + FP sliver; verdicts
-    come from raw-value equality (exact)."""
+    """Incremental dedup vs a prior snapshot, both flavors (docs with
+    doc_id % 3 == 0 act as the snapshot in each):
+
+    - 'exact' (stages/bloomdedup.py mark_known): a new doc is_known iff its
+      30-char text prefix exists in the snapshot — bloom prefilter bounds
+      the verify exchange to overlap + FP sliver, verdicts from raw-value
+      equality.
+    - 'minhash' (stages/neardup.py mark_known_neardup): a new doc is_known
+      iff it shares any MinHash-LSH band bucket with a snapshot doc — the
+      fuzzy path for continuously-crawled corpora; snapshot is never
+      broadcast, both sides meet in one band-key exchange.  Oracle:
+      independent per-doc fixture
+      (tools/gen_oracle_fixtures.incremental_neardup_fixture)."""
     from great_expectations_ray.stages.bloomdedup import mark_known
+    from great_expectations_ray.stages.neardup import mark_known_neardup
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1999,17 +2008,43 @@ def q_bloom_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
     snap = ds.map_batches(lambda t: prep(t, True), batch_format="pyarrow")
     new = ds.map_batches(lambda t: prep(t, False), batch_format="pyarrow")
-    out = mark_known(new, snap, key_col="prefix", id_col="doc_id")
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exact = (mark_known(new, snap, key_col="prefix", id_col="doc_id")
+             .to_pandas())
+    exact.insert(0, "method", "exact")
+
+    def split(tbl: pa.Table, keep_snap: bool) -> pa.Table:
+        m = np.asarray(tbl.column("doc_id")) % 3 == 0
+        return tbl.filter(pa.array(m if keep_snap else ~m))
+
+    mh = mark_known_neardup(
+        ds.map_batches(lambda t: split(t, False), batch_format="pyarrow"),
+        ds.map_batches(lambda t: split(t, True), batch_format="pyarrow"),
+        text_col="text", id_col="doc_id",
+    ).to_pandas()
+    mh.insert(0, "method", "minhash")
+
+    out = pd.concat([exact, mh], ignore_index=True)
+    return (out.sort_values(["method", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 SQL_BLOOM_INCREMENTAL_DEDUP = """
-SELECT d.doc_id,
+SELECT 'exact' AS method, d.doc_id,
        EXISTS(SELECT 1 FROM documents s
               WHERE s.doc_id % 3 = 0
                 AND substr(s.text, 1, 30) = substr(d.text, 1, 30)) AS is_known
-FROM documents d WHERE d.doc_id % 3 <> 0 ORDER BY d.doc_id
-"""
+FROM documents d WHERE d.doc_id % 3 <> 0
+UNION ALL
+SELECT 'minhash' AS method, doc_id, is_known
+FROM read_parquet('{fixtures}/incremental_neardup_docs.parquet')
+WHERE fp = {fp_docs}
+ORDER BY method, doc_id
+""".format(
+    # _FIXTURES/_FP_DOCS are defined further down this module; inline here
+    fixtures=os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "fixtures"),
+    fp_docs="(SELECT CAST(SUM(doc_id * n_chars) AS BIGINT) FROM documents)",
+)
 
 
 def q_c4_clean_docs(sf_dir: str) -> pd.DataFrame:

@@ -591,3 +591,74 @@ def embedding_mark_duplicates(
         .map_groups(mark, batch_format="pandas")
     )
     return _bucketed_any_mark(marked, id_col)
+
+
+def mark_known_neardup(
+    new_ds,
+    snapshot_ds,
+    *,
+    text_col: str = "text",
+    id_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 8,
+    seed: int = 17,
+):
+    """Incremental NEAR-duplicate marking against a prior snapshot: each new
+    doc is ``is_known`` iff it shares any MinHash-LSH band bucket with a
+    snapshot doc — the fuzzy sibling of ``bloomdedup.mark_known`` (which is
+    exact-key).  The continuously-crawled-corpus shape: the snapshot corpus
+    is NOT broadcast; both sides explode to 8-byte band keys (``bands`` rows
+    per doc, tiny vs content) and meet in ONE bucketed exchange, so the
+    snapshot can be arbitrarily large.
+
+    Same signature/band construction (and defaults) as
+    ``minhash_lsh_mark_duplicates``, so thresholds tuned in-corpus carry
+    over.  Returns a Dataset of ``(id_col, is_known)`` over the NEW side
+    only."""
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    def explode_side(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            sig = minhash_signatures(
+                tbl.column(text_col), num_perm=num_perm,
+                shingle_k=shingle_k, seed=seed)
+            bk = band_keys(sig, bands)
+            n = len(sig)
+            ids = np.asarray(tbl.column(id_col))
+            return pa.table({
+                id_col: pa.array(np.repeat(ids, bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "bkey": pa.array(bk.reshape(-1)),
+                "side": pa.array(np.full(n * bands, side, dtype=np.int8)),
+            })
+
+        return fn
+
+    both = (
+        new_ds.select_columns([id_col, text_col])
+        .map_batches(explode_side(1), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            snapshot_ds.select_columns([id_col, text_col])
+            .map_batches(explode_side(0), batch_format="pyarrow",
+                         zero_copy_batch=True))
+    )
+
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per (band, bkey) group: a NEW row is known iff the group contains
+        # any snapshot row (side 0); vectorized across all groups in the
+        # bucket via a transform-min
+        has_snap = g.groupby(["band", "bkey"], sort=False)["side"].transform("min") == 0
+        new_rows = g["side"].to_numpy() == 1
+        return pd.DataFrame({
+            id_col: g.loc[new_rows, id_col].to_numpy(),
+            "is_neardup": has_snap.to_numpy()[new_rows],
+        })
+
+    marked = grouped_apply_bucketed(both, ["band", "bkey"], mark_bucket)
+    reduced = _bucketed_any_mark(marked, id_col)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"max(is_neardup)": "is_known"})
+
+    return reduced.map_batches(rename, batch_format="pandas")

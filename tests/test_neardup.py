@@ -330,3 +330,55 @@ def test_ngram_jaccard_stage_matches_fixture_oracle():
         got.astype({"doc_id": "int64", "is_neardup": bool}),
         expected.astype({"doc_id": "int64", "is_neardup": bool}),
     )
+
+
+def test_mark_known_neardup_vs_snapshot():
+    """Incremental near-dup vs snapshot: a lightly-edited copy of a snapshot
+    doc is flagged (fuzzy), a fresh doc is not, and an exact copy is."""
+    import ray
+
+    from great_expectations_ray.stages.neardup import mark_known_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest before the sun sets tonight") * 3
+    snap = ray.data.from_items([
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": "completely different snapshot content " * 8},
+    ]).repartition(2)
+    new = ray.data.from_items([
+        {"doc_id": 10, "text": base},                      # exact copy
+        {"doc_id": 11, "text": base.replace("lazy", "idle", 1)},  # near copy
+        {"doc_id": 12, "text": "entirely novel text about volcanoes " * 9},
+    ]).repartition(2)
+    out = (mark_known_neardup(new, snap, text_col="text", id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [10, 11, 12]
+    assert out["is_known"].tolist() == [True, True, False]
+
+
+def test_mark_known_neardup_partition_invariance():
+    """Verdicts are independent of block layout on either side."""
+    import ray
+
+    from great_expectations_ray.stages.neardup import mark_known_neardup
+
+    docs = [{"doc_id": i, "text": f"document number {i} body " * (5 + i % 3)}
+            for i in range(24)]
+    snap_rows = docs[::2]
+    new_rows = [dict(d, doc_id=d["doc_id"] + 100) for d in docs[1::2]]
+    # every new doc whose text matches a snapshot doc's text is known;
+    # make half of them copies of snapshot texts
+    for j, d in enumerate(new_rows):
+        if j % 2 == 0:
+            d["text"] = snap_rows[j]["text"]
+
+    def run(parts_a, parts_b):
+        snap = ray.data.from_items(snap_rows).repartition(parts_a)
+        new = ray.data.from_items(new_rows).repartition(parts_b)
+        return (mark_known_neardup(new, snap, text_col="text", id_col="doc_id")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    a = run(1, 1)
+    b = run(5, 3)
+    assert a.equals(b)
+    assert a["is_known"].sum() >= len(new_rows) // 2

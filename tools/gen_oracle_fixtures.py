@@ -191,6 +191,52 @@ def minhash_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) ->
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def incremental_neardup_fixture(docs: pd.DataFrame, num_perm=128, bands=16,
+                                k=8, seed=17) -> pd.DataFrame:
+    """Incremental near-dup vs snapshot: docs with doc_id % 3 == 0 are the
+    snapshot; every other doc is_known iff it shares any (band, band-key)
+    with a snapshot doc.  Same per-doc signature construction as
+    minhash_fixture; snapshot membership via a plain python set."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    bvec = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    r = num_perm // bands
+    B = np.uint64(FNV_B)
+
+    def doc_band_keys(text: str) -> list[tuple[int, int]]:
+        by = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+        nw = len(by) - k + 1
+        if nw <= 0:
+            sig = np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        else:
+            h = np.zeros(nw, dtype=np.uint64)
+            for j in range(k):
+                h = h * B + by[j : nw + j].astype(np.uint64)
+            sig = (h[:, None] * a[None, :] + bvec[None, :]).min(axis=0)
+        keys = []
+        for bi in range(bands):
+            bk = 0
+            for j in range(bi * r, (bi + 1) * r):
+                bk = (bk * FNV_B + int(sig[j])) & M64
+            keys.append((bi, bk))
+        return keys
+
+    snap_keys: set[tuple[int, int]] = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if int(doc_id) % 3 == 0:
+            snap_keys.update(doc_band_keys(text))
+
+    ids, known = [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if int(doc_id) % 3 == 0:
+            continue
+        ids.append(int(doc_id))
+        known.append(any(kk in snap_keys for kk in doc_band_keys(text)))
+    order = np.argsort(ids)
+    return pd.DataFrame({"doc_id": np.asarray(ids)[order],
+                         "is_known": np.asarray(known)[order]})
+
+
 def cc_cluster_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) -> pd.DataFrame:
     """Transitive near-dup clusters: same LSH bucket construction as
     minhash_fixture, then plain union-find over each bucket's member list
@@ -992,6 +1038,7 @@ def main(sf_dirs: list[str]) -> None:
             ("bpe_train_merges", bpe_train_fixture(docs), fp_docs),
             ("bpe_apply_docs", bpe_apply_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
+            ("incremental_neardup_docs", incremental_neardup_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
             ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
