@@ -3943,6 +3943,7 @@ def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
     b = _run_part("perplexity_docs", sf_dir)
     t = _run_part("lm_trained_ppl_docs", sf_dir)
     d = _run_part("dsir_docs", sf_dir)
+    z = _run_part("zlib_ratio_docs", sf_dir)
     b.insert(0, "method", "broadcast")
     t.insert(0, "method", "trained")
     frames = [
@@ -3951,6 +3952,8 @@ def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "perplexity": d["logw"]}),
         pd.DataFrame({"method": "dsir_sel", "doc_id": d["doc_id"],
                       "perplexity": d["selected"].astype(np.float64)}),
+        pd.DataFrame({"method": "zlib", "doc_id": z["doc_id"],
+                      "perplexity": z["ratio"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
@@ -4046,15 +4049,100 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
 
 
+def q_mojibake_docs(sf_dir: str) -> pd.DataFrame:
+    """Mojibake (double-encoded UTF-8) repair (stages/normalize.py
+    fix_mojibake): doc_id%4 plants 'cafÃ© naÃ¯ve' (UTF-8-through-cp1252 of
+    'café naïve'), a latin-1-flavor curly apostrophe (raw C1 controls —
+    exercises the sloppy-cp1252 path), and a GENUINE 'café' that the
+    round-trip guard must leave untouched.  Oracle: pure SQL — the expected
+    repaired text is the planted original, so DuckDB reconstructs it from
+    CASE arms."""
+    from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.normalize import fix_mojibake
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+        r4 = ids % 4
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        suffix = pc.if_else(pa.array(r4 == 0), lit(" cafÃ© naÃ¯ve"),
+                 pc.if_else(pa.array(r4 == 1), lit(" it\u00e2\u0080\u0099s fine"),
+                 pc.if_else(pa.array(r4 == 2), lit(" plain café ok"),
+                            lit(""))))
+        content = pc.binary_join_element_wise(
+            pc.cast(tbl.column("text").combine_chunks(), pa.string()), suffix, "")
+        return pa.table({"doc_id": doc_id, "content": content})
+
+    fixed = fix_mojibake(
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True),
+        text_col="content", id_col="doc_id", out_col="fixed_text")
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        ft = tbl.column("fixed_text").combine_chunks()
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(ft), pa.int64()),
+            "out_md5": md5_column(ft),
+            "changed": tbl.column("changed"),
+        })
+
+    out = fixed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["mojibake_docs"] = q_mojibake_docs
+
+SQL_MOJIBAKE_DOCS = """
+WITH fixed AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4 WHEN 0 THEN ' café naïve'
+                                 WHEN 1 THEN ' it’s fine'
+                                 WHEN 2 THEN ' plain café ok'
+                                 ELSE '' END AS t,
+         doc_id % 4 IN (0, 1) AS changed
+  FROM documents)
+SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars, md5(t) AS out_md5, changed
+FROM fixed ORDER BY doc_id
+"""
+CONSTITUENT_ORACLE_SQL["mojibake_docs"] = SQL_MOJIBAKE_DOCS
+
+
+def q_zlib_ratio_docs(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal (stages/compressratio.py): zlib
+    level-6 compressed bytes per raw byte, straight off the Arrow buffer.
+    Oracle: independent per-doc fixture
+    (tools/gen_oracle_fixtures.zlib_ratio_fixture)."""
+    from great_expectations_ray.stages.compressratio import score_compression
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = score_compression(ds, text_col="text").select_columns(
+        ["doc_id", "comp_ratio"])
+    df = out.to_pandas().rename(columns={"comp_ratio": "ratio"})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["zlib_ratio_docs"] = q_zlib_ratio_docs
+CONSTITUENT_ORACLE_SQL["zlib_ratio_docs"] = _fixture_sql(
+    "zlib_ratio_docs", "doc_id, ratio", _FP_DOCS, "doc_id")
+
+
 def q_rewrite_docs(sf_dir: str) -> pd.DataFrame:
     """Text rewrite methods in one frame: 'normalize' = the full
     normalization pipeline (control-strip/NFC/quotes/lowercase/ws), 'html' =
-    HTML -> text extraction over a deterministic HTML shell.  For each:
-    v = output char count, h = output md5."""
+    HTML -> text extraction over a deterministic HTML shell, 'mojibake' =
+    double-encoded-UTF-8 repair with a genuine-accent guard case.  For
+    each: v = output char count, h = output md5."""
     import hashlib
 
     nz = _run_part("normalize_docs", sf_dir)
     hx = _run_part("html_extract_docs", sf_dir)
+    mj = _run_part("mojibake_docs", sf_dir)
     frames = [
         pd.DataFrame({
             "method": "normalize", "doc_id": nz["doc_id"],
@@ -4064,6 +4152,8 @@ def q_rewrite_docs(sf_dir: str) -> pd.DataFrame:
         }),
         pd.DataFrame({"method": "html", "doc_id": hx["doc_id"],
                       "v": hx["n_chars"], "h": hx["out_md5"]}),
+        pd.DataFrame({"method": "mojibake", "doc_id": mj["doc_id"],
+                      "v": mj["n_chars"], "h": mj["out_md5"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "doc_id"],
@@ -4172,7 +4262,8 @@ SQL_PERPLEXITY_METHODS_DOCS = _union_sql(
      ("'trained'", "doc_id, perplexity", "lm_trained_ppl_docs"),
      ("'dsir'", "doc_id, logw AS perplexity", "dsir_docs"),
      ("'dsir_sel'", "doc_id, CAST(selected AS DOUBLE) AS perplexity",
-      "dsir_docs")],
+      "dsir_docs"),
+     ("'zlib'", "doc_id, ratio AS perplexity", "zlib_ratio_docs")],
     "method, doc_id",
 )
 SQL_URLOPS_DOCS = _union_sql(
@@ -4208,7 +4299,8 @@ SQL_REWRITE_DOCS = _union_sql(
     [("'normalize' AS method",
       "doc_id, CAST(length(norm_text) AS BIGINT) AS v, md5(norm_text) AS h",
       "normalize_docs"),
-     ("'html'", "doc_id, n_chars AS v, out_md5 AS h", "html_extract_docs")],
+     ("'html'", "doc_id, n_chars AS v, out_md5 AS h", "html_extract_docs"),
+     ("'mojibake'", "doc_id, n_chars AS v, out_md5 AS h", "mojibake_docs")],
     "method, doc_id",
 )
 

@@ -110,3 +110,83 @@ def normalize_text(
     return ds.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --------------------------------------------------------------------------- #
+# mojibake repair (double-encoded UTF-8)
+# --------------------------------------------------------------------------- #
+
+def _sloppy_cp1252_bytes(v: str) -> bytes | None:
+    """Bytes the string would have been displayed FROM, under either common
+    mojibake flavor: cp1252 glyphs (''â€™'') or latin-1 passthrough where the
+    viewer kept C1 controls (''â\\x80\\x99'').  ftfy calls this
+    sloppy-windows-1252: cp1252 where it applies, the raw latin-1 byte for
+    code points cp1252 can't encode.  None when any char is >= U+0100 and
+    not a cp1252 glyph (can't have come from a single byte)."""
+    try:
+        return v.encode("cp1252")
+    except UnicodeEncodeError:
+        out = bytearray()
+        for ch in v:
+            try:
+                out += ch.encode("cp1252")
+            except UnicodeEncodeError:
+                o = ord(ch)
+                if o >= 256:
+                    return None
+                out.append(o)
+        return bytes(out)
+
+
+def _repair_mojibake_value(v: str) -> str:
+    """ftfy-style single-step repair: if the string round-trips back to
+    bytes (sloppy cp1252) AND those bytes decode as valid UTF-8 to a
+    DIFFERENT string, it was UTF-8 shown through a one-byte codec — return
+    the decode.  Genuine accented text fails the UTF-8 decode (e.g. lone
+    0xE9 from 'é'), so it passes through untouched; the guard needs no
+    scoring heuristics."""
+    b = _sloppy_cp1252_bytes(v)
+    if b is None:
+        return v
+    try:
+        r = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return v
+    return r if r != v else v
+
+
+def fix_mojibake_array(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Repaired copy of a string array.  Vectorized ASCII screen (mojibake
+    requires non-ASCII bytes), Python repair on the non-ASCII residue only —
+    the same hit-rate discipline as ``_nfc``."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    arr = pc.cast(text, pa.string())
+    need = pc.invert(pc.fill_null(pc.string_is_ascii(arr), True))
+    idx = np.flatnonzero(need.to_numpy(zero_copy_only=False))
+    if not len(idx):
+        return arr
+    fixed = pa.array(
+        [_repair_mojibake_value(v)
+         for v in arr.take(pa.array(idx)).to_pylist()],
+        pa.string(),
+    )
+    return pc.replace_with_mask(arr, need, fixed)
+
+
+def fix_mojibake(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 out_col: str = "fixed_text"):
+    """(id, fixed_text, changed) per row — one vectorized pass."""
+
+    def f(tbl: pa.Table) -> pa.Table:
+        orig = pc.cast(tbl.column(text_col).combine_chunks(), pa.string())
+        fixed = fix_mojibake_array(orig)
+        return pa.table({
+            id_col: tbl.column(id_col),
+            out_col: fixed,
+            "changed": pc.fill_null(pc.not_equal(fixed, orig), False),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )

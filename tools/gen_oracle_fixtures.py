@@ -191,6 +191,22 @@ def minhash_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) ->
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def zlib_ratio_fixture(docs: pd.DataFrame, level: int = 6) -> pd.DataFrame:
+    """Compression-ratio signal: per-doc zlib level-6 compressed length /
+    raw utf-8 length (0.0 for empty docs).  Pure per-doc stdlib zlib — the
+    level is the shared spec constant."""
+    import zlib
+
+    ids, ratios = [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = (text or "").encode("utf-8")
+        ids.append(int(doc_id))
+        ratios.append(len(zlib.compress(b, level)) / len(b) if b else 0.0)
+    order = np.argsort(ids)
+    return pd.DataFrame({"doc_id": np.asarray(ids)[order],
+                         "ratio": np.asarray(ratios)[order]})
+
+
 def incremental_neardup_fixture(docs: pd.DataFrame, num_perm=128, bands=16,
                                 k=8, seed=17) -> pd.DataFrame:
     """Incremental near-dup vs snapshot: docs with doc_id % 3 == 0 are the
@@ -1039,6 +1055,7 @@ def main(sf_dirs: list[str]) -> None:
             ("bpe_apply_docs", bpe_apply_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("incremental_neardup_docs", incremental_neardup_fixture(docs), fp_docs),
+            ("zlib_ratio_docs", zlib_ratio_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
             ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
