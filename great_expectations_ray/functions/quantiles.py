@@ -97,36 +97,28 @@ def sampled_quantiles(
     return out
 
 
-def exact_quantiles_distributed(
+def rank_select_values(
     ds,
     column: str,
-    quantiles: list[float],
+    targets: np.ndarray,
     *,
-    interpolation: str = "lower",
     max_iter: int = 64,
+    bounds: tuple[float, float] | None = None,
 ) -> list:
-    """Exact quantile values via binary-searched rank selection (rank index
-    over q*(n-1), same definition as the engine's value-count path)."""
-    from ray.data.aggregate import Max, Min
+    """Exact 0-based ascending order statistics at the given ranks, via the
+    binary-searched rank selection described in the module docstring.
+    ``bounds`` short-circuits the min/max pass when the caller already knows
+    the value range."""
+    if bounds is None:
+        from ray.data.aggregate import Max, Min
 
-    agg = ds.aggregate(Min(column), Max(column))
-    vmin, vmax = agg[f"min({column})"], agg[f"max({column})"]
-    if vmin is None:
-        return [None] * len(quantiles)
-    vmin, vmax = float(vmin), float(vmax)
-    _, n = _count_le_pass(ds, column, np.array([vmax]))
-    if n == 0:
-        return [None] * len(quantiles)
-
-    targets = []
-    for q in quantiles:
-        x = q * (n - 1)
-        if interpolation == "lower":
-            targets.append(int(np.floor(x)))
-        elif interpolation == "higher":
-            targets.append(int(np.ceil(x)))
-        else:
-            targets.append(int(np.round(x)))
+        agg = ds.aggregate(Min(column), Max(column))
+        vmin, vmax = agg[f"min({column})"], agg[f"max({column})"]
+        if vmin is None:
+            return [None] * len(targets)
+        vmin, vmax = float(vmin), float(vmax)
+    else:
+        vmin, vmax = bounds
     targets = np.asarray(targets, dtype=np.int64)
 
     los = np.full(len(targets), np.nextafter(vmin, -np.inf))
@@ -159,6 +151,33 @@ def exact_quantiles_distributed(
     for r in ds.map_batches(snap, batch_format="pyarrow", zero_copy_batch=True).take_all():
         best[r["i"]] = min(best[r["i"]], r["v"])
     return [float(v) for v in best]
+
+
+def exact_quantiles_distributed(
+    ds,
+    column: str,
+    quantiles: list[float],
+    *,
+    interpolation: str = "lower",
+    max_iter: int = 64,
+) -> list:
+    """Exact quantile values via binary-searched rank selection (rank index
+    over q*(n-1), same definition as the engine's value-count path)."""
+    _, n = _count_le_pass(ds, column, np.array([np.inf]))
+    if n == 0:
+        return [None] * len(quantiles)
+
+    targets = []
+    for q in quantiles:
+        x = q * (n - 1)
+        if interpolation == "lower":
+            targets.append(int(np.floor(x)))
+        elif interpolation == "higher":
+            targets.append(int(np.ceil(x)))
+        else:
+            targets.append(int(np.round(x)))
+    return rank_select_values(ds, column, np.asarray(targets, dtype=np.int64),
+                              max_iter=max_iter)
 
 
 def grouped_quantiles_disc(ds, *, group_cols, value_col, qs):

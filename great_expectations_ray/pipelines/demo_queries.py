@@ -3944,6 +3944,7 @@ def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
     t = _run_part("lm_trained_ppl_docs", sf_dir)
     d = _run_part("dsir_docs", sf_dir)
     z = _run_part("zlib_ratio_docs", sf_dir)
+    zt = _run_part("zlib_top25_docs", sf_dir)
     b.insert(0, "method", "broadcast")
     t.insert(0, "method", "trained")
     frames = [
@@ -3954,6 +3955,8 @@ def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "perplexity": d["selected"].astype(np.float64)}),
         pd.DataFrame({"method": "zlib", "doc_id": z["doc_id"],
                       "perplexity": z["ratio"]}),
+        pd.DataFrame({"method": "zlib_top25", "doc_id": zt["doc_id"],
+                      "perplexity": zt["selected"].astype(np.float64)}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
@@ -4132,6 +4135,36 @@ CONSTITUENT_ORACLE_SQL["zlib_ratio_docs"] = _fixture_sql(
     "zlib_ratio_docs", "doc_id, ratio", _FP_DOCS, "doc_id")
 
 
+def q_zlib_top25_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact top-fraction selection (stages/topfrac.py): keep the top 25%
+    of docs by zlib compression ratio, boundary ties to the lowest doc_id —
+    semantics = ROW_NUMBER() OVER (ORDER BY score DESC, id) <= ceil(0.25*n),
+    computed WITHOUT a global sort (rank-selected threshold + tie cut; the
+    catalog input takes the driver fast path, the distributed path is pinned
+    equal in tests/test_topfrac.py)."""
+    from great_expectations_ray.stages.compressratio import score_compression
+    from great_expectations_ray.stages.topfrac import select_top_fraction
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = score_compression(ds, text_col="text")
+    out = select_top_fraction(scored, score_col="comp_ratio",
+                              id_col="doc_id", frac=0.25)
+    df = (out.select_columns(["doc_id", "selected"]).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return df
+
+
+CONSTITUENT_QUERIES["zlib_top25_docs"] = q_zlib_top25_docs
+CONSTITUENT_ORACLE_SQL["zlib_top25_docs"] = f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY ratio DESC, doc_id)
+         <= CAST(ceil(0.25 * COUNT(*) OVER ()) AS BIGINT) AS selected
+FROM read_parquet('{os.path.join(_FIXTURES, 'zlib_ratio_docs.parquet')}')
+WHERE fp = {_FP_DOCS}
+ORDER BY doc_id
+"""
+
+
 def q_rewrite_docs(sf_dir: str) -> pd.DataFrame:
     """Text rewrite methods in one frame: 'normalize' = the full
     normalization pipeline (control-strip/NFC/quotes/lowercase/ws), 'html' =
@@ -4263,7 +4296,9 @@ SQL_PERPLEXITY_METHODS_DOCS = _union_sql(
      ("'dsir'", "doc_id, logw AS perplexity", "dsir_docs"),
      ("'dsir_sel'", "doc_id, CAST(selected AS DOUBLE) AS perplexity",
       "dsir_docs"),
-     ("'zlib'", "doc_id, ratio AS perplexity", "zlib_ratio_docs")],
+     ("'zlib'", "doc_id, ratio AS perplexity", "zlib_ratio_docs"),
+     ("'zlib_top25'", "doc_id, CAST(selected AS DOUBLE) AS perplexity",
+      "zlib_top25_docs")],
     "method, doc_id",
 )
 SQL_URLOPS_DOCS = _union_sql(
