@@ -1960,22 +1960,60 @@ def q_semdedup_embeddings(sf_dir: str) -> pd.DataFrame:
 
 
 def q_heavy_hitters_words(sf_dir: str) -> pd.DataFrame:
-    """Two-pass exact top-k heavy hitters (stages/heavyhitters.py): bounded
-    per-batch candidate emission (≤capacity+1 values clear the n/(cap+1)
-    bar) → broadcast candidate hashes → exact vectorized verify counts.
-    No value-keyed shuffle; the only exchange is sketch-sized partials."""
+    """Corpus term statistics, two engines in one frame:
+
+    - 'hh': two-pass exact top-k heavy hitters (stages/heavyhitters.py):
+      bounded per-batch candidate emission (≤capacity+1 values clear the
+      n/(cap+1) bar) → broadcast candidate hashes → exact vectorized verify
+      counts.  No value-keyed shuffle.  (value, cnt, h='').
+    - 'index': full inverted-index build (stages/inverted_index.py):
+      map-side (term, doc, tf) pre-agg → one bucketed exchange → doc-sorted
+      posting lists.  (term, df, h=md5 of the 'doc:tf,…' posting)."""
     from great_expectations_ray.stages.heavyhitters import heavy_hitters
+    from great_expectations_ray.stages.inverted_index import (
+        build_inverted_index)
 
     ds = _read(sf_dir, "documents", columns=["text"])
     df = heavy_hitters(ds, col="text", k=10, mode="words")
     assert df.attrs["guaranteed"]
-    return df
+
+    import hashlib
+
+    idx = (build_inverted_index(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        text_col="text", id_col="doc_id")
+        .to_pandas().sort_values("term").reset_index(drop=True))
+    frames = [
+        pd.DataFrame({"method": "hh", "value": df["value"],
+                      "cnt": df["cnt"], "h": ""}),
+        pd.DataFrame({"method": "index", "value": idx["term"],
+                      "cnt": idx["df"],
+                      "h": [hashlib.md5(p.encode()).hexdigest()
+                            for p in idx["posting"]]}),
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(["method", "value"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 SQL_HEAVY_HITTERS_WORDS = r"""
-WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS value FROM documents)
-SELECT value, count(*) AS cnt FROM t
-GROUP BY value ORDER BY cnt DESC, value LIMIT 10
+WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS value FROM documents),
+hh AS (SELECT value, count(*) AS cnt FROM t
+       GROUP BY value ORDER BY cnt DESC, value LIMIT 10),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
+inv AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)) AS posting_md5
+  FROM tf GROUP BY term)
+SELECT 'hh' AS method, value, CAST(cnt AS BIGINT) AS cnt, '' AS h FROM hh
+UNION ALL
+SELECT 'index', term, df, posting_md5 FROM inv
+ORDER BY method, value
 """
 
 
