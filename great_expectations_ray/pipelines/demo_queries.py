@@ -1646,26 +1646,58 @@ FROM c ORDER BY doc_id
 
 
 def q_stratified_docs(sf_dir: str) -> pd.DataFrame:
-    """Deterministic stratified sample (stages/stratified.py): exactly 5
-    docs per language by smallest md5(doc_id) rank — map-side top-k bounds
-    the one groupby(lang) exchange to ≤5 rows per (batch, lang)."""
+    """Per-group selection quotas, both flavors:
+
+    - 'md5': deterministic stratified sample (stages/stratified.py) —
+      exactly 5 docs per language by smallest md5(doc_id) rank; map-side
+      top-k bounds the one groupby(lang) exchange to ≤5 rows per
+      (batch, lang).
+    - 'quality': grouped top-fraction (stages/quota.py
+      select_top_fraction_grouped) — the best 25% of each language by zlib
+      compression ratio, ties to the lowest doc_id; per-language quality
+      quotas so no language crowds out the rest."""
+    from great_expectations_ray.stages.compressratio import score_compression
+    from great_expectations_ray.stages.quota import select_top_fraction_grouped
     from great_expectations_ray.stages.stratified import stratified_sample
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
-    out = stratified_sample(ds, strata_cols=["lang"], id_col="doc_id", k=5)
-    return (
-        out.to_pandas()[["lang", "doc_id"]]
-        .sort_values(["lang", "doc_id"])
-        .reset_index(drop=True)
-    )
+    md5s = stratified_sample(ds, strata_cols=["lang"], id_col="doc_id", k=5)
+    md5s = md5s.to_pandas()[["lang", "doc_id"]]
+    md5s.insert(0, "method", "md5")
+
+    scored = score_compression(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        text_col="text")
+    q = select_top_fraction_grouped(
+        scored, score_col="comp_ratio", id_col="doc_id",
+        group_col="lang", frac=0.25).to_pandas()
+    q = q.loc[q["selected"], ["lang", "doc_id"]]
+    q.insert(0, "method", "quality")
+
+    out = pd.concat([md5s, q], ignore_index=True)
+    return (out.sort_values(["method", "lang", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
 
 
-SQL_STRATIFIED_DOCS = """
-SELECT lang, doc_id FROM documents
+SQL_STRATIFIED_DOCS = f"""
+SELECT 'md5' AS method, lang, doc_id FROM documents
 QUALIFY row_number() OVER (
     PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
-ORDER BY lang, doc_id
-"""
+UNION ALL
+SELECT 'quality', lang, doc_id FROM (
+  SELECT d.lang, f.doc_id, f.ratio FROM
+    read_parquet('{{fx}}/zlib_ratio_docs.parquet') f
+    JOIN documents d USING (doc_id)
+  WHERE f.fp = {{fp}})
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY ratio DESC, doc_id)
+        <= ceil(0.25 * COUNT(*) OVER (PARTITION BY lang))
+ORDER BY method, lang, doc_id
+""".format(
+    # _FIXTURES/_FP_DOCS are defined further down this module; inline here
+    fx=os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "fixtures"),
+    fp="(SELECT CAST(SUM(doc_id * n_chars) AS BIGINT) FROM documents)",
+)
 
 
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
@@ -2180,20 +2212,37 @@ _MIX_WEIGHTS = {"src0": 2.0, "src1": 0.5, "src2": 1.25, "src3": 0.0}
 
 
 def q_mix_repetition_docs(sf_dir: str) -> pd.DataFrame:
-    """Domain mixing with repetition factors (stages/mixing.py): src0×2.0,
-    src1×0.5, src2×1.25, src3×0, all else ×1.0.  Fractional epochs select
-    deterministically by md5(doc_id) rank (the hash-sampler device) — no
-    randomness, no shuffle; rows explode in place with an epoch index."""
+    """Mixture construction, both flavors in one frame:
+
+    - 'mix': domain mixing with repetition factors (stages/mixing.py):
+      src0×2.0, src1×0.5, src2×1.25, src3×0, all else ×1.0.  Fractional
+      epochs select deterministically by md5(doc_id) rank (the hash-sampler
+      device) — no randomness, no shuffle; rows explode in place with an
+      epoch index.
+    - 'budget': per-source token-budget cutoff (stages/quota.py
+      token_budget_cutoff, n_chars as the token proxy, budget 15000):
+      epoch = 1 while the running per-source char sum (ascending doc_id)
+      stays within budget — mixture recipes stated as token budgets."""
     from great_expectations_ray.stages.mixing import mix_with_repetition
+    from great_expectations_ray.stages.quota import token_budget_cutoff
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    out = mix_with_repetition(ds, _MIX_WEIGHTS)
-    return (
-        out.to_pandas()
-        .astype({"epoch": "int64"})
-        .sort_values(["doc_id", "epoch"])
-        .reset_index(drop=True)
-    )
+    out = mix_with_repetition(ds, _MIX_WEIGHTS).to_pandas()
+    out = out.astype({"epoch": "int64"})
+    out.insert(0, "method", "mix")
+
+    bud = token_budget_cutoff(
+        _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        token_col="n_chars", id_col="doc_id", group_col="source",
+        budget=15000).to_pandas()
+    bud = pd.DataFrame({"method": "budget", "doc_id": bud["doc_id"],
+                        "source": bud["source"],
+                        "epoch": bud["selected"].astype("int64")})
+
+    both = pd.concat([out[["method", "doc_id", "source", "epoch"]], bud],
+                     ignore_index=True)
+    return (both.sort_values(["method", "doc_id", "epoch"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 def _mix_sql(weights: dict[str, float], default: float = 1.0) -> str:
@@ -2211,8 +2260,15 @@ d AS (SELECT doc_id, documents.source,
                          < coalesce(w.thr, '{weight_threshold_hex(default)}')
                     THEN 1 ELSE 0 END AS reps
       FROM documents LEFT JOIN w ON documents.source = w.source)
-SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS epoch
-FROM d ORDER BY doc_id, epoch
+SELECT 'mix' AS method, doc_id, source,
+       CAST(unnest(range(reps)) AS BIGINT) AS epoch
+FROM d
+UNION ALL
+SELECT 'budget', doc_id, source,
+       CAST((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+             <= 15000) AS BIGINT) AS epoch
+FROM documents
+ORDER BY method, doc_id, epoch
 """
 
 
