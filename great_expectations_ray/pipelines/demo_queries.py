@@ -3965,20 +3965,28 @@ def q_neardup_docs(sf_dir: str) -> pd.DataFrame:
 
 def q_fingerprint_docs(sf_dir: str) -> pd.DataFrame:
     """Copy-detection family in one frame: winnowing fingerprints per doc,
-    cross-doc fingerprint-overlap pairs, and ExactSubstr duplicate windows.
-    Generic integer columns (id_a, v1, v2) carry each method's triple:
-    winnow = (doc_id, n_fingerprints, fp_digest); overlap = (id_a, id_b,
-    shared); substr = (doc_id, dup_windows, first_dup_pos)."""
+    cross-doc fingerprint-overlap pairs, ExactSubstr duplicate windows, and
+    ExactSubstr keep-first span REMOVAL.  Generic columns (id_a, v1, v2, h)
+    carry each method's tuple: winnow = (doc_id, n_fingerprints, fp_digest,
+    ''); overlap = (id_a, id_b, shared, ''); substr = (doc_id, dup_windows,
+    first_dup_pos, ''); remove = (doc_id, removed_bytes, n_cuts,
+    clean_md5)."""
     win = _run_part("winnow_fingerprint_docs", sf_dir)
     ovl = _run_part("fingerprint_overlap_docs", sf_dir)
     sub = _run_part("substr_dup_docs", sf_dir)
+    rem = _run_part("substr_remove_docs", sf_dir)
     frames = [
         pd.DataFrame({"method": "winnow", "id_a": win["doc_id"],
-                      "v1": win["n_fingerprints"], "v2": win["fp_digest"]}),
+                      "v1": win["n_fingerprints"], "v2": win["fp_digest"],
+                      "h": ""}),
         pd.DataFrame({"method": "overlap", "id_a": ovl["id_a"],
-                      "v1": ovl["id_b"], "v2": ovl["shared"]}),
+                      "v1": ovl["id_b"], "v2": ovl["shared"], "h": ""}),
         pd.DataFrame({"method": "substr", "id_a": sub["doc_id"],
-                      "v1": sub["dup_windows"], "v2": sub["first_dup_pos"]}),
+                      "v1": sub["dup_windows"], "v2": sub["first_dup_pos"],
+                      "h": ""}),
+        pd.DataFrame({"method": "remove", "id_a": rem["doc_id"],
+                      "v1": rem["removed_bytes"], "v2": rem["n_cuts"],
+                      "h": rem["clean_md5"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "id_a", "v1"], kind="mergesort").reset_index(drop=True)
@@ -4248,6 +4256,60 @@ def q_zlib_top25_docs(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def q_substr_remove_docs(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr keep-first span REMOVAL (stages/substr_dedup.py
+    remove_duplicate_substrings — the rewrite half of Lee et al. 2022) over
+    the same derived corpus as the detection query: per doc, removed byte
+    count, merged-cut count, md5 of the cleaned text (md5 parity on
+    untouched docs proves no false cuts).  Oracle: independent per-doc
+    python fixture (tools/gen_oracle_fixtures.substr_remove_fixture)."""
+    from great_expectations_ray.stages.dedup import md5_column
+    from great_expectations_ray.stages.substr_dedup import (
+        remove_duplicate_substrings)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        n = len(ids)
+
+        def lit(s):
+            return pa.array([s] * n, pa.string())
+
+        r10 = ids % 10
+        suffix = pc.if_else(pa.array(r10 < 2),
+                 lit(" COMMON LICENSE HEADER BLOCK COPIED VERBATIM ACROSS FILES"),
+                 pc.if_else(pa.array(r10 == 5),
+                 lit(" ANOTHER SHARED DISCLAIMER PARAGRAPH REPEATED IN SOME FILES TOO"),
+                 lit("")))
+        content = pc.binary_join_element_wise(
+            pc.cast(tbl.column("text").combine_chunks(), pa.string()), suffix, "")
+        return pa.table({"doc_id": doc_id, "content": content})
+
+    corpus = ds.map_batches(derive, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = remove_duplicate_substrings(corpus, content_col="content",
+                                      id_col="doc_id", window=40)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": tbl.column("doc_id"),
+            "removed_bytes": tbl.column("removed_bytes"),
+            "n_cuts": tbl.column("n_cuts"),
+            "clean_md5": md5_column(tbl.column("content").combine_chunks()),
+        })
+
+    res = out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return res.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["substr_remove_docs"] = q_substr_remove_docs
+CONSTITUENT_ORACLE_SQL["substr_remove_docs"] = _fixture_sql(
+    "substr_remove_docs", "doc_id, removed_bytes, n_cuts, clean_md5",
+    _FP_DOCS, "doc_id")
+
+
 CONSTITUENT_QUERIES["zlib_top25_docs"] = q_zlib_top25_docs
 CONSTITUENT_ORACLE_SQL["zlib_top25_docs"] = f"""
 SELECT doc_id,
@@ -4367,11 +4429,16 @@ SQL_NEARDUP_DOCS = _union_sql(
 )
 SQL_FINGERPRINT_DOCS = _union_sql(
     [("'winnow' AS method",
-      "doc_id AS id_a, n_fingerprints AS v1, fp_digest AS v2",
+      "doc_id AS id_a, n_fingerprints AS v1, fp_digest AS v2, '' AS h",
       "winnow_fingerprint_docs"),
-     ("'overlap'", "id_a, id_b AS v1, shared AS v2", "fingerprint_overlap_docs"),
-     ("'substr'", "doc_id AS id_a, dup_windows AS v1, first_dup_pos AS v2",
-      "substr_dup_docs")],
+     ("'overlap'", "id_a, id_b AS v1, shared AS v2, '' AS h",
+      "fingerprint_overlap_docs"),
+     ("'substr'",
+      "doc_id AS id_a, dup_windows AS v1, first_dup_pos AS v2, '' AS h",
+      "substr_dup_docs"),
+     ("'remove'",
+      "doc_id AS id_a, removed_bytes AS v1, n_cuts AS v2, clean_md5 AS h",
+      "substr_remove_docs")],
     "method, id_a, v1",
 )
 SQL_LANGID_METHODS_DOCS = _union_sql(

@@ -167,3 +167,142 @@ def duplicate_substrings(
         return out
 
     return grouped_apply_bucketed(partials, [id_col], merge)
+
+
+def duplicate_occurrence_cuts(
+    ds,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+):
+    """Dataset[(doc_id, start, end)] of byte ranges to DELETE under the
+    keep-first rule: for every window shared by >= 2 distinct docs, the
+    lexicographically smallest ``(doc_id, pos)`` occurrence is the keeper;
+    every other occurrence marks ``[pos, pos+window)`` for removal.
+    Overlapping/adjacent marks per doc are merged into maximal ranges, so a
+    duplicated span of ANY length >= window becomes one contiguous cut
+    (stride is fixed at 1 — removal needs every position).
+
+    Exactly ONE occurrence of each cross-doc-shared window survives
+    corpus-wide: extra occurrences INSIDE the keeper doc are cut too, and a
+    self-overlapping periodic run (e.g. ``'x' * 100``) collapses to its
+    first window even in the keeper."""
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        return window_table(
+            tbl.column(content_col), tbl.column(id_col),
+            window=window, stride=1)
+
+    exploded = ds.select_columns([id_col, content_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def non_keepers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["win", id_col, "pos"], kind="mergesort")
+        grp = g.groupby("win", sort=False)
+        shared = grp[id_col].transform("nunique") >= 2
+        keeper = ~g.duplicated(subset=["win"], keep="first")
+        keep_rows = shared & ~keeper
+        return g.loc[keep_rows, [id_col, "pos"]]
+
+    marks = grouped_apply_bucketed(exploded, ["win"], non_keepers)
+
+    def merge_ranges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({id_col: [], "start": [], "end": []})
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy(np.int64)
+        end = pos + window
+        # doc segment boundaries; ranges merge within one doc's sorted marks
+        starts_flag = np.empty(len(g), dtype=bool)
+        starts_flag[0] = True
+        starts_flag[1:] = ids[1:] != ids[:-1]
+        out_ids, out_s, out_e = [], [], []
+        seg_start = 0
+        for i in range(1, len(g) + 1):
+            if i == len(g) or starts_flag[i]:
+                # one doc segment [seg_start, i): vectorized merge inside
+                p, e = pos[seg_start:i], end[seg_start:i]
+                cut_starts = [int(p[0])]
+                cut_ends = [int(e[0])]
+                for a, b in zip(p[1:], e[1:]):
+                    if a <= cut_ends[-1]:
+                        if b > cut_ends[-1]:
+                            cut_ends[-1] = int(b)
+                    else:
+                        cut_starts.append(int(a))
+                        cut_ends.append(int(b))
+                out_ids.extend([ids[seg_start]] * len(cut_starts))
+                out_s.extend(cut_starts)
+                out_e.extend(cut_ends)
+                seg_start = i
+        return pd.DataFrame({id_col: out_ids, "start": out_s, "end": out_e})
+
+    return grouped_apply_bucketed(marks, [id_col], merge_ranges)
+
+
+def remove_duplicate_substrings(
+    ds,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    concurrency=(1, 8),
+):
+    """ExactSubstr REMOVAL (the rewrite half of Lee et al. 2022): returns
+    the corpus with every non-keeper duplicated span cut out, plus
+    ``removed_bytes`` / ``n_cuts`` per doc.  The cut map covers only the
+    duplicated subset; it is collected once and broadcast via ``ray.put``
+    (fetched per actor — the _BoilerplateRewriter pattern).  Cuts are BYTE
+    ranges; on non-ASCII content a cut can split a UTF-8 sequence, decoded
+    with errors='replace' (deterministic, and byte==char on the ASCII
+    testdata)."""
+    import ray
+
+    cuts = duplicate_occurrence_cuts(
+        ds, content_col=content_col, id_col=id_col, window=window).take_all()
+    cut_map: dict = {}
+    for r in cuts:
+        cut_map.setdefault(r[id_col], []).append((r["start"], r["end"]))
+    for v in cut_map.values():
+        v.sort()
+    ref = ray.put(cut_map)
+
+    class _Rewriter:
+        def __init__(self, cut_ref):
+            self.cuts = ray.get(cut_ref) if not isinstance(cut_ref, dict) else cut_ref
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            ids = np.asarray(tbl.column(id_col))
+            content = tbl.column(content_col)
+            if isinstance(content, pa.ChunkedArray):
+                content = content.combine_chunks()
+            content = pc.cast(pc.fill_null(content, ""), pa.string())
+            removed = np.zeros(len(ids), dtype=np.int64)
+            n_cuts = np.zeros(len(ids), dtype=np.int64)
+            hit = [i for i, d in enumerate(ids.tolist()) if d in self.cuts]
+            if not hit:
+                out_content = content
+            else:
+                vals = content.to_pylist()
+                for i in hit:
+                    ranges = self.cuts[ids[i]]
+                    b = vals[i].encode("utf-8")
+                    pieces, last = [], 0
+                    for s, e in ranges:
+                        pieces.append(b[last:s])
+                        last = e
+                    pieces.append(b[last:])
+                    vals[i] = b"".join(pieces).decode("utf-8", "replace")
+                    removed[i] = sum(e - s for s, e in ranges)
+                    n_cuts[i] = len(ranges)
+                out_content = pa.array(vals, pa.string())
+            tbl = tbl.set_column(
+                tbl.column_names.index(content_col), content_col, out_content)
+            return (tbl.append_column("removed_bytes", pa.array(removed))
+                       .append_column("n_cuts", pa.array(n_cuts)))
+
+    return ds.map_batches(
+        _Rewriter, fn_constructor_kwargs={"cut_ref": ref},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)

@@ -106,3 +106,63 @@ def test_non_ascii_content_does_not_crash(ray_session):
            duplicate_substrings(ds, window=40).take_all()}
     assert set(out) == {0, 1}
     assert out[0]["dup_windows"] == 23
+
+
+def test_remove_duplicate_substrings_keep_first():
+    """The smallest (doc_id, pos) occurrence keeps the span; every other
+    occurrence is cut; unaffected docs pass through byte-identical."""
+    import ray
+
+    from great_expectations_ray.stages.substr_dedup import (
+        remove_duplicate_substrings,
+    )
+
+    hdr = " SHARED HEADER BLOCK THAT IS WAY LONGER THAN FORTY CHARACTERS!!"
+    docs = [
+        {"doc_id": 0, "text": "keeper body" + hdr},
+        {"doc_id": 1, "text": "second body" + hdr + " tail"},
+        {"doc_id": 2, "text": "untouched unique content of document two"},
+    ]
+    ds = ray.data.from_items(docs).repartition(2)
+    out = (remove_duplicate_substrings(ds, content_col="text",
+                                       id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "removed_bytes"] == 0
+    assert out.loc[0, "text"] == "keeper body" + hdr
+    # doc 1 loses the shared span (which extends left over the common
+    # " body" suffix of both prefixes)
+    assert out.loc[1, "removed_bytes"] >= len(hdr)
+    assert hdr not in out.loc[1, "text"]
+    assert out.loc[1, "text"].startswith("second")
+    assert out.loc[1, "text"].endswith(" tail")
+    assert out.loc[2, "text"] == docs[2]["text"]
+    assert out.loc[2, "n_cuts"] == 0
+
+
+def test_remove_duplicate_substrings_partition_invariance():
+    import ray
+
+    from great_expectations_ray.stages.substr_dedup import (
+        remove_duplicate_substrings,
+    )
+
+    # aperiodic span: no self-overlapping windows, so the keeper doc
+    # retains it whole (a periodic run like 'x'*60 would collapse to its
+    # first window even in the keeper — documented semantics)
+    span = "".join(chr(97 + (j * 7) % 26) for j in range(60))
+    docs = [{"doc_id": i,
+             "text": f"doc {i} prefix {span if i % 4 == 0 else ''} suffix {i}"}
+            for i in range(24)]
+
+    def run(parts):
+        ds = ray.data.from_items(docs).repartition(parts)
+        return (remove_duplicate_substrings(ds, content_col="text",
+                                            id_col="doc_id")
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    a, b = run(1), run(6)
+    assert a.equals(b)
+    carriers = a[a.doc_id % 4 == 0]
+    # lowest-id carrier keeps the run; the rest lose it
+    assert carriers.iloc[0]["removed_bytes"] == 0
+    assert (carriers.iloc[1:]["removed_bytes"] > 0).all()

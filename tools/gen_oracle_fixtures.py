@@ -191,6 +191,63 @@ def minhash_fixture(docs: pd.DataFrame, num_perm=128, bands=16, k=8, seed=17) ->
     return pd.DataFrame({"doc_id": ids, "is_neardup": [dup[i] for i in ids]})
 
 
+def substr_remove_fixture(docs: pd.DataFrame, window: int = 40) -> pd.DataFrame:
+    """ExactSubstr keep-first span removal over the derived substr corpus
+    (same %10 suffix spec as the detection query): windows at every byte
+    position; for each window shared by >= 2 distinct docs the smallest
+    (doc_id, pos) occurrence is kept, every other occurrence marks
+    [pos, pos+window) for deletion; per-doc marks merge into maximal ranges
+    and are cut from the utf-8 bytes.  Plain python dicts throughout."""
+    import hashlib
+
+    texts: dict[int, bytes] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        d = int(doc_id)
+        r10 = d % 10
+        suf = (" COMMON LICENSE HEADER BLOCK COPIED VERBATIM ACROSS FILES"
+               if r10 < 2 else
+               " ANOTHER SHARED DISCLAIMER PARAGRAPH REPEATED IN SOME FILES TOO"
+               if r10 == 5 else "")
+        texts[d] = ((text or "") + suf).encode("utf-8")
+
+    occ: dict[bytes, list[tuple[int, int]]] = {}
+    for d, b in texts.items():
+        for p in range(len(b) - window + 1):
+            occ.setdefault(b[p:p + window], []).append((d, p))
+
+    marks: dict[int, list[tuple[int, int]]] = {}
+    for lst in occ.values():
+        if len({d for d, _ in lst}) < 2:
+            continue
+        lst = sorted(lst)
+        for d, p in lst[1:]:
+            marks.setdefault(d, []).append((p, p + window))
+
+    rows = []
+    for d in sorted(texts):
+        b = texts[d]
+        ranges = []
+        for s, e in sorted(marks.get(d, [])):
+            if ranges and s <= ranges[-1][1]:
+                if e > ranges[-1][1]:
+                    ranges[-1] = (ranges[-1][0], e)
+            else:
+                ranges.append((s, e))
+        pieces, last = [], 0
+        for s, e in ranges:
+            pieces.append(b[last:s])
+            last = e
+        pieces.append(b[last:])
+        clean = b"".join(pieces).decode("utf-8", "replace")
+        rows.append({
+            "doc_id": d,
+            "removed_bytes": sum(e - s for s, e in ranges),
+            "n_cuts": len(ranges),
+            "clean_md5": hashlib.md5(clean.encode("utf-8")).hexdigest(),
+        })
+    return pd.DataFrame(rows)
+
+
 def zlib_ratio_fixture(docs: pd.DataFrame, level: int = 6) -> pd.DataFrame:
     """Compression-ratio signal: per-doc zlib level-6 compressed length /
     raw utf-8 length (0.0 for empty docs).  Pure per-doc stdlib zlib — the
@@ -1056,6 +1113,7 @@ def main(sf_dirs: list[str]) -> None:
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("incremental_neardup_docs", incremental_neardup_fixture(docs), fp_docs),
             ("zlib_ratio_docs", zlib_ratio_fixture(docs), fp_docs),
+            ("substr_remove_docs", substr_remove_fixture(docs), fp_docs),
             ("winnow_fingerprint_docs", winnow_fixture(docs), fp_docs),
             ("fingerprint_overlap_docs", fingerprint_overlap_fixture(docs), fp_docs),
             ("simhash_neardup_docs", simhash_fixture(docs), fp_docs),
