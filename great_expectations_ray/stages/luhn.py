@@ -109,15 +109,22 @@ class CardScrubber:
             out = tbl
         else:
             if self.rewrite:
-                vals = s.to_pylist()  # only mutated rows rebuilt below
+                # only candidate rows are pulled to Python; mutated rows
+                # are patched back via replace_with_mask (the _nfc pattern)
+                fixed_idx: list[int] = []
+                fixed_vals: list[str] = []
                 for i in hit_rows:
                     i = int(i)
-                    c, v, new = _scan_value(vals[i], self.mask, True)
+                    c, v, new = _scan_value(s[i].as_py(), self.mask, True)
                     cand[i], valid[i] = c, v
                     if v:
-                        vals[i] = new
-                if valid[hit_rows].any():
-                    s = pa.array(vals, pa.string())
+                        fixed_idx.append(i)
+                        fixed_vals.append(new)
+                if fixed_idx:
+                    mask = np.zeros(len(s), dtype=bool)
+                    mask[fixed_idx] = True
+                    s = pc.replace_with_mask(
+                        s, pa.array(mask), pa.array(fixed_vals, pa.string()))
                 out = tbl.set_column(
                     tbl.column_names.index(self.content_col),
                     self.content_col, s)

@@ -285,19 +285,24 @@ def remove_duplicate_substrings(
             if not hit:
                 out_content = content
             else:
-                vals = content.to_pylist()
+                # only affected rows are pulled to Python; the rest of the
+                # batch stays on the Arrow buffer (replace_with_mask)
+                reps: list[str] = []
                 for i in hit:
                     ranges = self.cuts[ids[i]]
-                    b = vals[i].encode("utf-8")
+                    b = content[i].as_py().encode("utf-8")
                     pieces, last = [], 0
                     for s, e in ranges:
                         pieces.append(b[last:s])
                         last = e
                     pieces.append(b[last:])
-                    vals[i] = b"".join(pieces).decode("utf-8", "replace")
+                    reps.append(b"".join(pieces).decode("utf-8", "replace"))
                     removed[i] = sum(e - s for s, e in ranges)
                     n_cuts[i] = len(ranges)
-                out_content = pa.array(vals, pa.string())
+                mask = np.zeros(len(ids), dtype=bool)
+                mask[hit] = True
+                out_content = pc.replace_with_mask(
+                    content, pa.array(mask), pa.array(reps, pa.string()))
             tbl = tbl.set_column(
                 tbl.column_names.index(content_col), content_col, out_content)
             return (tbl.append_column("removed_bytes", pa.array(removed))
