@@ -6,6 +6,7 @@ Commands:
   docs      build the static Data Docs HTML site from stored results
   profile   one-pass column profile; optionally emit a suggested suite
   dedup     deduplicate a parquet corpus (exact/minhash/simhash/paragraph)
+  select    keep the top fraction of a corpus by score (zlib/length)
   drift     diff two tables' profiles; exit 1 when drift is detected
 """
 
@@ -214,6 +215,64 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_select(args) -> int:
+    """Score a parquet corpus and keep the top fraction (partitioned).
+
+    zlib     compression-ratio repetitiveness score (higher = keep;
+             use --invert for natural-prose-first selection)
+    length   character count
+    Selection = exactly ceil(frac * n) rows, ROW_NUMBER-over-(score DESC,
+    id)-semantics, via the rank-selected threshold (no global sort).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from great_expectations_ray.stages.topfrac import select_top_fraction
+
+    owned = _init_ray(args.cpus)
+    try:
+        ds = rd.read_parquet(args.input)
+        n_in = ds.count()
+        if args.score == "zlib":
+            from great_expectations_ray.stages.compressratio import (
+                score_compression)
+
+            scored = score_compression(ds, text_col=args.text_col)
+            score_col = "comp_ratio"
+        else:  # length
+            def add_len(tbl):
+                col = pc.cast(pc.fill_null(
+                    tbl.column(args.text_col).combine_chunks(), ""),
+                    pa.string())
+                return tbl.append_column(
+                    "doc_len", pc.cast(pc.utf8_length(col), pa.int64()))
+
+            scored = ds.map_batches(add_len, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            score_col = "doc_len"
+        if args.invert:
+            def neg(tbl):
+                return tbl.set_column(
+                    tbl.column_names.index(score_col), score_col,
+                    pc.negate(pc.cast(tbl.column(score_col), pa.float64())))
+
+            scored = scored.map_batches(neg, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        marked = select_top_fraction(
+            scored, score_col=score_col, id_col=args.id_col, frac=args.frac)
+        kept = marked.filter(expr="selected == True").drop_columns(
+            ["selected", score_col])
+        kept.repartition(args.partitions).write_parquet(args.output)
+        n_out = rd.read_parquet(args.output).count()
+        print(json.dumps({"score": args.score, "frac": args.frac,
+                          "rows_in": n_in, "rows_out": n_out,
+                          "output": args.output}))
+    finally:
+        _maybe_shutdown(owned)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="great_expectations_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -268,6 +327,21 @@ def main(argv=None) -> int:
     dd.add_argument("--partitions", type=int, default=8)
     dd.add_argument("--cpus", type=int, default=None)
     dd.set_defaults(fn=cmd_dedup)
+
+    sl = sub.add_parser("select",
+                        help="keep the top fraction of a corpus by score")
+    sl.add_argument("--input", required=True, help="input parquet glob")
+    sl.add_argument("--output", required=True, help="output directory")
+    sl.add_argument("--score", default="zlib", choices=["zlib", "length"])
+    sl.add_argument("--frac", type=float, required=True,
+                    help="fraction of rows to keep (0..1)")
+    sl.add_argument("--invert", action="store_true",
+                    help="select the LOWEST scores instead")
+    sl.add_argument("--id-col", default="doc_id")
+    sl.add_argument("--text-col", default="text")
+    sl.add_argument("--partitions", type=int, default=8)
+    sl.add_argument("--cpus", type=int, default=None)
+    sl.set_defaults(fn=cmd_select)
 
     dr = sub.add_parser("drift", help="diff two tables' profiles (exit 1 on drift)")
     dr.add_argument("--baseline", required=True)

@@ -111,3 +111,33 @@ def test_cli_dedup_methods(ray_session, tmp_path):
     kept = pq.read_table(out_mh)
     assert kept.num_rows == 476  # 500 - 24 planted near-dups
     assert "is_neardup" not in kept.schema.names  # helper column dropped
+
+
+def test_cli_select_top_fraction(ray_session, tmp_path):
+    """CLI: select keeps exactly ceil(frac*n) rows; --invert flips the
+    selection to the lowest scores."""
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "sel")
+    rc = main(["select", "--input", docs, "--output", out,
+               "--frac", "0.25", "--partitions", "2"])
+    assert rc == 0
+    kept = pq.read_table(out)
+    assert kept.num_rows == 125  # ceil(0.25 * 500)
+    assert "selected" not in kept.schema.names
+    assert "comp_ratio" not in kept.schema.names
+
+    out_inv = str(tmp_path / "sel_inv")
+    rc = main(["select", "--input", docs, "--output", out_inv,
+               "--frac", "0.1", "--score", "length", "--invert",
+               "--partitions", "2"])
+    assert rc == 0
+    inv = pq.read_table(out_inv).to_pandas()
+    assert len(inv) == 50
+    # the shortest docs were kept
+    full = pq.read_table(docs).to_pandas()
+    cutoff = full["text"].str.len().sort_values().iloc[49]
+    assert (inv["text"].str.len() <= cutoff).all()
