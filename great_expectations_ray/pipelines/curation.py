@@ -26,7 +26,7 @@ parquet-directory readers never trip over it).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)
