@@ -28,7 +28,8 @@ import pandas as pd
 
 from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 
-_SUPPORTED = ("row_number", "rank", "dense_rank", "lag", "lead")
+_SUPPORTED = ("row_number", "rank", "dense_rank", "lag", "lead",
+              "moving_sum", "moving_avg")
 
 
 def _run_starts(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
@@ -56,9 +57,17 @@ def windowed_rank(
     value_col: str | None = None,
     outputs: Iterable[str] = ("row_number",),
     keep_cols: Iterable[str] = (),
+    frame_rows: int = 2,
 ):
     """Dataset of keep_cols + partition/order cols + requested window
-    columns (``lag``/``lead`` require ``value_col``)."""
+    columns (``lag``/``lead``/``moving_*`` require ``value_col``).
+
+    ``moving_sum`` / ``moving_avg`` use the frame ``ROWS BETWEEN
+    frame_rows PRECEDING AND CURRENT ROW``; the count divides by non-null
+    frame values (SQL ``count(value) OVER``).  Pass an INTEGER value
+    column (fixed-point quantized) when bit-exact parity with a SQL engine
+    is required — integer frame sums are accumulation-order-free, float
+    sums are not."""
     outputs = list(outputs)
     raw = [order_by] if isinstance(order_by, str) else list(order_by)
     # each entry: "col" (ASC) or ("col", "asc"|"desc")
@@ -74,8 +83,9 @@ def windowed_rank(
     for o in outputs:
         if o not in _SUPPORTED:
             raise ValueError(f"unsupported window function {o!r}")
-    if ("lag" in outputs or "lead" in outputs) and value_col is None:
-        raise ValueError("lag/lead need value_col")
+    if value_col is None and any(
+            o in outputs for o in ("lag", "lead", "moving_sum", "moving_avg")):
+        raise ValueError("lag/lead/moving_* need value_col")
     needed = sorted({partition_by, *order_cols, *keep_cols}
                     | ({value_col} if value_col else set()))
 
@@ -107,6 +117,23 @@ def windowed_rank(
             out["lag"] = grp[value_col].shift(1)
         if "lead" in outputs:
             out["lead"] = grp[value_col].shift(-1)
+        if "moving_sum" in outputs or "moving_avg" in outputs:
+            # frame sum accumulated oldest->newest via per-partition shifts;
+            # with an integer value column each add is exact, so the result
+            # is independent of accumulation order (SQL-engine parity)
+            s = grp[value_col]
+            msum = np.zeros(len(g), dtype=np.float64)
+            cnt = np.zeros(len(g), dtype=np.int64)
+            for j in range(frame_rows, -1, -1):
+                sh = s.shift(j)
+                ok = sh.notna().to_numpy()
+                msum += np.where(ok, sh.fillna(0).to_numpy(np.float64), 0.0)
+                cnt += ok
+            if "moving_sum" in outputs:
+                out["moving_sum"] = msum
+            if "moving_avg" in outputs:
+                out["moving_avg"] = np.where(cnt > 0, msum / np.maximum(cnt, 1),
+                                             np.nan)
         return out
 
     return grouped_apply_bucketed(ds.select_columns(needed), [partition_by], bucket)

@@ -1861,30 +1861,52 @@ ORDER BY op, n
 
 def q_window_rank_events(sf_dir: str) -> pd.DataFrame:
     """Partitioned window functions (functions/window_rank.py): per-user
-    row_number by ts plus lag(value) — one bucketed key exchange."""
+    row_number by ts, lag(value), and a ROWS-BETWEEN-2-PRECEDING moving
+    average — one bucketed key exchange.  ``value`` is 2-dp by
+    construction, so lag and the frame sums run on fixed-point cents
+    (rint(value*100) int64): integer frame sums are accumulation-order-free
+    and the final double divisions are fixed-order, making both columns
+    bit-exact vs DuckDB with NO rounding step."""
     from great_expectations_ray.functions.window_rank import windowed_rank
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def add_cents(tbl: pa.Table) -> pa.Table:
+        v = np.asarray(pc.cast(tbl.column("value"), pa.float64()))
+        return tbl.append_column(
+            "cents", pa.array(np.rint(v * 100).astype(np.int64)))
+
+    ds = ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
     # (ts, event_id) composite ordering: event_id breaks any ts tie so both
     # engines' row_number/lag are deterministic at every SF
     out = windowed_rank(
-        ds, partition_by="user_id", order_by=["ts", "event_id"], value_col="value",
-        outputs=("row_number", "lag"), keep_cols=("event_id",),
+        ds, partition_by="user_id", order_by=["ts", "event_id"],
+        value_col="cents", outputs=("row_number", "lag", "moving_avg"),
+        keep_cols=("event_id",), frame_rows=2,
     ).to_pandas()
-    out["lag"] = out["lag"].round(2)
+    out["lag"] = out["lag"] / 100.0
+    out["mavg3"] = out["moving_avg"] / 100.0
     return (
-        out[["event_id", "user_id", "row_number", "lag"]]
+        out[["event_id", "user_id", "row_number", "lag", "mavg3"]]
         .sort_values("event_id")
         .reset_index(drop=True)
     )
 
 
 SQL_WINDOW_RANK_EVENTS = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
 SELECT event_id, user_id,
        CAST(row_number() OVER w AS BIGINT) AS row_number,
-       round(lag(value) OVER w, 2) AS lag
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       lag(cents) OVER w / 100.0 AS lag,
+       (CAST(sum(cents) OVER w3 AS DOUBLE) / count(cents) OVER w3) / 100.0
+         AS mavg3
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 ORDER BY event_id
 """
 
