@@ -3643,11 +3643,72 @@ CONSTITUENT_ORACLE_SQL["exact_n_sample_docs"] = (
 )
 _VERDICT_COLS["exact_n_sample_docs"] = [("n", "num"), ("sum_ids", "num")]
 
+def q_psi_quantity_halves(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index (functions/psi.py): l_quantity
+    distribution of even-orderkey lineitem rows (baseline) vs odd
+    (current) over 10 baseline-decile bins — exact rank-selected edges,
+    one count pass per side, fixed-order per-bin terms from
+    Laplace-smoothed integer counts (bit-exact vs the SQL oracle)."""
+    from great_expectations_ray.functions.psi import psi_bins
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def half(keep_even: bool):
+        def f(tbl: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(
+                pc.cast(tbl.column("l_orderkey"), pa.int64()), 1), 0)
+            return tbl.filter(even if keep_even else pc.invert(even))
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = psi_bins(half(True), half(False), "l_quantity", bins=10)
+    return out[["bin", "base_cnt", "cur_cnt", "term"]]
+
+
+def _psi_sql() -> str:
+    edges = ",\n  ".join(
+        f"max(CASE WHEN rn = CAST(floor(0.{i} * (c - 1)) AS BIGINT) "
+        f"THEN x END) AS e{i}" for i in range(1, 10))
+    binexpr = " + ".join(f"CAST(x > e{i} AS BIGINT)" for i in range(1, 10))
+    return f"""
+WITH base AS (SELECT l_quantity AS x FROM lineitem WHERE l_orderkey % 2 = 0),
+cur AS (SELECT l_quantity AS x FROM lineitem WHERE l_orderkey % 2 <> 0),
+s AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rn FROM base),
+nn AS (SELECT count(*) AS c FROM s),
+e AS (SELECT
+  {edges}
+FROM s, nn),
+allbins AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin),
+bb AS (SELECT bin, count(*) AS cnt
+       FROM (SELECT {binexpr} AS bin FROM base, e) GROUP BY bin),
+cb AS (SELECT bin, count(*) AS cnt
+       FROM (SELECT {binexpr} AS bin FROM cur, e) GROUP BY bin),
+tot AS (SELECT CAST((SELECT count(*) FROM base) + 10 AS DOUBLE) AS np,
+               CAST((SELECT count(*) FROM cur) + 10 AS DOUBLE) AS mp)
+SELECT a.bin,
+       CAST(coalesce(bb.cnt, 0) AS BIGINT) AS base_cnt,
+       CAST(coalesce(cb.cnt, 0) AS BIGINT) AS cur_cnt,
+       round((CAST(coalesce(bb.cnt, 0) + 1 AS DOUBLE) / np
+              - CAST(coalesce(cb.cnt, 0) + 1 AS DOUBLE) / mp)
+             * ln((CAST(coalesce(bb.cnt, 0) + 1 AS DOUBLE) * mp)
+                  / (CAST(coalesce(cb.cnt, 0) + 1 AS DOUBLE) * np)),
+             12) AS term
+FROM allbins a
+LEFT JOIN bb ON a.bin = bb.bin
+LEFT JOIN cb ON a.bin = cb.bin, tot
+ORDER BY a.bin
+"""
+
+
+CONSTITUENT_QUERIES["psi_quantity_halves"] = q_psi_quantity_halves
+CONSTITUENT_ORACLE_SQL["psi_quantity_halves"] = _psi_sql()
+
+
 _AGG_STATS_VERDICT_PARTS = [
     "agg_quantity", "distinct_mktsegment", "most_common_returnflag",
     "quantiles_price", "unique_prefix_violations", "compound_unique_orders",
     "zscore_quantity", "kl_event_types", "cramers_events",
-    "ks_uniform_quantity", "exact_n_sample_docs",
+    "ks_uniform_quantity", "exact_n_sample_docs", "psi_quantity_halves",
 ]
 
 
@@ -3658,6 +3719,14 @@ def _melt_verdicts(parts: list[str], sf_dir: str) -> pd.DataFrame:
         if name == "customers_without_orders":
             # list-shaped constituent folded to its count verdict
             recs.append((name, "n", float(len(df)), ""))
+            continue
+        if name == "psi_quantity_halves":
+            # multi-row constituent: one metric per (bin, column)
+            for _, r in df.iterrows():
+                b = int(r["bin"])
+                recs.append((name, f"bin{b}_base", float(r["base_cnt"]), ""))
+                recs.append((name, f"bin{b}_cur", float(r["cur_cnt"]), ""))
+                recs.append((name, f"bin{b}_term", float(r["term"]), ""))
             continue
         row = df.iloc[0]
         for col, kind in _VERDICT_COLS[name]:
@@ -3679,6 +3748,17 @@ def _melted_sql(parts: list[str]) -> str:
                 f"CAST(COUNT(*) AS DOUBLE) AS value_num, '' AS value_str "
                 f"FROM ({sub})"
             )
+            continue
+        if name == "psi_quantity_halves":
+            for col in ("base", "cur", "term"):
+                src = {"base": "base_cnt", "cur": "cur_cnt",
+                       "term": "term"}[col]
+                selects.append(
+                    f"SELECT '{name}' AS chk, "
+                    f"'bin' || CAST(bin AS VARCHAR) || '_{col}' AS metric, "
+                    f"CAST({src} AS DOUBLE) AS value_num, '' AS value_str "
+                    f"FROM ({sub})"
+                )
             continue
         for col, kind in _VERDICT_COLS[name]:
             if kind == "num":

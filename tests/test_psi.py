@@ -1,0 +1,44 @@
+"""Population Stability Index (functions/psi.py)."""
+
+import numpy as np
+import pandas as pd
+import ray
+
+from great_expectations_ray.functions.psi import psi_bins
+
+
+def _ds(values, parts=3):
+    return ray.data.from_pandas(
+        pd.DataFrame({"v": np.asarray(values, dtype=np.float64)})
+    ).repartition(parts)
+
+
+def test_psi_identical_distributions_near_zero():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=4000)
+    out = psi_bins(_ds(x), _ds(x), "v")
+    assert len(out) == 10
+    # identical populations: every term is ~0 (Laplace smoothing only)
+    assert out.attrs["psi"] < 1e-6
+    assert (out["base_cnt"] == out["cur_cnt"]).all()
+
+
+def test_psi_detects_shift():
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=4000)
+    cur = rng.normal(loc=0.8, size=4000)
+    out = psi_bins(_ds(base), _ds(cur), "v")
+    # industry rule of thumb: >0.25 = major shift
+    assert out.attrs["psi"] > 0.25
+    assert out["base_cnt"].sum() == 4000
+    assert out["cur_cnt"].sum() == 4000
+
+
+def test_psi_partition_invariance():
+    rng = np.random.default_rng(7)
+    base = rng.uniform(size=1500)
+    cur = rng.uniform(size=1100) ** 2
+    a = psi_bins(_ds(base, 1), _ds(cur, 1), "v")
+    b = psi_bins(_ds(base, 7), _ds(cur, 5), "v")
+    assert a.equals(b)
+    assert a.attrs["psi"] == b.attrs["psi"]
