@@ -138,13 +138,36 @@ def cmd_profile(args) -> int:
 
 
 def cmd_drift(args) -> int:
-    """Diff two datasets' profiles; exit 1 when drift is detected."""
+    """Diff two datasets' profiles; exit 1 when drift is detected.
+
+    ``--psi-columns``: additionally compute the Population Stability Index
+    per named numeric column (baseline-decile bins); a column with
+    PSI > ``--psi-threshold`` (default 0.25, the standard major-shift bar)
+    counts as drifted."""
     from great_expectations_ray.pipelines.drift import detect_drift
     from great_expectations_ray.sources.readers import read_batch
 
     owned = _init_ray(args.cpus)
     try:
-        rep = detect_drift(read_batch(args.baseline), read_batch(args.current))
+        base = read_batch(args.baseline)
+        cur = read_batch(args.current)
+        rep = detect_drift(base, cur)
+        if args.psi_columns:
+            from great_expectations_ray.functions.psi import psi_bins
+
+            psi_rep = {}
+            for col in args.psi_columns.split(","):
+                col = col.strip()
+                out = psi_bins(base, cur, col)
+                psi_rep[col] = {
+                    "psi": out.attrs["psi"],
+                    "drifted": out.attrs["psi"] > args.psi_threshold,
+                    "bins": out.to_dict("records"),
+                }
+            rep["psi"] = psi_rep
+            rep["drifted"] = bool(
+                rep["drifted"]
+                or any(v["drifted"] for v in psi_rep.values()))
         print(json.dumps(rep, indent=1, default=str))
     finally:
         _maybe_shutdown(owned)
@@ -346,6 +369,9 @@ def main(argv=None) -> int:
     dr = sub.add_parser("drift", help="diff two tables' profiles (exit 1 on drift)")
     dr.add_argument("--baseline", required=True)
     dr.add_argument("--current", required=True)
+    dr.add_argument("--psi-columns",
+                    help="comma-separated numeric columns to PSI-check")
+    dr.add_argument("--psi-threshold", type=float, default=0.25)
     dr.add_argument("--cpus", type=int, default=None)
     dr.set_defaults(fn=cmd_drift)
 

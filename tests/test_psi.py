@@ -42,3 +42,18 @@ def test_psi_partition_invariance():
     b = psi_bins(_ds(base, 7), _ds(cur, 5), "v")
     assert a.equals(b)
     assert a.attrs["psi"] == b.attrs["psi"]
+
+
+def test_cli_drift_psi_columns(ray_session, capsys):
+    import json
+
+    from great_expectations_ray.__main__ import main
+
+    rc = main(["drift",
+               "--baseline", "/root/testdata/sf0.001/lineitem.parquet",
+               "--current", "/root/testdata/sf0.001/lineitem.parquet",
+               "--psi-columns", "l_quantity"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0  # identical data: no drift
+    assert rep["psi"]["l_quantity"]["psi"] < 1e-9
+    assert len(rep["psi"]["l_quantity"]["bins"]) == 10
