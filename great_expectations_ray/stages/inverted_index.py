@@ -54,24 +54,44 @@ def term_doc_frequencies(tbl: pa.Table, *, text_col: str, id_col: str) -> pa.Tab
 
 
 def build_inverted_index(ds, *, text_col: str = "text",
-                         id_col: str = "doc_id", n_buckets: int = 64):
+                         id_col: str = "doc_id", n_buckets: int = 64,
+                         shard_docs: int | None = None):
     """Dataset of (term, df, tf_sum, posting) — posting is the doc-sorted
-    'doc:tf,doc:tf,…' list.  One exchange; rows per term."""
+    'doc:tf,doc:tf,…' list.  One exchange; rows per term.
+
+    A stopword-frequency term's posting is inherently corpus-sized; with
+    the default (one row per term) that whole string lands on one reducer.
+    Pass ``shard_docs=N`` for web scale: the exchange keys on
+    ``(term, doc_id // N)`` instead, emitting one row per (term, shard)
+    with per-shard ``df``/``tf_sum``/``posting`` — no reducer ever holds
+    more than N entries of one term, and global df is a trivial downstream
+    sum.  Shards of one term concatenate (in shard order) to exactly the
+    unsharded posting."""
     from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 
     pairs = ds.select_columns([id_col, text_col]).map_batches(
         lambda t: term_doc_frequencies(t, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
 
+    if shard_docs is not None:
+        def add_shard(tbl: pa.Table) -> pa.Table:
+            ids = np.asarray(pc.cast(tbl.column("doc_id"), pa.int64()))
+            return tbl.append_column("shard", pa.array(ids // shard_docs))
+
+        pairs = pairs.map_batches(add_shard, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+        keys = ["term", "shard"]
+    else:
+        keys = ["term"]
+
     def assemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["term", "doc_id"], kind="mergesort")
+        g = g.sort_values([*keys, "doc_id"], kind="mergesort")
         entry = g["doc_id"].astype(str) + ":" + g["tf"].astype(str)
         out = (g.assign(entry=entry)
-               .groupby("term", sort=True)
+               .groupby(keys, sort=True)
                .agg(df=("doc_id", "size"), tf_sum=("tf", "sum"),
                     posting=("entry", ",".join))
                .reset_index())
         return out.astype({"df": "int64", "tf_sum": "int64"})
 
-    return grouped_apply_bucketed(pairs, ["term"], assemble,
-                                  n_buckets=n_buckets)
+    return grouped_apply_bucketed(pairs, keys, assemble, n_buckets=n_buckets)

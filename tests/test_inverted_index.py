@@ -53,3 +53,19 @@ def test_build_inverted_index_partition_invariance():
     assert a.equals(b)
     assert a.set_index("term").loc["shared", "df"] == 60
     assert a.set_index("term").loc["shared", "tf_sum"] == 120
+
+
+def test_build_inverted_index_sharded_mode():
+    """Shards of one term concatenate (in shard order) to the unsharded
+    posting; per-shard df sums to the global df."""
+    rows = [{"doc_id": i, "text": "common w" + str(i)} for i in range(40)]
+    flat = _index_df(rows, 4)
+    ds = ray.data.from_items(rows).repartition(4)
+    sh = (build_inverted_index(ds, text_col="text", id_col="doc_id",
+                               shard_docs=16)
+          .to_pandas().sort_values(["term", "shard"]).reset_index(drop=True))
+    common = sh[sh.term == "common"]
+    assert common["shard"].tolist() == [0, 1, 2]   # 40 docs / 16 per shard
+    assert common["df"].sum() == 40
+    joined = ",".join(common["posting"])
+    assert joined == flat.set_index("term").loc["common", "posting"]
