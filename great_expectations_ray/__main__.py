@@ -168,6 +168,20 @@ def cmd_drift(args) -> int:
             rep["drifted"] = bool(
                 rep["drifted"]
                 or any(v["drifted"] for v in psi_rep.values()))
+        if args.ks_columns:
+            from great_expectations_ray.functions.ks import (
+                distributed_ks_2samp_datasets)
+
+            ks_rep = {}
+            for col in args.ks_columns.split(","):
+                col = col.strip()
+                r = distributed_ks_2samp_datasets(base, cur, col)
+                r["drifted"] = r["p_value"] < args.ks_alpha
+                ks_rep[col] = r
+            rep["ks"] = ks_rep
+            rep["drifted"] = bool(
+                rep["drifted"]
+                or any(v["drifted"] for v in ks_rep.values()))
         print(json.dumps(rep, indent=1, default=str))
     finally:
         _maybe_shutdown(owned)
@@ -372,6 +386,11 @@ def main(argv=None) -> int:
     dr.add_argument("--psi-columns",
                     help="comma-separated numeric columns to PSI-check")
     dr.add_argument("--psi-threshold", type=float, default=0.25)
+    dr.add_argument("--ks-columns",
+                    help="comma-separated numeric columns for an exact "
+                         "two-sample KS test")
+    dr.add_argument("--ks-alpha", type=float, default=0.001,
+                    help="KS drift p-value threshold")
     dr.add_argument("--cpus", type=int, default=None)
     dr.set_defaults(fn=cmd_drift)
 

@@ -245,7 +245,37 @@ def distributed_ks_2samp(ds, column_a: str, column_b: str) -> dict:
         })
 
     tagged = ds.map_batches(tag, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+                            zero_copy_batch=True)
+    return _ks_2samp_from_tagged(tagged)
+
+
+def distributed_ks_2samp_datasets(ds_a, ds_b, column: str) -> dict:
+    """Exact two-sample KS between the SAME column of two datasets — the
+    drift-monitoring form (baseline corpus vs current corpus).  Same
+    sort + offset-linear machinery as ``distributed_ks_2samp``."""
+    def tag_side(side: int):
+        def f(tbl: pa.Table) -> pa.Table:
+            col = tbl.column(column).combine_chunks()
+            col = col.filter(pc.is_valid(col))
+            return pa.table({
+                "v": pc.cast(col, pa.float64()),
+                "w": pa.array(np.full(len(col), side, dtype=np.int8)),
+            })
+
+        return f
+
+    tagged = (
+        ds_a.select_columns([column])
+        .map_batches(tag_side(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(ds_b.select_columns([column])
+               .map_batches(tag_side(1), batch_format="pyarrow",
+                            zero_copy_batch=True)))
+    return _ks_2samp_from_tagged(tagged)
+
+
+def _ks_2samp_from_tagged(tagged) -> dict:
+    """Core: exact D over a (v: float64, w: 0|1) stream."""
+    tagged = tagged.materialize()
     n_a = tagged.count() - int(tagged.sum("w") or 0)
     n_b = int(tagged.sum("w") or 0)
     if n_a == 0 or n_b == 0:

@@ -57,3 +57,42 @@ def test_cli_drift_psi_columns(ray_session, capsys):
     assert rc == 0  # identical data: no drift
     assert rep["psi"]["l_quantity"]["psi"] < 1e-9
     assert len(rep["psi"]["l_quantity"]["bins"]) == 10
+
+
+def test_distributed_ks_2samp_datasets_matches_single_dataset_form():
+    """The two-dataset form agrees with an independent per-driver ECDF
+    computation and detects a shifted distribution."""
+    import numpy as np
+
+    from great_expectations_ray.functions.ks import (
+        distributed_ks_2samp_datasets,
+    )
+
+    rng = np.random.default_rng(12)
+    a = rng.normal(size=900)
+    b = rng.normal(loc=0.5, size=700)
+    r = distributed_ks_2samp_datasets(_ds(a, 4), _ds(b, 3), "v")
+
+    # reference D via brute-force ECDF sup over all sample points
+    pts = np.concatenate([a, b])
+    fa = np.searchsorted(np.sort(a), pts, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), pts, side="right") / len(b)
+    d_ref = np.abs(fa - fb).max()
+    assert abs(r["d_statistic"] - d_ref) < 1e-12
+    assert r["p_value"] < 1e-6
+    assert (r["n_a"], r["n_b"]) == (900, 700)
+
+
+def test_cli_drift_ks_columns(ray_session, capsys):
+    import json
+
+    from great_expectations_ray.__main__ import main
+
+    rc = main(["drift",
+               "--baseline", "/root/testdata/sf0.001/lineitem.parquet",
+               "--current", "/root/testdata/sf0.001/lineitem.parquet",
+               "--ks-columns", "l_extendedprice"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    # identical data: D is zero up to float accumulation residue
+    assert rep["ks"]["l_extendedprice"]["d_statistic"] < 1e-12
