@@ -49,18 +49,52 @@ def _bin_counts(ds, column: str, edges: np.ndarray, bins: int) -> np.ndarray:
 def psi_bins(baseline_ds, current_ds, column: str, *,
              bins: int = 10) -> pd.DataFrame:
     """(bin, base_cnt, cur_cnt, term) with ``attrs['psi']`` = sum of terms
-    and ``attrs['edges']`` = the baseline decile edges."""
+    and ``attrs['edges']`` = the baseline decile edges.
+
+    Both sides are projected to the one column and materialized up front —
+    the edge search re-reads the data ~`log2(range)` (integer values) or
+    ~60 (general floats) times, and each pass must not re-run the upstream
+    pipeline."""
     from great_expectations_ray.functions.quantiles import (
-        exact_quantiles_distributed)
+        _count_le_pass,
+        rank_select_values,
+    )
+
+    base_proj = baseline_ds.select_columns([column]).materialize()
+    cur_proj = current_ds.select_columns([column]).materialize()
+
+    # one pass: count, min/max, and integrality of the baseline column
+    def probe(tbl: pa.Table) -> pa.Table:
+        x = np.asarray(
+            pc.drop_null(pc.cast(tbl.column(column), pa.float64()))
+            .combine_chunks())
+        return pa.table({
+            "n": pa.array([len(x)]),
+            "mn": pa.array([float(x.min()) if len(x) else np.inf]),
+            "mx": pa.array([float(x.max()) if len(x) else -np.inf]),
+            "ints": pa.array([bool(len(x) == 0
+                                   or np.all(x == np.rint(x)))]),
+        })
+
+    n = 0
+    vmin, vmax = np.inf, -np.inf
+    integral = True
+    for r in base_proj.map_batches(probe, batch_format="pyarrow",
+                                   zero_copy_batch=True).take_all():
+        n += r["n"]
+        vmin, vmax = min(vmin, r["mn"]), max(vmax, r["mx"])
+        integral = integral and r["ints"]
 
     qs = [i / bins for i in range(1, bins)]
+    targets = np.array([int(np.floor(q * (n - 1))) for q in qs],
+                       dtype=np.int64)
     edges = np.asarray(
-        exact_quantiles_distributed(baseline_ds, column, qs,
-                                    interpolation="lower"),
+        rank_select_values(base_proj, column, targets,
+                           bounds=(vmin, vmax), integral=integral),
         dtype=np.float64)
 
-    base = _bin_counts(baseline_ds, column, edges, bins)
-    cur = _bin_counts(current_ds, column, edges, bins)
+    base = _bin_counts(base_proj, column, edges, bins)
+    cur = _bin_counts(cur_proj, column, edges, bins)
 
     c = (base + 1).astype(np.float64)
     d = (cur + 1).astype(np.float64)

@@ -104,11 +104,15 @@ def rank_select_values(
     *,
     max_iter: int = 64,
     bounds: tuple[float, float] | None = None,
+    integral: bool = False,
 ) -> list:
     """Exact 0-based ascending order statistics at the given ranks, via the
     binary-searched rank selection described in the module docstring.
     ``bounds`` short-circuits the min/max pass when the caller already knows
-    the value range."""
+    the value range.  ``integral=True`` (all values integer-valued) stops
+    each search as soon as its interval is shorter than 1 — the half-open
+    interval then contains exactly one integer, which the snap pass
+    recovers — cutting ~60 count passes to ``log2(range)``."""
     if bounds is None:
         from ray.data.aggregate import Max, Min
 
@@ -130,6 +134,8 @@ def rank_select_values(
         his = np.where(go_down, mids, his)
         los = np.where(go_down, los, mids)
         if np.all(np.nextafter(los, his) >= his):
+            break
+        if integral and np.all(his - los < 1.0):
             break
 
     # smallest data value strictly greater than lo == the target value
