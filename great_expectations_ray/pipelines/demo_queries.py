@@ -3704,11 +3704,61 @@ CONSTITUENT_QUERIES["psi_quantity_halves"] = q_psi_quantity_halves
 CONSTITUENT_ORACLE_SQL["psi_quantity_halves"] = _psi_sql()
 
 
+def q_pct_rank_quantity(sf_dir: str) -> pd.DataFrame:
+    """Percent-rank normalization (functions/ranknorm.py): l_quantity
+    mapped onto [0,1] by empirical rank (SQL percent_rank semantics, ties
+    share the min rank).  Verdicts are exact integers over the per-row
+    cnt_less column: n, sum(cnt_less), #rows in the bottom tie class,
+    #rows in the top tie class."""
+    from great_expectations_ray.functions.ranknorm import (
+        percent_rank_transform)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    out = percent_rank_transform(ds, "l_quantity")
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        cl = np.asarray(tbl.column("cnt_less"))
+        return pa.table({
+            "n": pa.array([len(cl)]),
+            "s": pa.array([int(cl.sum())]),
+            "nmin": pa.array([int((cl == 0).sum())]),
+            "clmax": pa.array([int(cl.max()) if len(cl) else -1]),
+            "nmax_at": pa.array([int((cl == cl.max()).sum()) if len(cl) else 0]),
+        })
+
+    rows = out.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    clmax = max(r["clmax"] for r in rows)
+    return pd.DataFrame([{
+        "n": sum(r["n"] for r in rows),
+        "sum_cnt_less": sum(r["s"] for r in rows),
+        "n_min": sum(r["nmin"] for r in rows),
+        "n_max": sum(r["nmax_at"] for r in rows if r["clmax"] == clmax),
+    }]).astype("int64")
+
+
+CONSTITUENT_QUERIES["pct_rank_quantity"] = q_pct_rank_quantity
+CONSTITUENT_ORACLE_SQL["pct_rank_quantity"] = """
+WITH r AS (SELECT l_quantity,
+                  rank() OVER (ORDER BY l_quantity) - 1 AS cl
+           FROM lineitem)
+SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(cl) AS BIGINT) AS sum_cnt_less,
+  CAST(sum(CASE WHEN cl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_min,
+  CAST(sum(CASE WHEN cl = (SELECT max(cl) FROM r) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_max
+FROM r
+"""
+_VERDICT_COLS["pct_rank_quantity"] = [
+    ("n", "num"), ("sum_cnt_less", "num"), ("n_min", "num"), ("n_max", "num")]
+
+
 _AGG_STATS_VERDICT_PARTS = [
     "agg_quantity", "distinct_mktsegment", "most_common_returnflag",
     "quantiles_price", "unique_prefix_violations", "compound_unique_orders",
     "zscore_quantity", "kl_event_types", "cramers_events",
     "ks_uniform_quantity", "exact_n_sample_docs", "psi_quantity_halves",
+    "pct_rank_quantity",
 ]
 
 
