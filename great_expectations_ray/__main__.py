@@ -298,8 +298,9 @@ def cmd_select(args) -> int:
                                         zero_copy_batch=True)
         marked = select_top_fraction(
             scored, score_col=score_col, id_col=args.id_col, frac=args.frac)
-        kept = marked.filter(expr="selected == True").drop_columns(
-            ["selected", score_col])
+        helper = (["selected", "raw_len", "comp_len", "comp_ratio"]
+                  if args.score == "zlib" else ["selected", score_col])
+        kept = marked.filter(expr="selected == True").drop_columns(helper)
         kept.repartition(args.partitions).write_parquet(args.output)
         n_out = rd.read_parquet(args.output).count()
         print(json.dumps({"score": args.score, "frac": args.frac,

@@ -55,10 +55,7 @@ def psi_bins(baseline_ds, current_ds, column: str, *,
     the edge search re-reads the data ~`log2(range)` (integer values) or
     ~60 (general floats) times, and each pass must not re-run the upstream
     pipeline."""
-    from great_expectations_ray.functions.quantiles import (
-        _count_le_pass,
-        rank_select_values,
-    )
+    from great_expectations_ray.functions.quantiles import rank_select_values
 
     base_proj = baseline_ds.select_columns([column]).materialize()
     cur_proj = current_ds.select_columns([column]).materialize()

@@ -43,8 +43,11 @@ def percent_rank_transform(ds, column: str, *,
 
     def vc_partial(tbl: pa.Table) -> pa.Table:
         col = pc.drop_null(pc.cast(tbl.column(column), pa.float64()))
-        vals, counts = np.unique(np.asarray(col.combine_chunks()),
-                                 return_counts=True)
+        x = np.asarray(col.combine_chunks())
+        # NaN != null in Arrow; rank semantics exclude NaN entirely (the
+        # mark pass treats NaN rows as unranked, same as nulls)
+        x = x[~np.isnan(x)]
+        vals, counts = np.unique(x, return_counts=True)
         return pa.table({"v": pa.array(vals),
                          "c": pa.array(counts.astype(np.int64))})
 
@@ -78,13 +81,18 @@ def percent_rank_transform(ds, column: str, *,
             col = pc.cast(tbl.column(column), pa.float64())
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            valid = np.asarray(pc.is_valid(col), dtype=bool)
-            x = np.asarray(pc.fill_null(col, 0.0))
-            idx = np.searchsorted(self.values, x)
-            cl = np.where(valid, self.cnt_less[np.minimum(
-                idx, len(self.values) - 1)], -1).astype(np.int64)
-            denom = max(self.n - 1, 1)
-            pct = np.where(valid, cl / denom, np.nan)
+            x = np.asarray(pc.fill_null(col, np.nan))
+            # null AND NaN rows are unranked (NaN never enters the VC table)
+            valid = ~np.isnan(x)
+            if len(self.values) == 0 or not valid.any():
+                cl = np.full(len(x), -1, dtype=np.int64)
+                pct = np.full(len(x), np.nan)
+            else:
+                idx = np.searchsorted(self.values, np.where(valid, x, 0.0))
+                cl = np.where(valid, self.cnt_less[np.minimum(
+                    idx, len(self.values) - 1)], -1).astype(np.int64)
+                denom = max(self.n - 1, 1)
+                pct = np.where(valid, cl / denom, np.nan)
             return (tbl.append_column("cnt_less", pa.array(cl))
                        .append_column(out_col, pa.array(
                            pct, pa.float64(), from_pandas=True)))

@@ -130,7 +130,8 @@ def windowed_rank(
                 msum += np.where(ok, sh.fillna(0).to_numpy(np.float64), 0.0)
                 cnt += ok
             if "moving_sum" in outputs:
-                out["moving_sum"] = msum
+                # all-null frame -> NULL, as SQL SUM() OVER does
+                out["moving_sum"] = np.where(cnt > 0, msum, np.nan)
             if "moving_avg" in outputs:
                 out["moving_avg"] = np.where(cnt > 0, msum / np.maximum(cnt, 1),
                                              np.nan)

@@ -51,10 +51,16 @@ class PhraseDict:
     """Broadcastable compiled dictionary: phrase set per n + token vocab."""
 
     def __init__(self, phrases: tuple[str, ...]):
+        import re
+
         self.by_n: dict[int, frozenset[str]] = {}
         vocab: set[str] = set()
+        split = re.compile(TOKEN_SPLIT_RE)
         for p in phrases:
-            toks = p.lower().split()
+            # normalize with the SAME tokenizer documents go through, so a
+            # phrase like 'hash-join' matches text 'hash-join' (both become
+            # the bigram 'hash join') instead of silently never matching
+            toks = [t for t in split.split(p.lower()) if t]
             if not toks or len(toks) > MAX_N:
                 raise ValueError(f"phrase must be 1..{MAX_N} tokens: {p!r}")
             self.by_n.setdefault(len(toks), set()).add(" ".join(toks))  # type: ignore[arg-type]

@@ -95,19 +95,20 @@ class CardScrubber:
         self.rewrite = rewrite
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        s = tbl.column(self.content_col)
-        if isinstance(s, pa.ChunkedArray):
-            s = s.combine_chunks()
-        s = pc.cast(pc.fill_null(s, ""), pa.string())
+        orig = tbl.column(self.content_col)
+        if isinstance(orig, pa.ChunkedArray):
+            orig = orig.combine_chunks()
+        # null-filled copy is used for SCANNING only; rewrites patch into
+        # the ORIGINAL column so null rows stay null regardless of batching
+        s = pc.cast(pc.fill_null(orig, ""), pa.string())
         # vectorized RE2 prefilter: candidate count per row
         cand = np.asarray(
             pc.cast(pc.count_substring_regex(s, CC_CANDIDATE_RE), pa.int64())
         ).copy()  # Arrow buffer view is read-only; hit rows are updated below
         valid = np.zeros(len(cand), dtype=np.int64)
         hit_rows = np.nonzero(cand > 0)[0]
-        if len(hit_rows) == 0:
-            out = tbl
-        else:
+        out = tbl
+        if len(hit_rows) > 0:
             if self.rewrite:
                 # only candidate rows are pulled to Python; mutated rows
                 # are patched back via replace_with_mask (the _nfc pattern)
@@ -123,17 +124,17 @@ class CardScrubber:
                 if fixed_idx:
                     mask = np.zeros(len(s), dtype=bool)
                     mask[fixed_idx] = True
-                    s = pc.replace_with_mask(
-                        s, pa.array(mask), pa.array(fixed_vals, pa.string()))
-                out = tbl.set_column(
-                    tbl.column_names.index(self.content_col),
-                    self.content_col, s)
+                    patched = pc.replace_with_mask(
+                        pc.cast(orig, pa.string()), pa.array(mask),
+                        pa.array(fixed_vals, pa.string()))
+                    out = tbl.set_column(
+                        tbl.column_names.index(self.content_col),
+                        self.content_col, patched)
             else:
                 for i in hit_rows:
                     i = int(i)
                     c, v, _ = _scan_value(s[i].as_py(), self.mask, False)
                     cand[i], valid[i] = c, v
-                out = tbl
         return (out.append_column("cc_candidates", pa.array(cand))
                    .append_column("cc_valid", pa.array(valid)))
 

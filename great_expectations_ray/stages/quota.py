@@ -53,13 +53,16 @@ def select_top_fraction_grouped(
     pairs = ds.select_columns([group_col, id_col, score_col]).map_batches(
         proj, batch_format="pyarrow", zero_copy_batch=True)
 
+    from great_expectations_ray.stages.topfrac import frac_ceil
+
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([group_col, "score", id_col], kind="mergesort",
                           ascending=[True, False, True])
         grp = g.groupby(group_col, sort=False)
         rn = (grp.cumcount() + 1).to_numpy()
         size = grp[id_col].transform("size").to_numpy()
-        cap = np.ceil(frac * size)
+        # DECIMAL-exact quota (double 0.07*100 would ceil to 8, not 7)
+        cap = frac_ceil(frac, size)
         return pd.DataFrame({
             group_col: g[group_col].to_numpy(),
             id_col: g[id_col].to_numpy(),

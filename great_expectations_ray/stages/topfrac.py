@@ -27,9 +27,23 @@ pass, so verdicts are identical by construction (pinned in tests).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def frac_ceil(frac: float, n) -> "int | np.ndarray":
+    """ceil(frac * n) under the DECIMAL reading of ``frac`` (what a SQL
+    literal like 0.07 means): exact integer arithmetic via the shortest
+    decimal representation, so double(0.07)*100 = 7.0000000000000009 can
+    never round a quota up to 8.  Vectorizes over integer arrays."""
+    f = Fraction(str(frac))
+    num, den = f.numerator, f.denominator
+    if isinstance(n, np.ndarray):
+        return (num * n.astype(np.int64) + den - 1) // den
+    return int((num * int(n) + den - 1) // den)
 
 
 def _threshold_params_driver(ids: np.ndarray, scores: np.ndarray, N: int):
@@ -71,7 +85,7 @@ def select_top_fraction(
     proj = ds.select_columns([id_col, score_col]).map_batches(
         proj_batch, batch_format="pyarrow", zero_copy_batch=True).materialize()
     n = proj.count()
-    N = int(top_n) if top_n is not None else int(np.ceil(frac * n))
+    N = int(top_n) if top_n is not None else frac_ceil(frac, n)
 
     if n == 0 or N <= 0 or N >= n:
         flag = bool(N >= n and n > 0)

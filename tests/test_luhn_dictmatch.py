@@ -128,3 +128,24 @@ def test_tag_phrases_dataset_broadcast():
     out = tag_phrases(ds, ("table scan",)).to_pandas().sort_values("doc_id")
     assert (out["dict_hits"] == (out["doc_id"] % 2).astype(int)).all()
     assert (out["dict_flag"] == (out["doc_id"] % 2 == 1)).all()
+
+
+def test_card_scrubber_preserves_nulls_regardless_of_batching():
+    """Regression: a null row in a batch containing a card candidate must
+    stay null (nulls were destroyed batch-dependently)."""
+    t = pa.table({"content": [None, "pay 4539148803436467 now", None]})
+    out = CardScrubber()(t)
+    assert out.column("content").to_pylist() == [None, "pay <CC> now", None]
+    assert out.column("cc_valid").to_pylist() == [0, 1, 0]
+    # detect-only path too
+    out2 = CardScrubber(rewrite=False)(t)
+    assert out2.column("content").to_pylist() == t.column("content").to_pylist()
+
+
+def test_phrase_dict_normalizes_punctuated_phrases():
+    """Regression: 'hash-join' must tokenize like documents do (bigram
+    'hash join'), not enter the vocab verbatim and never match."""
+    pd_ = PhraseDict(("hash-join",))
+    assert match_counts(pa.array(["uses hash-join here",
+                                  "hash join spelled out",
+                                  "hashjoin fused"]), pd_).tolist() == [1, 1, 0]

@@ -82,3 +82,18 @@ def test_token_budget_cutoff_partition_invariance():
             budget=40).to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert runs[0].equals(runs[1])
     assert 0 < runs[0]["selected"].sum() < 80
+
+
+def test_grouped_quota_decimal_exact_ceil():
+    """Regression: frac=0.07 on a 100-row group keeps 7, not 8 (double
+    0.07*100 = 7.000000000000001 would ceil to 8)."""
+    df = pd.DataFrame({
+        "doc_id": np.arange(100),
+        "grp": ["g"] * 100,
+        "score": np.arange(100, dtype=np.float64),
+    })
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = (select_top_fraction_grouped(
+        ds, score_col="score", id_col="doc_id", group_col="grp", frac=0.07)
+        .to_pandas())
+    assert out["selected"].sum() == 7

@@ -40,3 +40,19 @@ def test_percent_rank_distinct_guard():
         pd.DataFrame({"v": np.arange(100, dtype=np.float64)}))
     with pytest.raises(ValueError, match="distinct"):
         percent_rank_transform(ds, "v", max_distinct=10)
+
+
+def test_percent_rank_all_null_column():
+    """Regression: an all-null column returns unranked rows, not an
+    IndexError inside the mark pass."""
+    out = _run(pd.array([None, None, None], dtype="Float64"), parts=2)
+    assert out["cnt_less"].tolist() == [-1, -1, -1]
+    assert out["pct_rank"].isna().all()
+
+
+def test_percent_rank_nan_values_unranked():
+    """Regression: NaN (not null) rows are unranked, not clamped to the
+    top value's rank."""
+    out = _run(np.array([1.0, np.nan, 2.0, 2.0]), parts=2)
+    assert out["cnt_less"].tolist() == [0, -1, 1, 1]
+    assert np.isnan(out["pct_rank"].iloc[1])

@@ -68,3 +68,12 @@ def test_top_fraction_arg_validation():
     with pytest.raises(ValueError):
         select_top_fraction(ds, score_col="score", id_col="doc_id",
                             frac=0.5, top_n=3)
+
+
+def test_top_fraction_decimal_exact_ceil():
+    """Regression: frac=0.07 over 100 rows keeps exactly 7 (DECIMAL
+    semantics), despite double(0.07)*100 ceiling to 8."""
+    df = pd.DataFrame({"doc_id": np.arange(100),
+                       "score": np.arange(100, dtype=np.float64)})
+    out = _run(df, 4, frac=0.07)
+    assert out["selected"].sum() == 7
