@@ -1189,8 +1189,15 @@ ORDER BY revenue DESC, l_orderkey LIMIT 10
 
 
 def q_content_sha_corpus(sf_dir: str) -> pd.DataFrame:
-    """Row-for-row sha256 lineage parity (the north-rule per-row invariant):
-    our vectorizable sha256 column vs DuckDB's sha256()."""
+    """Content lineage + versioning in one frame:
+
+    - 'sha': row-for-row sha256 lineage parity (the north-rule per-row
+      invariant): our vectorizable sha256 column vs DuckDB's sha256().
+    - 'diff': corpus diff between two snapshots (stages/corpusdiff.py):
+      old = docs with doc_id%5 != 0, new = docs with doc_id%5 != 1 where
+      %5==2 docs are edited — statuses added/removed/changed/unchanged per
+      id from one side-tagged hash exchange; oracle = SQL FULL OUTER JOIN."""
+    from great_expectations_ray.stages.corpusdiff import diff_corpora
     from great_expectations_ray.stages.scrub import sha256_column
 
     ds = _derived_corpus(sf_dir)
@@ -1202,12 +1209,57 @@ def q_content_sha_corpus(sf_dir: str) -> pd.DataFrame:
         })
 
     rows = ds.map_batches(h, batch_format="pyarrow").take_all()
-    return pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    sha = pd.DataFrame(rows)
+    sha.insert(0, "method", "sha")
+    sha = sha.rename(columns={"content_sha256": "v"})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snapshot(drop_mod: int, edit: bool):
+        def f(tbl: pa.Table) -> pa.Table:
+            ids = np.asarray(pc.cast(tbl.column("doc_id"), pa.int64()))
+            keep = ids % 5 != drop_mod
+            sub = tbl.filter(pa.array(keep))
+            if not edit:
+                return sub
+            sids = np.asarray(pc.cast(sub.column("doc_id"), pa.int64()))
+            suffix = pa.array(np.where(sids % 5 == 2, " edited", ""))
+            text = pc.binary_join_element_wise(
+                pc.cast(sub.column("text").combine_chunks(), pa.string()),
+                suffix, "")
+            return sub.set_column(sub.column_names.index("text"), "text", text)
+
+        return docs.map_batches(f, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    diff = (diff_corpora(snapshot(0, False), snapshot(1, True),
+                         id_col="doc_id", content_col="text")
+            .to_pandas())
+    diff.insert(0, "method", "diff")
+    diff = diff.rename(columns={"status": "v"})
+
+    out = pd.concat([sha[["method", "doc_id", "v"]],
+                     diff[["method", "doc_id", "v"]]], ignore_index=True)
+    return (out.sort_values(["method", "doc_id"], kind="mergesort")
+            .reset_index(drop=True))
 
 
 SQL_CONTENT_SHA_CORPUS = f"""
-WITH {_SQL_CORPUS_CTE}
-SELECT doc_id, sha256(content) AS content_sha256 FROM scored ORDER BY doc_id
+WITH {_SQL_CORPUS_CTE},
+old AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+new AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 2 THEN ' edited' ELSE '' END
+                 AS text
+        FROM documents WHERE doc_id % 5 <> 1)
+SELECT 'sha' AS method, doc_id, sha256(content) AS v FROM scored
+UNION ALL
+SELECT 'diff', coalesce(o.doc_id, n.doc_id),
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed'
+            ELSE 'unchanged' END
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+ORDER BY method, doc_id
 """
 
 
