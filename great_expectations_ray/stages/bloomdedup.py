@@ -28,6 +28,8 @@ to a set the size of a corpus.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -238,3 +240,53 @@ def mark_known(
         n_buckets=n_buckets,
     )
     return novel.union(verified)
+
+
+# --------------------------------------------------------------------------- #
+# filter persistence — day-2 incremental runs
+# --------------------------------------------------------------------------- #
+
+_BLOOM_MAGIC = b"GXRBLOOM1"
+
+
+def save_bloom(words: np.ndarray, path: str, *, num_hashes: int) -> None:
+    """Persist a bloom filter (the ``build_bloom`` words array) to any
+    Arrow-filesystem URI (plain path, file://, s3://, gs://) so tomorrow's
+    incremental run can ``load_bloom`` instead of re-reading yesterday's
+    corpus.  Layout: magic | num_bits u64 | num_hashes u64 | words."""
+    import posixpath
+
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+    else:
+        fs, p = pafs.LocalFileSystem(), os.path.abspath(path)
+    parent = posixpath.dirname(p)
+    if parent:
+        fs.create_dir(parent, recursive=True)
+    header = np.array([len(words) << 6, num_hashes], dtype=np.uint64)
+    with fs.open_output_stream(p) as f:
+        f.write(_BLOOM_MAGIC)
+        f.write(header.tobytes())
+        f.write(np.ascontiguousarray(words).tobytes())
+
+
+def load_bloom(path: str) -> tuple[np.ndarray, int, int]:
+    """(words, num_bits, num_hashes) saved by ``save_bloom``."""
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        fs, p = pafs.FileSystem.from_uri(path)
+    else:
+        fs, p = pafs.LocalFileSystem(), os.path.abspath(path)
+    with fs.open_input_stream(p) as f:
+        data = f.read()
+    if data[:len(_BLOOM_MAGIC)] != _BLOOM_MAGIC:
+        raise ValueError(f"{path} is not a saved bloom filter")
+    off = len(_BLOOM_MAGIC)
+    num_bits, num_hashes = np.frombuffer(data[off:off + 16], dtype=np.uint64)
+    words = np.frombuffer(data[off + 16:], dtype=np.uint64).copy()
+    if len(words) != int(num_bits) >> 6:
+        raise ValueError(f"{path}: truncated bloom payload")
+    return words, int(num_bits), int(num_hashes)

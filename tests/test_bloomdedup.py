@@ -68,3 +68,42 @@ def test_build_bloom_matches_local():
     words = build_bloom(ds, "k", num_bits=1 << 16, num_hashes=3)
     local = bloom_set(key_hash64(tbl.column("k").combine_chunks()), 1 << 16, 3)
     assert (words == local).all()
+
+
+def test_bloom_save_load_roundtrip(tmp_path):
+    import numpy as np
+
+    from great_expectations_ray.stages.bloomdedup import (
+        bloom_maybe,
+        bloom_set,
+        key_hash64,
+        load_bloom,
+        save_bloom,
+    )
+    import pyarrow as pa
+
+    keys = pa.array([f"key-{i}" for i in range(500)])
+    h = key_hash64(keys)
+    words = bloom_set(h, 1 << 16, 4)
+    path = str(tmp_path / "state" / "snapshot.bloom")
+    save_bloom(words, path, num_hashes=4)
+
+    w2, num_bits, num_hashes = load_bloom(path)
+    assert (num_bits, num_hashes) == (1 << 16, 4)
+    assert np.array_equal(w2, words)
+    # membership behavior identical after the round trip
+    probe = key_hash64(pa.array(["key-3", "key-499", "absent-a", "absent-b"]))
+    assert np.array_equal(bloom_maybe(w2, probe, num_bits, num_hashes),
+                          bloom_maybe(words, probe, 1 << 16, 4))
+    assert bloom_maybe(w2, probe, num_bits, num_hashes)[:2].all()
+
+
+def test_load_bloom_rejects_garbage(tmp_path):
+    import pytest
+
+    from great_expectations_ray.stages.bloomdedup import load_bloom
+
+    p = tmp_path / "not_a_bloom"
+    p.write_bytes(b"hello world")
+    with pytest.raises(ValueError, match="not a saved bloom"):
+        load_bloom(str(p))
