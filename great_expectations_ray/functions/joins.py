@@ -72,6 +72,67 @@ def broadcast_semi_anti(ds, keys, *, on: str, anti: bool = False):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bucketed_semi_anti(left, keys_ds, *, on: str, anti: bool = False,
+                       n_buckets: int = 64):
+    """Semi/anti join where the key side is ITSELF a Dataset — the scale
+    path when the key set is too large to collect to the driver
+    (``broadcast_semi_anti``'s ``take_all`` bound breaks on e.g. a crawl
+    corpus where 30-50% of docs are dedup candidates).  One bucketed
+    exchange: both sides bucket on ``hash(key) % n_buckets``, union with a
+    side tag, and a per-bucket vectorized ``isin`` filter keeps (semi) or
+    drops (anti) the left rows whose key appears on the key side.  Left
+    rows/values pass through unchanged; the union's null padding floatifies
+    int columns inside the bucket frames, so the output is cast back to the
+    left schema read off the source dataset."""
+    from great_expectations_ray.functions.bucketed import hash_bucket_of
+
+    left_schema = _arrow_schema(left)
+    keys_proj = keys_ds.select_columns([on])
+
+    pad = [(n, t) for n, t in left_schema_pairs(left_schema) if n != on]
+
+    def tag(is_key: bool, pad_cols):
+        def f(tbl: pa.Table) -> pa.Table:
+            bucket = hash_bucket_of(tbl.column(on), n_buckets)
+            tbl = tbl.append_column("__bucket", pa.array(bucket))
+            tbl = tbl.append_column(
+                "__is_key", pa.array(np.full(tbl.num_rows, is_key, dtype=bool)))
+            for c_name, c_type in pad_cols:
+                tbl = tbl.append_column(c_name, pa.nulls(tbl.num_rows, c_type))
+            return tbl
+
+        return f
+
+    tagged_l = left.map_batches(tag(False, []), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    tagged_k = keys_proj.map_batches(tag(True, pad), batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    combined = tagged_l.union(tagged_k)
+
+    out_cols = [n for n, _ in left_schema_pairs(left_schema)]
+
+    def filt(g: pd.DataFrame) -> pd.DataFrame:
+        key_vals = g.loc[g["__is_key"], on].unique()
+        rows = g.loc[~g["__is_key"]]
+        m = rows[on].isin(key_vals)
+        if anti:
+            m = ~m
+        return rows.loc[m, out_cols]
+
+    out = combined.groupby("__bucket").map_groups(filt, batch_format="pandas")
+
+    pairs = left_schema_pairs(left_schema)
+
+    def restore(tbl: pa.Table) -> pa.Table:
+        return pa.table({n: pc.cast(tbl.column(n), t) for n, t in pairs})
+
+    return out.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def left_schema_pairs(schema: pa.Schema) -> list[tuple[str, pa.DataType]]:
+    return [(f.name, f.type) for f in schema]
+
+
 def hash_bucket_join(
     left,
     right,

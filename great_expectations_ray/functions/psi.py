@@ -82,6 +82,10 @@ def psi_bins(baseline_ds, current_ds, column: str, *,
         vmin, vmax = min(vmin, r["mn"]), max(vmax, r["mx"])
         integral = integral and r["ints"]
 
+    if n < bins:
+        raise ValueError(
+            f"psi_bins: baseline column {column!r} has only {n} non-null "
+            f"values — need at least bins={bins} to place decile edges")
     qs = [i / bins for i in range(1, bins)]
     targets = np.array([int(np.floor(q * (n - 1))) for q in qs],
                        dtype=np.int64)

@@ -1924,9 +1924,11 @@ def q_window_rank_events(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
 
     def add_cents(tbl: pa.Table) -> pa.Table:
-        v = np.asarray(pc.cast(tbl.column("value"), pa.float64()))
-        return tbl.append_column(
-            "cents", pa.array(np.rint(v * 100).astype(np.int64)))
+        # Arrow round (half_to_even, same as np.rint) + checked cast: a null
+        # value propagates to a null cent instead of NaN->undefined int64.
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.cast(tbl.column("value"), pa.float64()), 100.0)), pa.int64())
+        return tbl.append_column("cents", cents)
 
     ds = ds.map_batches(add_cents, batch_format="pyarrow", zero_copy_batch=True)
     # (ts, event_id) composite ordering: event_id breaks any ts tie so both
@@ -3574,7 +3576,7 @@ ORACLE_SQL.update({
         "bpe_train_merges", "rank, pair, cnt", _FP_DOCS, "rank"),
     # trained-tokenizer apply: per-doc fixture aggregated per language
     "bpe_apply_docs": (
-        "SELECT d.lang, SUM(f.bpe_tokens) AS bpe_tokens, "
+        "SELECT d.lang, CAST(SUM(f.bpe_tokens) AS BIGINT) AS bpe_tokens, "
         "COUNT(*) AS n_docs "
         f"FROM read_parquet('{os.path.join(_FIXTURES, 'bpe_apply_docs.parquet')}') f "
         "JOIN documents d USING (doc_id) "

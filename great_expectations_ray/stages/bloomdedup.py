@@ -265,11 +265,14 @@ def save_bloom(words: np.ndarray, path: str, *, num_hashes: int) -> None:
     parent = posixpath.dirname(p)
     if parent:
         fs.create_dir(parent, recursive=True)
-    header = np.array([len(words) << 6, num_hashes], dtype=np.uint64)
+    # on-disk format is pinned little-endian ('<u8'): a filter saved to shared
+    # storage (s3://) must load bit-identically on any host byte order.
+    header = np.array([len(words) << 6, num_hashes], dtype="<u8")
     with fs.open_output_stream(p) as f:
         f.write(_BLOOM_MAGIC)
         f.write(header.tobytes())
-        f.write(np.ascontiguousarray(words).tobytes())
+        f.write(np.ascontiguousarray(words, dtype=np.uint64)
+                .astype("<u8", copy=False).tobytes())
 
 
 def load_bloom(path: str) -> tuple[np.ndarray, int, int]:
@@ -285,8 +288,10 @@ def load_bloom(path: str) -> tuple[np.ndarray, int, int]:
     if data[:len(_BLOOM_MAGIC)] != _BLOOM_MAGIC:
         raise ValueError(f"{path} is not a saved bloom filter")
     off = len(_BLOOM_MAGIC)
-    num_bits, num_hashes = np.frombuffer(data[off:off + 16], dtype=np.uint64)
-    words = np.frombuffer(data[off + 16:], dtype=np.uint64).copy()
+    num_bits, num_hashes = np.frombuffer(data[off:off + 16], dtype="<u8")
+    # astype copies (and byteswaps on a big-endian host), so the returned
+    # array is always native-endian and writable.
+    words = np.frombuffer(data[off + 16:], dtype="<u8").astype(np.uint64)
     if len(words) != int(num_bits) >> 6:
         raise ValueError(f"{path}: truncated bloom payload")
     return words, int(num_bits), int(num_hashes)

@@ -102,6 +102,7 @@ def duplicate_substrings(
     candidate_filter: bool = False,
     candidate_k: int = 8,
     candidate_w: int = 4,
+    max_broadcast_ids: int = 1_000_000,
 ):
     """Dataset[(doc_id, dup_windows, first_dup_pos)] for documents holding
     at least one window shared with ANOTHER document.
@@ -112,17 +113,23 @@ def duplicate_substrings(
     stride=1 applies to the candidate subset, not the corpus.  Exactness is
     preserved when ``window >= candidate_w + candidate_k - 1`` (the
     winnowing guarantee: every shared span that long yields >= 1 common
-    fingerprint, so both docs are candidates).  The distinct candidate-id
-    set is collected to the driver and broadcast (bounded by |docs that
-    actually share content|, the same class of bound as the bloom-prefilter
-    snapshot); switch to a bucketed semi-join if a corpus ever breaks it."""
+    fingerprint, so both docs are candidates).  The candidate-id set is
+    bounded by |docs that actually share content| — corpus-scale on a crawl
+    with 30-50% dup rates — so the driver never pulls it wholesale: the
+    materialized id set is counted, and above ``max_broadcast_ids`` the
+    semi-filter runs as a bucketed semi-join (``bucketed_semi_anti``, one
+    exchange, ids stay in the object store); at or below the cap the ids
+    broadcast via ``ray.put`` (cheaper: no exchange of the corpus side)."""
     if candidate_filter:
         if window < candidate_w + candidate_k - 1:
             raise ValueError(
                 f"window={window} < w+k-1={candidate_w + candidate_k - 1}: "
                 "the candidate filter would miss short shared spans"
             )
-        from great_expectations_ray.functions.joins import broadcast_semi_anti
+        from great_expectations_ray.functions.joins import (
+            broadcast_semi_anti,
+            bucketed_semi_anti,
+        )
         from great_expectations_ray.stages.fingerprint import (
             fingerprint_candidate_ids,
         )
@@ -130,9 +137,12 @@ def duplicate_substrings(
         cand = fingerprint_candidate_ids(
             ds, id_col=id_col, text_col=content_col,
             k=candidate_k, w=candidate_w,
-        )
-        cand_ids = {r[id_col] for r in cand.take_all()}
-        ds = broadcast_semi_anti(ds, cand_ids, on=id_col)
+        ).materialize()  # id-only rows, object-store resident
+        if cand.count() <= max_broadcast_ids:
+            cand_ids = {r[id_col] for r in cand.take_all()}
+            ds = broadcast_semi_anti(ds, cand_ids, on=id_col)
+        else:
+            ds = bucketed_semi_anti(ds, cand, on=id_col)
 
     def explode(tbl: pa.Table) -> pa.Table:
         return window_table(
@@ -214,30 +224,18 @@ def duplicate_occurrence_cuts(
         ids = g[id_col].to_numpy()
         pos = g["pos"].to_numpy(np.int64)
         end = pos + window
-        # doc segment boundaries; ranges merge within one doc's sorted marks
-        starts_flag = np.empty(len(g), dtype=bool)
-        starts_flag[0] = True
-        starts_flag[1:] = ids[1:] != ids[:-1]
-        out_ids, out_s, out_e = [], [], []
-        seg_start = 0
-        for i in range(1, len(g) + 1):
-            if i == len(g) or starts_flag[i]:
-                # one doc segment [seg_start, i): vectorized merge inside
-                p, e = pos[seg_start:i], end[seg_start:i]
-                cut_starts = [int(p[0])]
-                cut_ends = [int(e[0])]
-                for a, b in zip(p[1:], e[1:]):
-                    if a <= cut_ends[-1]:
-                        if b > cut_ends[-1]:
-                            cut_ends[-1] = int(b)
-                    else:
-                        cut_starts.append(int(a))
-                        cut_ends.append(int(b))
-                out_ids.extend([ids[seg_start]] * len(cut_starts))
-                out_s.extend(cut_starts)
-                out_e.extend(cut_ends)
-                seg_start = i
-        return pd.DataFrame({id_col: out_ids, "start": out_s, "end": out_e})
+        # Fully vectorized interval merge.  All marks share one window width,
+        # so end = pos + window is monotone nondecreasing within a doc's
+        # pos-sorted marks — the running max of previous ends IS end[i-1],
+        # and a mark opens a new merged range iff it starts a new doc or its
+        # pos clears the previous mark's end.
+        new_range = np.empty(len(g), dtype=bool)
+        new_range[0] = True
+        new_range[1:] = (ids[1:] != ids[:-1]) | (pos[1:] > end[:-1])
+        firsts = np.flatnonzero(new_range)
+        lasts = np.append(firsts[1:], len(g)) - 1
+        return pd.DataFrame({id_col: ids[firsts], "start": pos[firsts],
+                             "end": end[lasts]})
 
     return grouped_apply_bucketed(marks, [id_col], merge_ranges)
 

@@ -107,3 +107,28 @@ def test_load_bloom_rejects_garbage(tmp_path):
     p.write_bytes(b"hello world")
     with pytest.raises(ValueError, match="not a saved bloom"):
         load_bloom(str(p))
+
+
+def test_bloom_on_disk_format_is_little_endian(tmp_path):
+    """The persisted layout is pinned '<u8' so a filter written on one host
+    loads bit-identically on an opposite-endian host."""
+    import numpy as np
+
+    from great_expectations_ray.stages.bloomdedup import (
+        _BLOOM_MAGIC,
+        load_bloom,
+        save_bloom,
+    )
+
+    words = np.array([0x0102030405060708, 0xF0E0D0C0B0A09080], dtype=np.uint64)
+    path = str(tmp_path / "b.bloom")
+    save_bloom(words, path, num_hashes=3)
+    raw = open(path, "rb").read()
+    off = len(_BLOOM_MAGIC)
+    # header and payload bytes must match an explicit little-endian encoding
+    assert raw[off:off + 8] == (len(words) << 6).to_bytes(8, "little")
+    assert raw[off + 8:off + 16] == (3).to_bytes(8, "little")
+    assert raw[off + 16:off + 24] == (0x0102030405060708).to_bytes(8, "little")
+    w2, num_bits, num_hashes = load_bloom(path)
+    assert np.array_equal(w2, words) and w2.dtype == np.uint64
+    assert w2.flags.writeable  # astype copy: safe to mutate after load

@@ -238,3 +238,42 @@ def test_sample_exact_n_is_partitioning_free(ray_session):
     want = sorted(range(200),
                   key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:17]
     assert sorted(a["id"]) == sorted(want)
+
+
+def test_bucketed_semi_anti_matches_broadcast(small_ds):
+    """The dataset-keyed semi/anti (scale path for candidate sets too large
+    to collect) must emit exactly what the broadcast key-set path emits,
+    with int dtypes restored after the null-padded union."""
+    import ray.data as rd
+
+    from great_expectations_ray.functions.joins import bucketed_semi_anti
+
+    keys = [3, 5, 8, 13, 21, 34, 55, 89, 144]  # 144 not in ds
+    keys_ds = rd.from_arrow(pa.table({"k": keys})).repartition(2)
+
+    for anti in (False, True):
+        got = (bucketed_semi_anti(small_ds, keys_ds, on="k", anti=anti,
+                                  n_buckets=8)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        want = (broadcast_semi_anti(small_ds, keys, on="k", anti=anti)
+                .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        assert got["k"].dtype.kind == "i"  # union padding must not floatify
+
+
+def test_bucketed_semi_anti_string_key(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.functions.joins import bucketed_semi_anti
+
+    left = rd.from_arrow(pa.table({
+        "name": [f"doc{i}" for i in range(50)],
+        "score": list(range(50)),
+    })).repartition(3)
+    keys_ds = rd.from_arrow(pa.table(
+        {"name": ["doc7", "doc7", "doc13", "nope"]}))  # dup keys: no row dup
+    got = (bucketed_semi_anti(left, keys_ds, on="name", n_buckets=4)
+           .to_pandas().sort_values("score").reset_index(drop=True))
+    assert got["name"].tolist() == ["doc7", "doc13"]
+    assert got["score"].tolist() == [7, 13]
+    assert got["score"].dtype.kind == "i"

@@ -96,3 +96,19 @@ def test_cli_drift_ks_columns(ray_session, capsys):
     assert rc == 0
     # identical data: D is zero up to float accumulation residue
     assert rep["ks"]["l_extendedprice"]["d_statistic"] < 1e-12
+
+
+def test_psi_empty_baseline_raises(ray_session):
+    """An empty/all-null baseline must raise a clear error instead of
+    feeding negative rank targets into rank_select_values."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from great_expectations_ray.functions.psi import psi_bins
+
+    base = rd.from_arrow(pa.table({"x": pa.array([None, None],
+                                                 type=pa.float64())}))
+    cur = rd.from_arrow(pa.table({"x": [1.0, 2.0, 3.0]}))
+    with pytest.raises(ValueError, match="non-null"):
+        psi_bins(base, cur, "x")

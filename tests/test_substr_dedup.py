@@ -166,3 +166,59 @@ def test_remove_duplicate_substrings_partition_invariance():
     # lowest-id carrier keeps the run; the rest lose it
     assert carriers.iloc[0]["removed_bytes"] == 0
     assert (carriers.iloc[1:]["removed_bytes"] > 0).all()
+
+
+def test_candidate_filter_join_path_matches_broadcast(ray_session, monkeypatch):
+    """max_broadcast_ids=0 forces the bucketed semi-join path (no driver id
+    pull) and must emit exactly what the broadcast path emits."""
+    import great_expectations_ray.stages.substr_dedup as sd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["prefix " + SHARED, SHARED + " suffix",
+                 "nothing in common with the others at all, guaranteed xyz",
+                 "another entirely unrelated document with its own words"],
+    })).repartition(2)
+    bcast = sorted(duplicate_substrings(ds, window=40,
+                                        candidate_filter=True).take_all(),
+                   key=lambda r: r["doc_id"])
+
+    def _no_broadcast(*a, **k):
+        raise AssertionError("broadcast path taken despite cap=0")
+
+    monkeypatch.setattr(
+        "great_expectations_ray.functions.joins.broadcast_semi_anti",
+        _no_broadcast)
+    joined = sorted(
+        duplicate_substrings(ds, window=40, candidate_filter=True,
+                             max_broadcast_ids=0).take_all(),
+        key=lambda r: r["doc_id"])
+    assert joined == bcast and len(joined) == 2
+
+
+def test_merge_ranges_vectorized_interval_merge(ray_session):
+    """Adjacent/overlapping marks merge into maximal ranges; disjoint marks
+    stay separate — pinned against a scalar reference merge."""
+    from great_expectations_ray.stages.substr_dedup import (
+        duplicate_occurrence_cuts,
+    )
+
+    pad = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmn"  # 40 unique chars
+    blk1 = "FIRST SHARED RUN OF WAY MORE THAN FORTY CHARACTERS IN IT!!"
+    blk2 = "SECOND DISTINCT SHARED RUN ALSO LONGER THAN FORTY CHARS!!!"
+    docs = pa.table({
+        "doc_id": [0, 1],
+        "text": [blk1 + " mid " + blk2,
+                 "x" + blk1 + pad + blk2 + "y"],  # disjoint cuts in doc 1
+    })
+    cuts = (duplicate_occurrence_cuts(rd.from_arrow(docs), window=40)
+            .to_pandas().sort_values(["doc_id", "start"])
+            .reset_index(drop=True))
+    d1 = cuts[cuts.doc_id == 1]
+    # doc 0 is the keeper (lower id): zero cuts; doc 1 loses both blocks as
+    # two maximal disjoint ranges (pad has no 40-char window in common)
+    assert (cuts.doc_id == 1).all()
+    assert len(d1) == 2
+    assert d1.iloc[0]["start"] == 1 and d1.iloc[0]["end"] == 1 + len(blk1)
+    s2 = 1 + len(blk1) + len(pad)
+    assert d1.iloc[1]["start"] == s2 and d1.iloc[1]["end"] == s2 + len(blk2)

@@ -17,6 +17,15 @@ while true; do
   else
     consec=0
   fi
+  if [ -e /tmp/gxr_hold ]; then
+    # interactive Ray work in flight (pytest / rehearsal) — two Ray clusters
+    # on this box can segfault _raylet.so, and a concurrent run contaminates
+    # the timing anyway.  Hold until the flag clears.
+    consec=0
+    echo "$(date +%T) hold flag present - skipping" >> "$LOG"
+    sleep 60
+    continue
+  fi
   if [ "$consec" -ge 2 ]; then
     touch /tmp/gxr_bench.lock
     echo "$(date +%T) HEALTHY - running headline bench" >> "$LOG"

@@ -52,6 +52,20 @@ def main(sf_dir: str) -> int:
             a, b = normalize(ours), normalize(theirs)
             ok_rows = len(a) == len(b)
             ok_schema = list(a.columns) == list(b.columns)
+            # dtype-strict: the driver hashes values, so an int64 frame vs a
+            # float64 frame (DuckDB SUM(BIGINT)->HUGEINT->float) hash-mismatches
+            # even when every value is equal.  Fail on numeric-class mismatch
+            # (int/uint vs float) — the bug class that cost a red row in r2
+            # (setops_nations) and r3 (bpe_apply_docs).
+            ok_dtype = True
+            if ok_schema:
+                _cls = lambda k: "i" if k in "iu" else k  # noqa: E731
+                for c in a.columns:
+                    ka, kb = a[c].dtype.kind, b[c].dtype.kind
+                    if {_cls(ka), _cls(kb)} == {"i", "f"}:
+                        ok_dtype = False
+                        print(f"     dtype-strict: {name}.{c} ours={a[c].dtype} "
+                              f"oracle={b[c].dtype}", flush=True)
             ok_vals = ok_rows and ok_schema
             if ok_vals:
                 for c in a.columns:
@@ -64,11 +78,11 @@ def main(sf_dir: str) -> int:
                     if not same:
                         ok_vals = False
                         break
-            status = "OK " if (ok_rows and ok_schema and ok_vals) else "FAIL"
+            status = "OK " if (ok_rows and ok_schema and ok_vals and ok_dtype) else "FAIL"
             if status == "FAIL":
                 bad += 1
             print(f"{status} {name}: rows={len(a)}/{len(b)} "
-                  f"schema={ok_schema} values={ok_vals}", flush=True)
+                  f"schema={ok_schema} values={ok_vals} dtype={ok_dtype}", flush=True)
         except Exception as exc:  # noqa: BLE001
             bad += 1
             print(f"ERR  {name}: {type(exc).__name__}: {exc}", flush=True)
