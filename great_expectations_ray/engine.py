@@ -1618,13 +1618,26 @@ def _finish_ks_rule(ds, cfg: ExpectationConfiguration, merged) -> ExpectationVal
     )
 
 
-def _finish_cramers_rule(ds, cfg: ExpectationConfiguration) -> ExpectationValidationResult:
+#: driver-side contingency cap — matches the VC overflow convention (100k
+#: distinct keys).  Above it the χ²/φ math runs distributed over the cell
+#: domain (see _finish_cramers_distributed); the driver never pulls the table.
+_CRAMERS_DRIVER_CELL_CAP = 100_000
+
+
+def _finish_cramers_rule(
+    ds, cfg: ExpectationConfiguration,
+    max_driver_cells: int = _CRAMERS_DRIVER_CELL_CAP,
+) -> ExpectationValidationResult:
     """#50: contingency table via one joint value-count shuffle, Cramér's φ
-    on the driver."""
+    on the driver for categorical-sized tables (the reference's own shape is
+    driver-side scipy over a pandas crosstab); a high-cardinality pair whose
+    distinct-cell count exceeds the cap switches to the distributed path."""
     import math
 
     a_col, b_col = cfg.kwargs["column_A"], cfg.kwargs["column_B"]
-    vc_ds = _grouped_value_counts(ds, [a_col, b_col])
+    vc_ds = _grouped_value_counts(ds, [a_col, b_col]).materialize()
+    if vc_ds.count() > max_driver_cells:
+        return _finish_cramers_distributed(vc_ds, cfg)
     cells: dict[tuple[str, str], int] = {}
     for row in vc_ds.take_all():
         a, b = row["value"].split("\x1f", 1)
@@ -1651,6 +1664,79 @@ def _finish_cramers_rule(ds, cfg: ExpectationConfiguration) -> ExpectationValida
         expectation_config=cfg.to_json_dict(),
         result={"observed_value": phi,
                 "details": {"n": n, "rows": len(rows), "cols": len(cols)}},
+    )
+
+
+def _finish_cramers_distributed(
+    vc_ds, cfg: ExpectationConfiguration,
+) -> ExpectationValidationResult:
+    """High-cardinality Cramér's φ: χ² from the identity
+    ``χ² = n·(Σ_observed o²/(row_tot·col_tot) − 1)`` — the Σe term over ALL
+    cells equals n, so only observed cells contribute.  Everything runs over
+    the (materialized) joint value-count dataset — |distinct cells| rows,
+    never the corpus: marginals are two bucketed sums over the cells, joined
+    back with two bucketed joins, and the driver sees only scalar partials
+    (Σcnt, Σ o²/(ra·cb)) plus the two marginal counts."""
+    import math
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.joins import hash_bucket_join
+
+    def split(tbl: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            pc.cast(tbl.column("value"), pa.string()), "\x1f", max_splits=1)
+        return pa.table({
+            "av": pc.list_element(parts, 0),
+            "bv": pc.list_element(parts, 1),
+            "cnt": pc.cast(tbl.column("sum(cnt)"), pa.int64()),
+        })
+
+    cells = vc_ds.map_batches(split, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    def marg(key: str, out: str):
+        def f(g):
+            agg = g.groupby(key, sort=False)["cnt"].sum().reset_index()
+            agg.columns = [key, out]
+            return agg
+
+        return grouped_apply_bucketed(
+            cells.select_columns([key, "cnt"]), [key], f,
+            n_buckets=64).materialize()
+
+    marg_a = marg("av", "ra")
+    marg_b = marg("bv", "cb")
+    n_rows, n_cols = marg_a.count(), marg_b.count()
+
+    j1 = hash_bucket_join(cells, marg_a, on="av", n_buckets=64)
+    j2 = hash_bucket_join(j1, marg_b, on="bv", n_buckets=64)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        o = np.asarray(pc.cast(tbl.column("cnt"), pa.float64()))
+        ra = np.asarray(pc.cast(tbl.column("ra"), pa.float64()))
+        cb = np.asarray(pc.cast(tbl.column("cb"), pa.float64()))
+        return pa.table({
+            "n": pa.array([int(o.sum())], pa.int64()),
+            "s": pa.array([float((o * o / (ra * cb)).sum())], pa.float64()),
+        })
+
+    n, s = 0, 0.0
+    for r in j2.map_batches(partial, batch_format="pyarrow").take_all():
+        n += r["n"]
+        s += r["s"]
+
+    if n == 0 or n_rows < 2 or n_cols < 2:
+        phi = 0.0
+    else:
+        chi2 = max(n * (s - 1.0), 0.0)  # clamp float noise at independence
+        phi = math.sqrt(chi2 / (n * min(n_rows - 1, n_cols - 1)))
+    threshold = cfg.kwargs.get("threshold", 0.1)
+    return ExpectationValidationResult(
+        success=phi < threshold,
+        expectation_config=cfg.to_json_dict(),
+        result={"observed_value": phi,
+                "details": {"n": n, "rows": n_rows, "cols": n_cols,
+                            "distributed": True}},
     )
 
 

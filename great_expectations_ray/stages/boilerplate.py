@@ -164,39 +164,57 @@ class _ExplodeLines:
 
 class _PositionRewriter:
     """Rewrites content from a per-row drop-position list (joined column
-    ``__drop_pos``, comma-joined string of line indices; null = no drops)."""
+    ``__drop_pos``, comma-joined string of line indices; null = no drops).
 
-    def __init__(self, content_col: str):
+    Arrow-native: unaffected rows stay on the Arrow buffer; only rows with a
+    drop list are pulled to Python and written back via ``replace_with_mask``
+    (the luhn/substr scrub pattern).  Every output column is cast back to the
+    SOURCE schema (``out_pairs``) because the join's null padding floatifies
+    int columns inside the bucket frames."""
+
+    def __init__(self, content_col: str, out_pairs: list):
         self.content_col = content_col
+        self.out_pairs = out_pairs
 
-    def __call__(self, df):
-        import pandas as pd
-
-        contents = df[self.content_col]
-        pos_col = df["__drop_pos"]
-        out_content: list = []
-        out_ndrop: list = []
-        for content, pos_s in zip(contents, pos_col):
-            if content is None or (isinstance(content, float) and content != content):
-                out_content.append(None)
-                out_ndrop.append(None)
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        ctype = dict(self.out_pairs)[self.content_col]
+        content = tbl.column(self.content_col)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        content = pc.cast(content, ctype)
+        pos = tbl.column("__drop_pos")
+        if isinstance(pos, pa.ChunkedArray):
+            pos = pos.combine_chunks()
+        pos = pc.cast(pos, pa.string())
+        content_null = pc.is_null(content).to_numpy(zero_copy_only=False)
+        has_pos = np.logical_and(
+            pc.is_valid(pos).to_numpy(zero_copy_only=False),
+            pc.not_equal(pc.fill_null(pos, ""), "")
+            .to_numpy(zero_copy_only=False),
+        )
+        affected = has_pos & ~content_null
+        counts = np.zeros(tbl.num_rows, dtype=np.int64)
+        if affected.any():
+            reps: list[str] = []
+            for i in np.flatnonzero(affected):
+                drop = np.array(pos[i].as_py().split(","), dtype=np.int64)
+                lines = content[i].as_py().split("\n")
+                keep = np.ones(len(lines), dtype=bool)
+                keep[drop] = False
+                reps.append("\n".join(
+                    l for l, k in zip(lines, keep) if k))
+                counts[i] = len(drop)
+            content = pc.replace_with_mask(
+                content, pa.array(affected), pa.array(reps, ctype))
+        n_dropped = pa.array(counts, pa.int64(), mask=content_null)
+        cols = {}
+        for name, typ in self.out_pairs:
+            if name == self.content_col:
                 continue
-            if pos_s is None or (isinstance(pos_s, float) and pos_s != pos_s) or pos_s == "":
-                out_content.append(content)
-                out_ndrop.append(0)
-                continue
-            drop = np.array(pos_s.split(","), dtype=np.int64)
-            lines = content.split("\n")
-            keep = np.ones(len(lines), dtype=bool)
-            keep[drop] = False
-            out_content.append("\n".join(l for l, k in zip(lines, keep) if k))
-            out_ndrop.append(int(len(drop)))
-        out = df.drop(columns=[self.content_col, "__drop_pos"]).copy()
-        out[self.content_col] = out_content
-        # nullable Int64 -> Arrow int64-with-nulls, same type as the
-        # broadcast path emits
-        out["n_dropped"] = pd.array(out_ndrop, dtype="Int64")
-        return out
+            cols[name] = pc.cast(tbl.column(name), typ)
+        cols[self.content_col] = content
+        cols["n_dropped"] = n_dropped
+        return pa.table(cols)
 
 
 def _remove_boilerplate_joined(
@@ -248,8 +266,12 @@ def _remove_boilerplate_joined(
                                     n_buckets=n_buckets)
     joined = hash_bucket_join(ds, per_id, on=id_col, n_buckets=n_buckets,
                               how="left")
+    from great_expectations_ray.functions.joins import _arrow_schema
+
+    out_pairs = [(f.name, f.type) for f in _arrow_schema(ds)]
     return joined.map_batches(
-        _PositionRewriter(content_col), batch_format="pandas",
+        _PositionRewriter(content_col, out_pairs),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 

@@ -105,34 +105,45 @@ def paragraph_drop_marks(
     return grouped_apply_bucketed(exploded, ["__pkey"], losers, n_buckets=n_buckets)
 
 
-def _rebuild_batch(df: pd.DataFrame, text_col: str, sep: str) -> pd.DataFrame:
-    """Rewrite ``text`` dropping the listed paragraph indices; docs with no
-    drop list pass through untouched (the common case does zero string
-    work)."""
-    lists = df["__drop_idxs"]
-    has = lists.notna()
-    n_dropped = np.zeros(len(df), dtype=np.int32)
-    if has.any():
-        texts = df[text_col].to_numpy(dtype=object)
-        pos_of = {label: i for i, label in enumerate(df.index)}
-        for label in df.index[has]:
-            i = pos_of[label]
-            v = lists.at[label]
-            drop = (
-                set(int(x) for x in v.split(","))
-                if isinstance(v, str)
-                else set(int(x) for x in v)
-            )
-            parts = (texts[i] or "").split(sep)
-            texts[i] = sep.join(
-                p for j, p in enumerate(parts) if j not in drop
-            )
+def _rebuild_batch_arrow(
+    tbl: pa.Table, text_col: str, sep: str,
+    out_pairs: list[tuple[str, pa.DataType]],
+) -> pa.Table:
+    """Arrow-native rewrite: docs with no drop list stay on the Arrow buffer
+    (``replace_with_mask`` touches only affected rows); every output column
+    is cast back to the SOURCE schema (``out_pairs``) because the join's
+    null padding floatifies int columns inside the bucket frames."""
+    lists = tbl.column("__drop_idxs")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    hit = pc.is_valid(lists).to_numpy(zero_copy_only=False)
+    n = tbl.num_rows
+    n_dropped = np.zeros(n, dtype=np.int32)
+    text_type = dict(out_pairs)[text_col]
+    out_text = pc.cast(tbl.column(text_col), text_type)
+    if isinstance(out_text, pa.ChunkedArray):
+        out_text = out_text.combine_chunks()
+    if hit.any():
+        # only affected rows are pulled to Python
+        reps: list[str] = []
+        for i in np.flatnonzero(hit):
+            v = lists[i].as_py()
+            drop = (set(int(x) for x in v.split(","))
+                    if isinstance(v, str) else set(int(x) for x in v))
+            parts = (out_text[i].as_py() or "").split(sep)
+            reps.append(sep.join(
+                p for j, p in enumerate(parts) if j not in drop))
             n_dropped[i] = len(drop)
-        df = df.copy()
-        df[text_col] = texts
-    df = df.drop(columns=["__drop_idxs"])
-    df["n_dropped"] = n_dropped
-    return df
+        out_text = pc.replace_with_mask(
+            out_text, pa.array(hit), pa.array(reps, text_type))
+    cols = {}
+    for name, typ in out_pairs:
+        if name == text_col:
+            cols[name] = out_text
+        else:
+            cols[name] = pc.cast(tbl.column(name), typ)
+    cols["n_dropped"] = pa.array(n_dropped)
+    return pa.table(cols)
 
 
 class _ParagraphRewriter:
@@ -240,10 +251,14 @@ def dedup_paragraphs(
         )
         return out.rename(columns={"para_idx": "__drop_idxs"})
 
+    from great_expectations_ray.functions.joins import _arrow_schema
+
+    out_pairs = [(f.name, f.type) for f in _arrow_schema(ds)]
     drop_lists = grouped_apply_bucketed(drops, [id_col], agg_bucket, n_buckets=n_buckets)
     joined = hash_bucket_join(
         ds, drop_lists, on=id_col, n_buckets=n_buckets, how="left"
     )
     return joined.map_batches(
-        lambda df: _rebuild_batch(df, text_col, sep), batch_format="pandas"
+        lambda tbl: _rebuild_batch_arrow(tbl, text_col, sep, out_pairs),
+        batch_format="pyarrow", zero_copy_batch=True,
     )

@@ -457,3 +457,35 @@ def test_increasing_global_no_partition(ray_session):
     assert not r5.success
     assert "partition_by" in (r5.exception_info or {}).get(
         "exception_message", "")
+
+
+def test_cramers_phi_distributed_matches_driver(ray_session):
+    """A pair whose distinct-cell count exceeds the cap must take the
+    distributed chi^2 path (driver never pulls the contingency table) and
+    agree with the driver math on the same data."""
+    import ray.data as rd
+
+    from great_expectations_ray.core.suite import ExpectationConfiguration
+    from great_expectations_ray.engine import _finish_cramers_rule
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    a = rng.integers(0, 40, n)
+    b = (a // 2 + rng.integers(0, 3, n)) % 25  # associated but noisy
+    ds = rd.from_arrow(pa.table({
+        "a": [f"a{x}" for x in a], "b": [f"b{x}" for x in b],
+    })).repartition(4)
+    cfg = ExpectationConfiguration(
+        expectation_type="expect_column_pair_cramers_phi_value_to_be_less_than",
+        kwargs={"column_A": "a", "column_B": "b", "threshold": 0.5},
+    )
+    driver = _finish_cramers_rule(ds, cfg)  # cells << cap: driver path
+    dist = _finish_cramers_rule(ds, cfg, max_driver_cells=0)  # force fallback
+    assert "distributed" not in driver.result["details"]
+    assert dist.result["details"]["distributed"] is True
+    assert dist.result["details"]["n"] == driver.result["details"]["n"] == n
+    assert dist.result["details"]["rows"] == driver.result["details"]["rows"]
+    assert dist.result["details"]["cols"] == driver.result["details"]["cols"]
+    assert dist.result["observed_value"] == pytest.approx(
+        driver.result["observed_value"], rel=1e-9)
+    assert dist.success == driver.success
