@@ -6,9 +6,12 @@ Mirrors the reference's action surface (``checkpoint/actions.py:106``
 ``:482`` Opsgenie, ``:558`` Email, ``:786`` SNS, ``:826`` API): each action is
 a dataclass config that round-trips JSON, gates on ``notify_on``
 (all/failure/success — ``actions.py:145`` ``_should_notify``), and builds the
-service payload.  This sandbox has no network, so ``run()`` defaults to
-``dry_run=True`` and returns the fully-rendered payload; a live send is a
-thin ``urllib`` call behind the same payload builder.
+service payload.  Delivery is a pluggable transport: ``run(result,
+dry_run=False)`` POSTs through ``HttpTransport`` (urllib, retry-on-5xx/429
+with exponential backoff); inject any ``(url, body, headers) -> (status,
+text)`` callable for a requests session or a test double.  This sandbox has
+no network, so the default stays ``dry_run`` (rendered payload returned);
+set ``live=True`` on the config to send when invoked by a checkpoint.
 
 Checkpoint integration: ``run_checkpoint(actions=[SlackNotificationAction(
 slack_webhook="https://…"), …])`` — action instances and plain callables are
@@ -20,6 +23,46 @@ from __future__ import annotations
 import json
 from dataclasses import asdict, dataclass, field, fields
 from typing import Any, ClassVar, Optional
+
+
+class HttpTransport:
+    """Default live transport: urllib POST with retry on 5xx/429 and network
+    errors (exponential backoff), immediate failure on other 4xx — the
+    semantics of the reference's requests-based senders
+    (``checkpoint/actions.py:176`` SlackNotificationAction.run).  Inject any
+    callable ``(url, body_bytes, headers) -> (status, response_text)`` in its
+    place (a requests.Session adapter, a test double) via
+    ``action.run(result, dry_run=False, transport=...)``."""
+
+    def __init__(self, *, max_retries: int = 3, backoff_s: float = 1.0,
+                 timeout_s: float = 10.0, sleep=None):
+        import time
+
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.timeout_s = timeout_s
+        self.sleep = sleep if sleep is not None else time.sleep
+
+    def __call__(self, url: str, body: bytes,
+                 headers: dict[str, str]) -> tuple[int, str]:
+        import urllib.error
+        import urllib.request
+
+        attempt = 0
+        while True:
+            try:
+                req = urllib.request.Request(url, data=body, headers=headers)
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    return r.status, r.read().decode("utf-8", "replace")
+            except urllib.error.HTTPError as e:
+                retryable = e.code == 429 or 500 <= e.code < 600
+                if not retryable or attempt >= self.max_retries:
+                    raise
+            except urllib.error.URLError:
+                if attempt >= self.max_retries:
+                    raise
+            attempt += 1
+            self.sleep(self.backoff_s * 2 ** (attempt - 1))
 
 
 def _should_notify(success: bool, notify_on: str) -> bool:
@@ -62,6 +105,9 @@ class ValidationAction:
     type: ClassVar[str] = "action"
     name: str = "action"
     notify_on: str = "all"
+    #: False (default) = dry-run when invoked as a checkpoint callable; True
+    #: = live send through the transport.  Serialized with the config.
+    live: bool = False
 
     # -- serializable-config round trip ------------------------------------ #
     def to_config(self) -> dict[str, Any]:
@@ -86,19 +132,38 @@ class ValidationAction:
     def render_payload(self, result: Any) -> dict[str, Any]:
         raise NotImplementedError
 
-    def run(self, result: Any, dry_run: bool = True) -> dict[str, Any]:
+    def run(self, result: Any, dry_run: Optional[bool] = None,
+            transport=None) -> dict[str, Any]:
+        if dry_run is None:
+            dry_run = not self.live
         summary = _result_summary(result)
         if not _should_notify(summary["success"], self.notify_on):
             return {f"{self.type}_result": "none required"}
         payload = self.render_payload(result)
         if dry_run:
             return {f"{self.type}_result": "rendered", "payload": payload}
-        return self._send(payload)
+        return self._send(payload, transport)
 
-    def _send(self, payload: dict[str, Any]) -> dict[str, Any]:
-        raise NotImplementedError(
-            f"{self.type}: live send requires network access; use dry_run=True"
-        )
+    def _http_request(
+        self, payload: dict[str, Any],
+    ) -> Optional[tuple[str, bytes, dict[str, str]]]:
+        """(url, body, headers) for HTTP-delivered actions; None for actions
+        whose live delivery is not an HTTP POST (email/SNS)."""
+        return None
+
+    def _send(self, payload: dict[str, Any], transport=None) -> dict[str, Any]:
+        req = self._http_request(payload)
+        if req is None:
+            raise NotImplementedError(
+                f"{self.type}: live delivery needs a service client "
+                "(smtp/boto3) — run with dry_run=True and deliver the "
+                "rendered payload yourself"
+            )
+        url, body, headers = req
+        if not url:
+            raise ValueError(f"{self.type}: no endpoint configured")
+        status, text = (transport or HttpTransport())(url, body, headers)
+        return {f"{self.type}_result": status, "response": text[:200]}
 
     # checkpoint actions are plain callables: make instances callable
     def __call__(self, result: Any) -> dict[str, Any]:
@@ -145,15 +210,9 @@ class SlackNotificationAction(ValidationAction):
             out["channel"] = self.slack_channel
         return out
 
-    def _send(self, payload: dict[str, Any]) -> dict[str, Any]:
-        import urllib.request
-
-        req = urllib.request.Request(
-            self.slack_webhook, data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req, timeout=10) as resp:
-            return {"slack_notification_result": resp.status}
+    def _http_request(self, payload):
+        return (self.slack_webhook, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
 
 
 @dataclass
@@ -214,6 +273,10 @@ class MicrosoftTeamsNotificationAction(ValidationAction):
             }],
         }
 
+    def _http_request(self, payload):
+        return (self.teams_webhook, json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
+
 
 @dataclass
 class PagerdutyAlertAction(ValidationAction):
@@ -240,6 +303,11 @@ class PagerdutyAlertAction(ValidationAction):
             },
         }
 
+    def _http_request(self, payload):
+        return ("https://events.pagerduty.com/v2/enqueue",
+                json.dumps(payload).encode(),
+                {"Content-Type": "application/json"})
+
 
 @dataclass
 class OpsgenieAlertAction(ValidationAction):
@@ -262,6 +330,13 @@ class OpsgenieAlertAction(ValidationAction):
             "priority": self.priority,
             "tags": list(self.tags),
         }
+
+    def _http_request(self, payload):
+        host = (f"https://api.{self.region}.opsgenie.com"
+                if self.region else "https://api.opsgenie.com")
+        return (host + "/v2/alerts", json.dumps(payload).encode(),
+                {"Content-Type": "application/json",
+                 "Authorization": f"GenieKey {self.api_key}"})
 
 
 @dataclass
@@ -303,6 +378,11 @@ class APINotificationAction(ValidationAction):
             "validation_results": d if d is not None else s,
         }
 
+    def _http_request(self, payload):
+        body = {k: v for k, v in payload.items() if k != "url"}
+        return (self.url, json.dumps(body, default=str).encode(),
+                {"Content-Type": "application/json"})
+
 
 @dataclass
 class UpdateDataDocsAction(ValidationAction):
@@ -321,7 +401,8 @@ class UpdateDataDocsAction(ValidationAction):
             pages["site"] = build_site(self.site_root)
         return pages
 
-    def run(self, result: Any, dry_run: bool = True) -> dict[str, Any]:
+    def run(self, result: Any, dry_run: Optional[bool] = None,
+            transport=None) -> dict[str, Any]:
         # docs update is a local filesystem effect — never gated on dry_run
         return {"update_data_docs_result": self.render_payload(result)}
 

@@ -326,12 +326,38 @@ def render_profiling_page(
     cols.sort(key=lambda kv: kv[0])
     row_count = max((d.get("row_count", 0) for _, d in cols), default=0)
 
+    # dataset overview section — the reference's
+    # profiling_results_overview_section_renderer.py:1 essentials: variable
+    # type tally plus a per-column (type, missing, distinct) table, before
+    # the per-column detail sections.
+    type_tally: dict[str, int] = {}
+    for _, d in cols:
+        kind = ("numeric" if "mean" in d
+                else "string" if "len_min" in d else "other")
+        type_tally[kind] = type_tally.get(kind, 0) + 1
+    tally_s = ", ".join(f"{k}=<code>{v}</code>"
+                        for k, v in sorted(type_tally.items()))
+    overview_rows = []
+    for name, d in cols:
+        rows = d.get("row_count", 0)
+        nulls = d.get("null_count", 0)
+        pct = round(100.0 * nulls / rows, 2) if rows else 0.0
+        overview_rows.append(
+            f"<tr><td><a href='#col-{_esc(name)}'>{_esc(name)}</a></td>"
+            f"<td><code>{_esc(d.get('dtype'))}</code></td>"
+            f"<td>{pct}%</td>"
+            f"<td>{_esc(d.get('distinct_estimate'))}</td></tr>")
+
     parts = [
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body>"
         f"<h1>{_esc(title)}</h1>"
+        "<h2>Overview</h2>"
         f"<p>rows=<code>{row_count}</code> "
-        f"columns=<code>{len(cols)}</code></p>"
+        f"columns=<code>{len(cols)}</code> | variable types: {tally_s}</p>"
+        "<table><tr><th>column</th><th>type</th><th>missing</th>"
+        "<th>distinct&approx;</th></tr>"
+        + "".join(overview_rows) + "</table>"
     ]
     for name, d in cols:
         rows = d.get("row_count", 0)
@@ -354,7 +380,8 @@ def render_profiling_page(
                 f"value lengths <code>[{_esc(d['len_min'])}, "
                 f"{_esc(d['len_max'])}]</code>"
             )
-        parts.append(f"<h3>{_esc(name)}</h3><p>" + " | ".join(facts) + "</p>")
+        parts.append(f"<h3 id='col-{_esc(name)}'>{_esc(name)}</h3><p>"
+                     + " | ".join(facts) + "</p>")
         vs = d.get("value_set")
         if vs:
             parts.append(_render_histogram_block(

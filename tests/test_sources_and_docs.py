@@ -499,9 +499,18 @@ def test_render_column_sections_and_profiling_page(tmp_path):
     profs = profile(ds)
     page = render_profiling_page(profs, title="prof")
     assert "columns=<code>3</code>" in page
-    assert "<h3>x</h3>" in page and "<h3>s</h3>" in page and "<h3>n</h3>" in page
+    for c in ("x", "s", "n"):
+        assert f"<h3 id='col-{c}'>{c}</h3>" in page
     assert "missing=0.0% (0)" in page
     assert "mean=" in page and "stdev=" in page          # numeric facts
     assert "value lengths" in page                        # string facts
     assert "Distinct values" in page and "histbar" in page  # value-set bars
     assert "v0" in page and "v2" in page
+    # overview section (profiling_results_overview_section_renderer
+    # essentials): variable-type tally + per-column type/missing/distinct
+    # table linking to the detail sections
+    assert "<h2>Overview</h2>" in page
+    assert "variable types:" in page
+    assert "numeric=<code>2</code>" in page and "string=<code>1</code>" in page
+    assert "<a href='#col-x'>x</a>" in page
+    assert page.count("<td>0.0%</td>") == 3  # missing column per row
