@@ -8,6 +8,8 @@ Commands:
   dedup     deduplicate a parquet corpus (exact/minhash/simhash/paragraph)
   select    keep the top fraction of a corpus by score (zlib/length)
   drift     diff two tables' profiles; exit 1 when drift is detected
+  incremental  day-2 intake: corpus diff + incremental dedup against a
+               persisted bloom filter + drift gate, in one run
 """
 
 from __future__ import annotations
@@ -137,6 +139,44 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def _drift_report(base, cur, *, psi_columns=None, psi_threshold=0.25,
+                  ks_columns=None, ks_alpha=0.001) -> dict:
+    """Profile diff + optional PSI/KS column gates; ``rep['drifted']`` folds
+    every check.  Shared by ``drift`` and ``incremental``."""
+    from great_expectations_ray.pipelines.drift import detect_drift
+
+    rep = detect_drift(base, cur)
+    if psi_columns:
+        from great_expectations_ray.functions.psi import psi_bins
+
+        psi_rep = {}
+        for col in psi_columns.split(","):
+            col = col.strip()
+            out = psi_bins(base, cur, col)
+            psi_rep[col] = {
+                "psi": out.attrs["psi"],
+                "drifted": out.attrs["psi"] > psi_threshold,
+                "bins": out.to_dict("records"),
+            }
+        rep["psi"] = psi_rep
+        rep["drifted"] = bool(
+            rep["drifted"] or any(v["drifted"] for v in psi_rep.values()))
+    if ks_columns:
+        from great_expectations_ray.functions.ks import (
+            distributed_ks_2samp_datasets)
+
+        ks_rep = {}
+        for col in ks_columns.split(","):
+            col = col.strip()
+            r = distributed_ks_2samp_datasets(base, cur, col)
+            r["drifted"] = r["p_value"] < ks_alpha
+            ks_rep[col] = r
+        rep["ks"] = ks_rep
+        rep["drifted"] = bool(
+            rep["drifted"] or any(v["drifted"] for v in ks_rep.values()))
+    return rep
+
+
 def cmd_drift(args) -> int:
     """Diff two datasets' profiles; exit 1 when drift is detected.
 
@@ -144,45 +184,110 @@ def cmd_drift(args) -> int:
     per named numeric column (baseline-decile bins); a column with
     PSI > ``--psi-threshold`` (default 0.25, the standard major-shift bar)
     counts as drifted."""
-    from great_expectations_ray.pipelines.drift import detect_drift
     from great_expectations_ray.sources.readers import read_batch
 
     owned = _init_ray(args.cpus)
     try:
         base = read_batch(args.baseline)
         cur = read_batch(args.current)
-        rep = detect_drift(base, cur)
-        if args.psi_columns:
-            from great_expectations_ray.functions.psi import psi_bins
-
-            psi_rep = {}
-            for col in args.psi_columns.split(","):
-                col = col.strip()
-                out = psi_bins(base, cur, col)
-                psi_rep[col] = {
-                    "psi": out.attrs["psi"],
-                    "drifted": out.attrs["psi"] > args.psi_threshold,
-                    "bins": out.to_dict("records"),
-                }
-            rep["psi"] = psi_rep
-            rep["drifted"] = bool(
-                rep["drifted"]
-                or any(v["drifted"] for v in psi_rep.values()))
-        if args.ks_columns:
-            from great_expectations_ray.functions.ks import (
-                distributed_ks_2samp_datasets)
-
-            ks_rep = {}
-            for col in args.ks_columns.split(","):
-                col = col.strip()
-                r = distributed_ks_2samp_datasets(base, cur, col)
-                r["drifted"] = r["p_value"] < args.ks_alpha
-                ks_rep[col] = r
-            rep["ks"] = ks_rep
-            rep["drifted"] = bool(
-                rep["drifted"]
-                or any(v["drifted"] for v in ks_rep.values()))
+        rep = _drift_report(base, cur, psi_columns=args.psi_columns,
+                            psi_threshold=args.psi_threshold,
+                            ks_columns=args.ks_columns,
+                            ks_alpha=args.ks_alpha)
         print(json.dumps(rep, indent=1, default=str))
+    finally:
+        _maybe_shutdown(owned)
+    return 1 if rep["drifted"] else 0
+
+
+def cmd_incremental(args) -> int:
+    """Day-2 incremental intake — ONE flow chaining the three incremental
+    primitives on a (snapshot, today) pair:
+
+    1. **corpus diff** (stages/corpusdiff.py): added/removed/changed/
+       unchanged counts vs the snapshot — the audit artifact.
+    2. **incremental dedup** (stages/bloomdedup.py): drop today's rows whose
+       ``--text-col`` already exists in the snapshot (bloom prefilter +
+       exact verify).  ``--bloom PATH`` persists the filter: loaded when
+       present (skips the snapshot build pass), created otherwise, and
+       re-saved with today's novel keys OR-ed in, so tomorrow's run prunes
+       against snapshot+today without re-reading either.
+    3. **drift gate** (PSI/KS, same flags as ``drift``): snapshot vs today's
+       FULL intake (pre-dedup — drift should see what arrived).  Exit 1 on
+       drift; survivors are still written.
+
+    Survivors land partitioned under ``--output``; one JSON report prints.
+    """
+    import os
+
+    import numpy as np
+    import ray.data as rd
+
+    from great_expectations_ray.functions.joins import bucketed_semi_anti
+    from great_expectations_ray.stages.bloomdedup import (
+        build_bloom,
+        load_bloom,
+        mark_known,
+        save_bloom,
+    )
+    from great_expectations_ray.stages.corpusdiff import diff_corpora
+
+    owned = _init_ray(args.cpus)
+    try:
+        snap = rd.read_parquet(args.snapshot)
+        today = rd.read_parquet(args.input)
+        n_in = today.count()
+
+        # 1. corpus diff
+        diff_counts = (
+            diff_corpora(snap, today, id_col=args.id_col,
+                         content_col=args.text_col)
+            .to_pandas()["status"].value_counts().to_dict())
+
+        # 2. incremental dedup (persisted-filter aware)
+        words = None
+        num_bits, num_hashes = args.bloom_bits, 4
+        bloom_state = "none"
+        if args.bloom:
+            if os.path.exists(args.bloom):
+                words, num_bits, num_hashes = load_bloom(args.bloom)
+                bloom_state = "loaded"
+            else:
+                words = build_bloom(snap, args.text_col, num_bits=num_bits,
+                                    num_hashes=num_hashes)
+                bloom_state = "built"
+        marks = mark_known(today, snap, key_col=args.text_col,
+                           id_col=args.id_col, num_bits=num_bits,
+                           num_hashes=num_hashes, bloom_words=words)
+        known_ids = marks.filter(expr="is_known == True").select_columns(
+            [args.id_col]).materialize()
+        n_known = known_ids.count()
+        survivors = bucketed_semi_anti(today, known_ids, on=args.id_col,
+                                       anti=True)
+        survivors.repartition(args.partitions).write_parquet(args.output)
+        n_out = rd.read_parquet(args.output).count()
+
+        if args.bloom:
+            novel = rd.read_parquet(args.output)
+            words = words | build_bloom(novel, args.text_col,
+                                        num_bits=num_bits,
+                                        num_hashes=num_hashes)
+            save_bloom(np.asarray(words), args.bloom, num_hashes=num_hashes)
+            bloom_state += "+updated"
+
+        # 3. drift gate on the full intake
+        rep = _drift_report(snap, today, psi_columns=args.psi_columns,
+                            psi_threshold=args.psi_threshold,
+                            ks_columns=args.ks_columns, ks_alpha=args.ks_alpha)
+        print(json.dumps({
+            "diff": diff_counts,
+            "dedup": {"rows_in": n_in, "known_dropped": n_known,
+                      "rows_out": n_out},
+            "bloom": {"path": args.bloom, "state": bloom_state,
+                      "num_bits": int(num_bits)},
+            "drift": rep,
+            "output": args.output,
+        }, indent=1, default=str))
     finally:
         _maybe_shutdown(owned)
     return 1 if rep["drifted"] else 0
@@ -394,6 +499,28 @@ def main(argv=None) -> int:
                     help="KS drift p-value threshold")
     dr.add_argument("--cpus", type=int, default=None)
     dr.set_defaults(fn=cmd_drift)
+
+    inc = sub.add_parser(
+        "incremental",
+        help="day-2 intake: corpus diff + incremental dedup (persisted "
+             "bloom) + drift gate (exit 1 on drift)")
+    inc.add_argument("--snapshot", required=True,
+                     help="yesterday's corpus parquet")
+    inc.add_argument("--input", required=True, help="today's intake parquet")
+    inc.add_argument("--output", required=True,
+                     help="directory for deduplicated survivors")
+    inc.add_argument("--bloom", help="persisted bloom filter path "
+                                     "(loaded if present, re-saved updated)")
+    inc.add_argument("--bloom-bits", type=int, default=1 << 22)
+    inc.add_argument("--id-col", default="doc_id")
+    inc.add_argument("--text-col", default="text")
+    inc.add_argument("--partitions", type=int, default=4)
+    inc.add_argument("--psi-columns")
+    inc.add_argument("--psi-threshold", type=float, default=0.25)
+    inc.add_argument("--ks-columns")
+    inc.add_argument("--ks-alpha", type=float, default=0.001)
+    inc.add_argument("--cpus", type=int, default=None)
+    inc.set_defaults(fn=cmd_incremental)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -155,15 +155,30 @@ def mark_known(
     num_hashes: int = 4,
     n_buckets: int = 64,
     concurrency=(1, 4),
+    bloom_words: np.ndarray | None = None,
 ):
     """Dataset of ``(id_col, is_known)`` for every row of ``new_ds`` —
     ``is_known`` is EXACT membership of the row's ``key_col`` value in the
     snapshot (bloom phases only prune work; verdicts come from raw-value
-    equality in one bucketed exchange over the pruned sides)."""
+    equality in one bucketed exchange over the pruned sides).
+
+    ``bloom_words``: a prebuilt snapshot filter (``load_bloom`` — the day-2
+    incremental path) skips the snapshot build pass; ``num_bits``/
+    ``num_hashes`` must match the persisted header.  The exact verify still
+    reads the snapshot, but only its bloom-pruned sliver moves."""
     import ray
 
-    bloom_s_ref = ray.put(build_bloom(snapshot_ds, key_col, num_bits=num_bits,
-                                      num_hashes=num_hashes))
+    if bloom_words is not None:
+        if len(bloom_words) != num_bits >> 6:
+            raise ValueError(
+                f"bloom_words has {len(bloom_words)} words; num_bits="
+                f"{num_bits} needs {num_bits >> 6} — pass the header values "
+                "returned by load_bloom")
+        bloom_s_ref = ray.put(bloom_words)
+    else:
+        bloom_s_ref = ray.put(build_bloom(snapshot_ds, key_col,
+                                          num_bits=num_bits,
+                                          num_hashes=num_hashes))
     flt = dict(num_bits=num_bits, num_hashes=num_hashes)
     tagged = new_ds.select_columns([id_col, key_col]).map_batches(
         _BloomFilterStage,
