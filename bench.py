@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "kmeans_embeddings",
     "knn_graph_embeddings",
     "pq_embeddings",
+    # skew kill-test pair: one mega-key (~50% of lineitem) vs uniform keys
+    # through the same salted/pre-combined dedup — the skewed leg must stay
+    # within ~1.5x of the uniform leg (BASELINE.md skew criterion)
+    "uniform_dedup_lineitem",
+    "skew_dedup_lineitem",
 ]
 
 

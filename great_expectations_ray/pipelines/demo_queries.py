@@ -4845,3 +4845,45 @@ ORACLE_SQL.update({
 
 assert len(QUERIES) == 50, f"catalog must stay at 50 entries, got {len(QUERIES)}"
 assert set(ORACLE_SQL) == set(QUERIES), "every query needs an oracle"
+
+
+# --------------------------------------------------------------------------- #
+# skew kill-test (bench-only, not in the 50-query gate): one mega-key holding
+# ~half the table vs a uniform key distribution, through the SAME salted /
+# pre-combined dedup path (stages/dedup.py local_keep_first + bucketed
+# exchange).  BENCH_r04 criterion: skewed wall within ~1.5x of uniform —
+# proof the hot key costs the reducer #batches rows, not its group size.
+# --------------------------------------------------------------------------- #
+
+def _q_dedup_keyed(sf_dir: str, skewed: bool) -> pd.DataFrame:
+    from great_expectations_ray.stages.dedup import dedup_exact
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def derive(tbl: pa.Table) -> pa.Table:
+        k = np.asarray(pc.cast(tbl.column("l_orderkey"), pa.int64())).copy()
+        if skewed:
+            k[k % 2 == 0] = 0  # every even orderkey collapses into one key
+        order = pc.add(
+            pc.multiply(pc.cast(tbl.column("l_orderkey"), pa.int64()), 8),
+            pc.cast(tbl.column("l_linenumber"), pa.int64()))
+        return pa.table({"k": pa.array(k), "o": order,
+                         "v": pc.cast(tbl.column("l_quantity"), pa.float64())})
+
+    keyed = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    out = dedup_exact(keyed, ["k"], "o")
+    n = out.count()
+    return pd.DataFrame({"n_unique": [n]})
+
+
+def q_skew_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
+    return _q_dedup_keyed(sf_dir, skewed=True)
+
+
+def q_uniform_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
+    return _q_dedup_keyed(sf_dir, skewed=False)
+
+
+CONSTITUENT_QUERIES["skew_dedup_lineitem"] = q_skew_dedup_lineitem
+CONSTITUENT_QUERIES["uniform_dedup_lineitem"] = q_uniform_dedup_lineitem
