@@ -247,19 +247,30 @@ def remove_duplicate_substrings(
     id_col: str = "doc_id",
     window: int = 40,
     concurrency=(1, 8),
+    max_broadcast_cuts: int = 2_000_000,
 ):
     """ExactSubstr REMOVAL (the rewrite half of Lee et al. 2022): returns
     the corpus with every non-keeper duplicated span cut out, plus
     ``removed_bytes`` / ``n_cuts`` per doc.  The cut map covers only the
-    duplicated subset; it is collected once and broadcast via ``ray.put``
-    (fetched per actor — the _BoilerplateRewriter pattern).  Cuts are BYTE
-    ranges; on non-ASCII content a cut can split a UTF-8 sequence, decoded
-    with errors='replace' (deterministic, and byte==char on the ASCII
-    testdata)."""
+    duplicated subset — but on a crawl corpus with 30-50% dup rates that
+    subset is corpus-scale, so the driver pull is capped: the materialized
+    cut dataset is counted, and above ``max_broadcast_cuts`` rows the
+    rewrite switches to a bucketed join of per-doc cut lists onto the
+    corpus (ids/ranges stay in the object store); at or below the cap the
+    map is collected once and broadcast via ``ray.put`` (fetched per actor
+    — the _BoilerplateRewriter pattern; cheaper, no corpus exchange).  Cuts
+    are BYTE ranges; on non-ASCII content a cut can split a UTF-8 sequence,
+    decoded with errors='replace' (deterministic, and byte==char on the
+    ASCII testdata)."""
     import ray
 
-    cuts = duplicate_occurrence_cuts(
-        ds, content_col=content_col, id_col=id_col, window=window).take_all()
+    cuts_ds = duplicate_occurrence_cuts(
+        ds, content_col=content_col, id_col=id_col,
+        window=window).materialize()
+    if cuts_ds.count() > max_broadcast_cuts:
+        return _remove_cuts_joined(ds, cuts_ds, content_col=content_col,
+                                   id_col=id_col)
+    cuts = cuts_ds.take_all()
     cut_map: dict = {}
     for r in cuts:
         cut_map.setdefault(r[id_col], []).append((r["start"], r["end"]))
@@ -309,3 +320,67 @@ def remove_duplicate_substrings(
     return ds.map_batches(
         _Rewriter, fn_constructor_kwargs={"cut_ref": ref},
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency)
+
+
+def _remove_cuts_joined(ds, cuts_ds, *, content_col: str, id_col: str):
+    """Over-cap rewrite: per-doc cut lists meet the corpus in a bucketed
+    join; the cut map never lands on the driver.  Per-doc ranges serialize
+    to one ``"s-e,s-e"`` string (a plain string survives the join's
+    tagged-union schema alignment — the boilerplate-fallback pattern), and
+    the rewrite is Arrow-native with source-schema dtype restore."""
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.joins import _arrow_schema, hash_bucket_join
+
+    def agg_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "start"], kind="mergesort")
+        out = (g.assign(__r=g["start"].astype(str) + "-" + g["end"].astype(str))
+               .groupby(id_col, sort=False)["__r"]
+               .agg(",".join).reset_index())
+        return out.rename(columns={"__r": "__cuts"})
+
+    cut_lists = grouped_apply_bucketed(cuts_ds, [id_col], agg_cuts)
+    joined = hash_bucket_join(ds, cut_lists, on=id_col, how="left")
+    out_pairs = [(f.name, f.type) for f in _arrow_schema(ds)]
+    ctype_out = pa.string()
+
+    def rewrite(tbl: pa.Table) -> pa.Table:
+        cuts_col = tbl.column("__cuts")
+        if isinstance(cuts_col, pa.ChunkedArray):
+            cuts_col = cuts_col.combine_chunks()
+        cuts_col = pc.cast(cuts_col, pa.string())
+        content = tbl.column(content_col)
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        content = pc.cast(pc.fill_null(content, ""), ctype_out)
+        hit = pc.is_valid(cuts_col).to_numpy(zero_copy_only=False)
+        n = tbl.num_rows
+        removed = np.zeros(n, dtype=np.int64)
+        n_cuts = np.zeros(n, dtype=np.int64)
+        if hit.any():
+            reps: list[str] = []
+            for i in np.flatnonzero(hit):
+                ranges = [tuple(map(int, p.split("-")))
+                          for p in cuts_col[i].as_py().split(",")]
+                b = content[i].as_py().encode("utf-8")
+                pieces, last = [], 0
+                for s, e in ranges:
+                    pieces.append(b[last:s])
+                    last = e
+                pieces.append(b[last:])
+                reps.append(b"".join(pieces).decode("utf-8", "replace"))
+                removed[i] = sum(e - s for s, e in ranges)
+                n_cuts[i] = len(ranges)
+            content = pc.replace_with_mask(
+                content, pa.array(hit), pa.array(reps, ctype_out))
+        cols = {}
+        for name, typ in out_pairs:
+            if name == content_col:
+                cols[name] = pc.cast(content, typ)
+            else:
+                cols[name] = pc.cast(tbl.column(name), typ)
+        cols["removed_bytes"] = pa.array(removed)
+        cols["n_cuts"] = pa.array(n_cuts)
+        return pa.table(cols)
+
+    return joined.map_batches(rewrite, batch_format="pyarrow",
+                              zero_copy_batch=True)

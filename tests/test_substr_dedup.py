@@ -222,3 +222,32 @@ def test_merge_ranges_vectorized_interval_merge(ray_session):
     assert d1.iloc[0]["start"] == 1 and d1.iloc[0]["end"] == 1 + len(blk1)
     s2 = 1 + len(blk1) + len(pad)
     assert d1.iloc[1]["start"] == s2 and d1.iloc[1]["end"] == s2 + len(blk2)
+
+
+def test_remove_duplicate_substrings_joined_path_matches_broadcast(ray_session):
+    """max_broadcast_cuts=0 forces the bucketed-join rewrite (cut map never
+    lands on the driver) — output must be row-for-row identical to the
+    broadcast path, dtypes included."""
+    import ray
+
+    from great_expectations_ray.stages.substr_dedup import (
+        remove_duplicate_substrings,
+    )
+
+    span = "".join(chr(97 + (j * 7) % 26) for j in range(60))
+    docs = [{"doc_id": i,
+             "text": f"doc {i} prefix {span if i % 3 == 0 else ''} tail {i}"}
+            for i in range(18)]
+    ds = ray.data.from_items(docs).repartition(4)
+    bcast = (remove_duplicate_substrings(ds, content_col="text",
+                                         id_col="doc_id")
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    joined = (remove_duplicate_substrings(ds, content_col="text",
+                                          id_col="doc_id",
+                                          max_broadcast_cuts=0)
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(joined[bcast.columns], bcast)
+    assert joined["doc_id"].dtype.kind == "i"
+    assert (joined[joined.doc_id % 3 == 0].iloc[1:]["removed_bytes"] > 0).all()
