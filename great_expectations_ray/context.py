@@ -65,6 +65,18 @@ class DataSource:
             asset = Asset(
                 name, readers.read_sql_source, (path, self.base), kwargs
             )
+        elif self.kind == "dialect_sql":
+            # base = a sources.sql_dialects.SqlDatasource; asset is a table
+            # (table=) or a query (query= / path) with pushdown kwargs
+            table = kwargs.pop("table", None)
+            if table is not None:
+                asset = Asset(name, self.base.read_table, (table,), kwargs)
+            else:
+                query = kwargs.pop("query", path)
+                if not query:
+                    raise ValueError(
+                        "dialect SQL asset needs table= or query=")
+                asset = Asset(name, self.base.read_query, (query,), kwargs)
         elif self.kind == "memory":
             asset = Asset(name, readers.from_memory, (kwargs.pop("data"),), {})
         else:  # pragma: no cover - guarded by the factory methods
@@ -102,6 +114,46 @@ class _DataSourceFactories:
         """``connection_factory`` must import its driver inside the closure
         (see sources.readers.read_sql_source)."""
         return self._add(name, "sql", connection_factory)
+
+    # -- dialect datasources (reference datasource/fluent/sources.py names;
+    # assets take table=/query= plus pushdown kwargs) ----------------------- #
+    def _add_dialect(self, name: str, cls, kwargs) -> DataSource:
+        return self._add(name, "dialect_sql", cls(**kwargs))
+
+    def add_postgres(self, name: str, **connect_kwargs) -> DataSource:
+        from great_expectations_ray.sources.sql_dialects import PostgresDatasource
+
+        return self._add_dialect(name, PostgresDatasource, connect_kwargs)
+
+    def add_snowflake(self, name: str, **connect_kwargs) -> DataSource:
+        from great_expectations_ray.sources.sql_dialects import SnowflakeDatasource
+
+        return self._add_dialect(name, SnowflakeDatasource, connect_kwargs)
+
+    def add_databricks_sql(self, name: str, **connect_kwargs) -> DataSource:
+        from great_expectations_ray.sources.sql_dialects import (
+            DatabricksSQLDatasource,
+        )
+
+        return self._add_dialect(name, DatabricksSQLDatasource, connect_kwargs)
+
+    def add_fabric(self, name: str, **connect_kwargs) -> DataSource:
+        from great_expectations_ray.sources.sql_dialects import FabricDatasource
+
+        return self._add_dialect(name, FabricDatasource, connect_kwargs)
+
+    def add_sqlite(self, name: str, database: str, **kw) -> DataSource:
+        from great_expectations_ray.sources.sql_dialects import SqliteDatasource
+
+        return self._add_dialect(name, SqliteDatasource,
+                                 {"database": database, **kw})
+
+    def add_duckdb(self, name: str, database: str = ":memory:",
+                   **kw) -> DataSource:
+        from great_expectations_ray.sources.sql_dialects import DuckDBDatasource
+
+        return self._add_dialect(name, DuckDBDatasource,
+                                 {"database": database, **kw})
 
     def add_memory(self, name: str) -> DataSource:
         return self._add(name, "memory", None)
