@@ -262,6 +262,19 @@ def cmd_incremental(args) -> int:
         known_ids = marks.filter(expr="is_known == True").select_columns(
             [args.id_col]).materialize()
         n_known = known_ids.count()
+        n_near = 0
+        if args.near:
+            # fuzzy sibling: MinHash-LSH band collision vs the snapshot
+            # (snapshot never broadcast — band keys meet in one exchange)
+            from great_expectations_ray.stages.neardup import mark_known_neardup
+
+            near_ids = (mark_known_neardup(today, snap,
+                                           text_col=args.text_col,
+                                           id_col=args.id_col)
+                        .filter(expr="is_known == True")
+                        .select_columns([args.id_col]).materialize())
+            n_near = near_ids.count()
+            known_ids = known_ids.union(near_ids).materialize()
         survivors = bucketed_semi_anti(today, known_ids, on=args.id_col,
                                        anti=True)
         survivors.repartition(args.partitions).write_parquet(args.output)
@@ -282,7 +295,7 @@ def cmd_incremental(args) -> int:
         print(json.dumps({
             "diff": diff_counts,
             "dedup": {"rows_in": n_in, "known_dropped": n_known,
-                      "rows_out": n_out},
+                      "near_dropped": n_near, "rows_out": n_out},
             "bloom": {"path": args.bloom, "state": bloom_state,
                       "num_bits": int(num_bits)},
             "drift": rep,
@@ -514,6 +527,10 @@ def main(argv=None) -> int:
     inc.add_argument("--bloom-bits", type=int, default=1 << 22)
     inc.add_argument("--id-col", default="doc_id")
     inc.add_argument("--text-col", default="text")
+    inc.add_argument("--near", action="store_true",
+                     help="also drop MinHash-LSH near-duplicates of "
+                          "snapshot docs (band keys meet in one exchange; "
+                          "the snapshot is never broadcast)")
     inc.add_argument("--partitions", type=int, default=4)
     inc.add_argument("--psi-columns")
     inc.add_argument("--psi-threshold", type=float, default=0.25)

@@ -57,7 +57,8 @@ def test_incremental_day2_flow(snapshot_pair, tmp_path, capsys):
     # ids, so they count as added too; all 100 snapshot ids are removed
     assert rep["diff"]["added"] == 50 and rep["diff"]["removed"] == 100
     # dedup: the 20 exact re-crawls (same text, new id) drop
-    assert rep["dedup"] == {"rows_in": 50, "known_dropped": 20, "rows_out": 30}
+    assert rep["dedup"] == {"rows_in": 50, "known_dropped": 20,
+                            "near_dropped": 0, "rows_out": 30}
     assert rep["bloom"]["state"] == "built+updated"
     assert os.path.exists(bloom_p)
     survivors = rd.read_parquet(out1).to_pandas()
@@ -101,3 +102,36 @@ def test_incremental_day3_loads_persisted_filter(snapshot_pair, tmp_path,
     assert rep["dedup"]["known_dropped"] == 1  # the snapshot doc only
     kept = sorted(rd.read_parquet(str(tmp_path / "o2")).to_pandas()["doc_id"])
     assert kept == [900, 902]
+
+
+def test_incremental_near_flag_drops_snapshot_neardups(ray_session, tmp_path,
+                                                       capsys):
+    """--near also drops docs that are MinHash near-duplicates of snapshot
+    docs (small edits of a snapshot doc, not byte-identical)."""
+    from great_expectations_ray.__main__ import main
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while seventeen violet zeppelins hover above the quiet harbor "
+            "and a clockwork owl recites prime numbers to the tide")
+    snap = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"{base} snapshot variant {i}" for i in range(10)],
+    })
+    today = pd.DataFrame({
+        "doc_id": np.array([100, 101], dtype=np.int64),
+        # 100: tiny edit of a snapshot doc (near-dup, not exact);
+        # 101: unrelated content
+        "text": [f"{base} snapshot variant 3 EDITED",
+                 "completely different text about cooking rice properly "
+                 "with precise water ratios and resting times for dinner"],
+    })
+    snap_p = _write(tmp_path, "nsnap", snap)
+    today_p = _write(tmp_path, "ntoday", today)
+    rc = main(["incremental", "--snapshot", snap_p, "--input", today_p,
+               "--output", str(tmp_path / "nout"), "--near",
+               "--partitions", "1"])
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["dedup"]["known_dropped"] == 0  # nothing byte-identical
+    assert rep["dedup"]["near_dropped"] == 1
+    kept = rd.read_parquet(str(tmp_path / "nout")).to_pandas()
+    assert kept["doc_id"].tolist() == [101]
