@@ -3323,7 +3323,73 @@ def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
         MediaStats, batch_format="pyarrow", concurrency=(1, 2), batch_size=256,
     ).select_columns(["doc_id", "media_type", "mean_val",
                       "width_dec", "height_dec", "n_samples"])
-    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    stats = out.to_pandas()
+
+    # dhash arm: perceptual-hash near-dup detection over REAL PPM payloads
+    # (stages/multimodal.py dhash_mark_duplicates).  Input spec (shared with
+    # the independent fixture in tools/gen_oracle_fixtures.py): docs with
+    # doc_id % 10 in (0, 1) render the same group image, the `1` twin +20
+    # brightness (a hash-identical near-dup); every other doc renders a
+    # unique image.  media_type='image/dhash' rows carry is_neardup in
+    # mean_val and the 63-bit hash in n_samples.
+    from great_expectations_ray.stages.multimodal import (
+        ImageHasher,
+        dhash_mark_duplicates,
+        encode_ppm,
+    )
+
+    def derive_dhash(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        payloads = [encode_ppm(_dhash_probe_image(int(i)))
+                    for i in doc_id.to_numpy()]
+        return pa.table({
+            "doc_id": doc_id,
+            "media_type": pa.array(["image/ppm"] * len(payloads)),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    imgs = ds.map_batches(derive_dhash, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    hashed = imgs.map_batches(
+        ImageHasher, fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 2), batch_size=256,
+    ).materialize()
+    marks = dhash_mark_duplicates(None, id_col="doc_id",
+                                  prehashed=hashed).to_pandas()
+    hdf = hashed.to_pandas()
+    arm = hdf.merge(marks, on="doc_id")
+    arm = pd.DataFrame({
+        "doc_id": arm["doc_id"],
+        "media_type": "image/dhash",
+        "mean_val": arm["is_neardup"].astype(float),
+        "width_dec": np.int32(0),
+        "height_dec": np.int32(0),
+        "n_samples": (arm["dhash"].astype(np.uint64)
+                      & np.uint64((1 << 63) - 1)).astype(np.int64),
+    })
+    return (pd.concat([stats, arm], ignore_index=True)
+            .sort_values(["doc_id", "media_type"]).reset_index(drop=True))
+
+
+def _dhash_probe_image(doc_id: int) -> "np.ndarray":
+    """Deterministic 16x16 RGB probe image — the INPUT SPEC shared verbatim
+    with tools/gen_oracle_fixtures.media_dhash_fixture (the operator itself
+    is reimplemented independently there)."""
+    g = doc_id // 10
+    seed = g if doc_id % 10 in (0, 1) else 1_000_000 + doc_id
+    idx = np.arange(16 * 16 * 3, dtype=np.uint64)
+    v = np.uint64(seed) * np.uint64(2654435761) + idx * np.uint64(2246822519)
+    # avalanche so the seed perturbs every pixel independently (a constant
+    # offset would be invisible to dHash by design)
+    v ^= v >> np.uint64(33)
+    v *= np.uint64(0xFF51AFD7ED558CCD)
+    v ^= v >> np.uint64(29)
+    px = (v % np.uint64(200)).astype(np.uint8)
+    img = px.reshape(16, 16, 3)
+    if doc_id % 10 == 1:
+        img = img + np.uint8(20)  # max 199+20=219: no clipping, exact shift
+    return img
 
 
 SQL_MEDIA_DECODE_STATS = """
@@ -3694,6 +3760,19 @@ CONSTITUENT_ORACLE_SQL["exact_n_sample_docs"] = (
     "SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS "
     "sum_ids FROM (SELECT doc_id FROM documents "
     "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 37)"
+)
+
+# dhash arm of media_decode_stats: closed-form decode stats UNION the
+# independent perceptual-hash fixture (media_type discriminates the arms)
+CONSTITUENT_ORACLE_SQL["media_decode_stats"] = (
+    f"SELECT * FROM ({SQL_MEDIA_DECODE_STATS}) AS stats_arm "
+    "UNION ALL "
+    "SELECT doc_id, 'image/dhash' AS media_type, "
+    "CAST(is_neardup AS DOUBLE) AS mean_val, "
+    "CAST(0 AS INTEGER) AS width_dec, CAST(0 AS INTEGER) AS height_dec, "
+    "CAST(dhash63 AS BIGINT) AS n_samples "
+    f"FROM read_parquet('{os.path.join(_FIXTURES, 'media_dhash_docs.parquet')}') "
+    f"WHERE fp = {_FP_DOCS}"
 )
 _VERDICT_COLS["exact_n_sample_docs"] = [("n", "num"), ("sum_ids", "num")]
 

@@ -329,3 +329,153 @@ class MediaStats:
             .append_column("height_dec", pa.array(height, pa.int32()))
             .append_column("n_samples", pa.array(n_samples, pa.int64()))
         )
+
+
+# --------------------------------------------------------------------------- #
+# perceptual image hashing + near-duplicate detection
+# --------------------------------------------------------------------------- #
+
+
+def dhash64(img: np.ndarray) -> np.uint64:
+    """Difference hash (dHash): integer luma -> 8x9 nearest resize ->
+    horizontal-gradient bits packed into one uint64.  Robust to uniform
+    brightness shifts and re-encoding (the gradient SIGN survives both);
+    pure numpy, deterministic, no codec."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        if np.issubdtype(img.dtype, np.floating):
+            # decoder contract arrays ([0,1] float32): float luma
+            g = (299 * img[..., 0].astype(np.float64)
+                 + 587 * img[..., 1].astype(np.float64)
+                 + 114 * img[..., 2].astype(np.float64))
+        else:
+            # ITU-R 601 luma in exact integer arithmetic
+            g = (299 * img[..., 0].astype(np.int64)
+                 + 587 * img[..., 1].astype(np.int64)
+                 + 114 * img[..., 2].astype(np.int64)) // 1000
+    elif np.issubdtype(img.dtype, np.floating):
+        g = img.astype(np.float64)
+    else:
+        g = img.astype(np.int64)
+    small = resize_nearest(g, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)  # 8x8 row-major
+    return np.uint64(np.packbits(bits.astype(np.uint8)).view(">u8")[0])
+
+
+def _dhash_batch(payloads, types, decode) -> np.ndarray:
+    out = np.zeros(len(payloads), dtype=np.uint64)
+    for i in range(len(payloads)):
+        raw = payloads[i].as_py() if payloads[i].is_valid else b""
+        out[i] = dhash64(decode(raw, types[i].as_py()))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray | np.uint64) -> np.ndarray:
+    """Vectorized popcount of XOR over uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x.view(np.uint8).reshape(len(a), 8),
+                         axis=1).sum(axis=1)
+
+
+class ImageHasher:
+    """Actor-pool stage: decode -> dHash; emits ``dhash`` (uint64) next to
+    the id columns, payload dropped so the heavy bytes stop here."""
+
+    def __init__(self, use_fake: bool = False, id_col: str = "media_id"):
+        self.decode = _fake_decode if use_fake else _real_decode
+        self.id_col = id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        h = _dhash_batch(tbl.column("payload").combine_chunks(),
+                         tbl.column("media_type").combine_chunks(),
+                         self.decode)
+        return pa.table({
+            self.id_col: tbl.column(self.id_col),
+            "dhash": pa.array(h),
+        })
+
+
+def dhash_mark_duplicates(
+    ds,
+    *,
+    id_col: str = "media_id",
+    max_distance: int = 3,
+    use_fake: bool = False,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    prehashed=None,
+):
+    """Image near-duplicate marking: ``(id_col, is_neardup)`` per image —
+    marked iff the image's dHash is within ``max_distance`` Hamming bits of
+    an earlier (smaller-id) image sharing a 16-bit band.
+
+    The simhash blocking shape (stages/neardup.py:298) applied to DECODED
+    PIXELS instead of text: 4 bands of 16 bits catch every pair within
+    Hamming distance 3 by pigeonhole; candidates verify with the exact
+    64-bit Hamming distance inside the band bucket, so band collisions
+    between genuinely different images are killed before marking.  The
+    decode runs once per image in an actor pool with a SMALL batch_size
+    (payload bytes are wide); only (id, 8-byte hash) rows enter the
+    exchange."""
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.stages.neardup import _bucketed_any_mark
+
+    if prehashed is not None:
+        # caller already ran ImageHasher (and may reuse its output): skip
+        # the second decode pass
+        hashed = prehashed
+    else:
+        hashed = ds.map_batches(
+            ImageHasher, fn_constructor_kwargs={"use_fake": use_fake,
+                                                "id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, batch_size=batch_size,
+        )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        h = np.asarray(tbl.column("dhash")).astype(np.uint64)
+        ids = np.asarray(tbl.column(id_col))
+        parts = []
+        for bi in range(4):
+            band_val = (h >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            parts.append(pa.table({
+                id_col: pa.array(ids),
+                "band": pa.array(np.full(len(ids), bi, dtype=np.int64)),
+                "bkey": pa.array(band_val.astype(np.int64)),
+                "dhash": pa.array(h),
+            }))
+        return pa.concat_tables(parts)
+
+    def mark_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "bkey", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        hs = g["dhash"].to_numpy().astype(np.uint64)
+        band = g["band"].to_numpy()
+        bkey = g["bkey"].to_numpy()
+        dup = np.zeros(len(g), dtype=bool)
+        if len(g):
+            newseg = np.empty(len(g), dtype=bool)
+            newseg[0] = True
+            newseg[1:] = (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1])
+            firsts = np.flatnonzero(newseg)
+            ends = np.append(firsts[1:], len(g))
+            # python loop over multi-member GROUPS only, not rows
+            for s, e in zip(firsts[ends - firsts >= 2],
+                            ends[ends - firsts >= 2]):
+                # verify against the group's keeper (min id): exact 64-bit
+                # Hamming kills band-collision false positives
+                dup[s + 1:e] = hamming64(hs[s + 1:e], hs[s]) <= max_distance
+        return pd.DataFrame({id_col: ids, "is_neardup": dup})
+
+    marked = grouped_apply_bucketed(
+        hashed.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["band", "bkey"], mark_bucket,
+    )
+    out = _bucketed_any_mark(marked, id_col)
+    # any-mark reducers emit Ray's aggregate column name on pandas blocks
+    return out.map_batches(
+        lambda df: df.rename(columns={"max(is_neardup)": "is_neardup"}),
+        batch_format="pandas")

@@ -164,3 +164,89 @@ def test_frame_sampler_stage():
             assert feats[0] != feats[1]
     # payload column is NOT fanned out
     assert set(rows[0].keys()) == {"media_id", "frame_idx", "frame_ms", "frame_feat"}
+
+
+def test_dhash64_properties():
+    """dHash invariants: deterministic; invariant to uniform brightness
+    shift; a few flipped gradients move few bits; different images differ."""
+    from great_expectations_ray.stages.multimodal import dhash64, hamming64
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 200, (32, 32, 3)).astype(np.uint8)
+    h = dhash64(img)
+    assert h == dhash64(img.copy())
+    # uniform brightness shift preserves every gradient sign
+    assert dhash64(np.clip(img.astype(np.int16) + 40, 0, 255)
+                   .astype(np.uint8)) == h
+    other = rng.integers(0, 200, (32, 32, 3)).astype(np.uint8)
+    d = hamming64(np.array([dhash64(other)], dtype=np.uint64), h)[0]
+    assert d > 10  # unrelated noise images: ~32 expected
+    # small local perturbation: few bits move
+    pert = img.copy()
+    pert[:4, :4] = 255
+    dp = hamming64(np.array([dhash64(pert)], dtype=np.uint64), h)[0]
+    assert dp <= 10
+
+
+def test_dhash_mark_duplicates_real_ppm(ray_session):
+    """Near-dup marking over REAL PPM payloads: brightness-shifted copy
+    marked; unrelated image kept; keeper (min id) never marked."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.multimodal import (
+        dhash_mark_duplicates,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 200, (24, 24, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 200, (24, 24, 3)).astype(np.uint8)
+    rows = [("a_base", base), ("b_shift", shifted), ("c_other", other)]
+    t = pa.table({
+        "media_id": [r[0] for r in rows],
+        "media_type": ["image/ppm"] * 3,
+        "payload": pa.array([encode_ppm(r[1]) for r in rows],
+                            pa.large_binary()),
+    })
+    out = {r["media_id"]: r["is_neardup"] for r in
+           dhash_mark_duplicates(rd.from_arrow(t).repartition(2),
+                                 id_col="media_id").take_all()}
+    assert out == {"a_base": False, "b_shift": True, "c_other": False}
+
+
+def test_dhash_mark_duplicates_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.stages.multimodal import (
+        dhash_mark_duplicates,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(13)
+    imgs = []
+    for i in range(12):
+        img = rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+        imgs.append((f"m{i:02d}", img))
+        if i % 4 == 0:  # every 4th gets a brightness-shifted twin
+            imgs.append((f"m{i:02d}_twin",
+                         np.clip(img.astype(np.int16) + 25, 0, 255)
+                         .astype(np.uint8)))
+    t = pa.table({
+        "media_id": [m for m, _ in imgs],
+        "media_type": ["image/ppm"] * len(imgs),
+        "payload": pa.array([encode_ppm(im) for _, im in imgs],
+                            pa.large_binary()),
+    })
+
+    def run(parts):
+        ds = rd.from_arrow(t).repartition(parts)
+        return sorted(
+            (r["media_id"], bool(r["is_neardup"]))
+            for r in dhash_mark_duplicates(ds, id_col="media_id").take_all())
+
+    a, b = run(1), run(5)
+    assert a == b
+    marks = dict(a)
+    assert all(marks[f"m{i:02d}_twin"] for i in range(0, 12, 4))
+    assert not any(marks[f"m{i:02d}"] for i in range(12))

@@ -1088,6 +1088,68 @@ def pq_fixture(emb: pd.DataFrame) -> pd.DataFrame:
         "vec_id", kind="mergesort").reset_index(drop=True)
 
 
+def media_dhash_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent dHash + Hamming-band near-dup marking over the probe
+    images of the media_decode_stats 'image/dhash' arm.
+
+    The probe-image FORMULA is the shared input spec (demo_queries
+    ``_dhash_probe_image``); the OPERATOR — PPM-decode grayscale, 8x9
+    nearest resize, gradient bits, 4x16-bit band blocking, keeper-verified
+    Hamming <= 3 — is reimplemented here with explicit per-pixel loops,
+    none of the stages/multimodal execution code."""
+    def probe(doc_id: int) -> np.ndarray:
+        g = doc_id // 10
+        seed = g if doc_id % 10 in (0, 1) else 1_000_000 + doc_id
+        idx = np.arange(16 * 16 * 3, dtype=np.uint64)
+        v = (np.uint64(seed) * np.uint64(2654435761)
+             + idx * np.uint64(2246822519))
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(29)
+        px = (v % np.uint64(200)).astype(np.uint8)
+        img = px.reshape(16, 16, 3)
+        if doc_id % 10 == 1:
+            img = img + np.uint8(20)
+        return img
+
+    def dhash_loops(img: np.ndarray) -> int:
+        # decoder contract: grayscale = channel mean / 255 (float); resize
+        # nearest to 8 rows x 9 cols; bit = left<right gradient, row-major
+        h, w = img.shape[:2]
+        gray = [[(int(img[r][c][0]) + int(img[r][c][1]) + int(img[r][c][2]))
+                 / 3.0 / 255.0 for c in range(w)] for r in range(h)]
+        rows = [min((r * h) // 8, h - 1) for r in range(8)]
+        cols = [min((c * w) // 9, w - 1) for c in range(9)]
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                a = gray[rows[r]][cols[c + 1]]
+                b = gray[rows[r]][cols[c]]
+                bits = (bits << 1) | (1 if a > b else 0)
+        return bits
+
+    ids = sorted(int(i) for i in docs["doc_id"])
+    hashes = {i: dhash_loops(probe(i)) for i in ids}
+    marked = {i: False for i in ids}
+    for band in range(4):
+        groups: dict[int, list[int]] = {}
+        for i in ids:
+            groups.setdefault((hashes[i] >> (16 * band)) & 0xFFFF,
+                              []).append(i)
+        for members in groups.values():
+            members.sort()
+            keeper = members[0]
+            for m in members[1:]:
+                if bin(hashes[m] ^ hashes[keeper]).count("1") <= 3:
+                    marked[m] = True
+    return pd.DataFrame({
+        "doc_id": ids,
+        "dhash63": np.array([hashes[i] & ((1 << 63) - 1) for i in ids],
+                            dtype=np.int64),
+        "is_neardup": [marked[i] for i in ids],
+    })
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -1127,6 +1189,7 @@ def main(sf_dirs: list[str]) -> None:
             ("kmeans_embeddings", kmeans_fixture(emb), fp_emb),
             ("pca_embeddings", pca_fixture(emb), fp_emb),
             ("pq_embeddings", pq_fixture(emb), fp_emb),
+            ("media_dhash_docs", media_dhash_fixture(docs), fp_docs),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
