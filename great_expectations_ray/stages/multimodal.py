@@ -395,47 +395,25 @@ class ImageHasher:
         })
 
 
-def dhash_mark_duplicates(
-    ds,
-    *,
-    id_col: str = "media_id",
-    max_distance: int = 3,
-    use_fake: bool = False,
-    concurrency=(1, 4),
-    batch_size: int = 64,
-    prehashed=None,
-):
-    """Image near-duplicate marking: ``(id_col, is_neardup)`` per image —
-    marked iff the image's dHash is within ``max_distance`` Hamming bits of
-    an earlier (smaller-id) image sharing a 16-bit band.
-
-    The simhash blocking shape (stages/neardup.py:298) applied to DECODED
-    PIXELS instead of text: 4 bands of 16 bits catch every pair within
-    Hamming distance 3 by pigeonhole; candidates verify with the exact
-    64-bit Hamming distance inside the band bucket, so band collisions
-    between genuinely different images are killed before marking.  The
-    decode runs once per image in an actor pool with a SMALL batch_size
-    (payload bytes are wide); only (id, 8-byte hash) rows enter the
-    exchange."""
+def hash64_mark_duplicates(hashed, *, id_col: str, hash_col: str,
+                           max_distance: int = 3):
+    """Near-dup marking over any 64-bit perceptual hash column:
+    ``(id_col, is_neardup)`` — marked iff the row's hash is within
+    ``max_distance`` Hamming bits of an earlier (smaller-id) row sharing a
+    16-bit band.  The simhash blocking shape (stages/neardup.py:298): 4
+    bands of 16 bits catch every pair within Hamming distance 3 by
+    pigeonhole; candidates verify with the exact 64-bit Hamming distance
+    inside the band bucket, so band collisions between genuinely different
+    media are killed before marking.  Only (id, 8-byte hash) rows enter the
+    exchange — shared by the image dHash and audio energy-fingerprint
+    dedups."""
     import pandas as pd
 
     from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
     from great_expectations_ray.stages.neardup import _bucketed_any_mark
 
-    if prehashed is not None:
-        # caller already ran ImageHasher (and may reuse its output): skip
-        # the second decode pass
-        hashed = prehashed
-    else:
-        hashed = ds.map_batches(
-            ImageHasher, fn_constructor_kwargs={"use_fake": use_fake,
-                                                "id_col": id_col},
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=concurrency, batch_size=batch_size,
-        )
-
     def explode(tbl: pa.Table) -> pa.Table:
-        h = np.asarray(tbl.column("dhash")).astype(np.uint64)
+        h = np.asarray(tbl.column(hash_col)).astype(np.uint64)
         ids = np.asarray(tbl.column(id_col))
         parts = []
         for bi in range(4):
@@ -479,3 +457,97 @@ def dhash_mark_duplicates(
     return out.map_batches(
         lambda df: df.rename(columns={"max(is_neardup)": "is_neardup"}),
         batch_format="pandas")
+
+
+def dhash_mark_duplicates(
+    ds,
+    *,
+    id_col: str = "media_id",
+    max_distance: int = 3,
+    use_fake: bool = False,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    prehashed=None,
+):
+    """Image near-duplicate marking: decode -> dHash in an actor pool with
+    a SMALL batch_size (payload bytes are wide), then the shared 64-bit
+    band-blocked Hamming dedup (``hash64_mark_duplicates``)."""
+    if prehashed is not None:
+        # caller already ran ImageHasher (and may reuse its output): skip
+        # the second decode pass
+        hashed = prehashed
+    else:
+        hashed = ds.map_batches(
+            ImageHasher, fn_constructor_kwargs={"use_fake": use_fake,
+                                                "id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, batch_size=batch_size,
+        )
+    return hash64_mark_duplicates(hashed, id_col=id_col, hash_col="dhash",
+                                  max_distance=max_distance)
+
+
+def audio_fp64(samples: np.ndarray) -> np.uint64:
+    """Energy-delta audio fingerprint (the dHash analog for audio): mono
+    mix -> 65 equal-length frames -> mean energy per frame -> sign of the
+    frame-to-frame energy delta packed into 64 bits.  Invariant to uniform
+    gain (scaling multiplies every energy by c^2, preserving delta signs)
+    and to small trims; pure numpy."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    n = len(s)
+    if n < 65:
+        s = np.concatenate([s, np.zeros(65 - n)])
+        n = 65
+    edges = (np.arange(66, dtype=np.int64) * n) // 65
+    sq = np.concatenate([[0.0], np.cumsum(s * s)])
+    energy = (sq[edges[1:]] - sq[edges[:-1]]) / np.maximum(
+        edges[1:] - edges[:-1], 1)
+    bits = (energy[1:] > energy[:-1]).astype(np.uint8)
+    return np.uint64(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFingerprinter:
+    """Actor-pool stage: WAV decode -> energy fingerprint; emits ``afp``
+    (uint64) next to the id column, payload dropped."""
+
+    def __init__(self, id_col: str = "media_id"):
+        self.id_col = id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column("payload").combine_chunks()
+        out = np.zeros(len(payloads), dtype=np.uint64)
+        for i in range(len(payloads)):
+            raw = payloads[i].as_py() if payloads[i].is_valid else b""
+            samples, _ = decode_wav(raw)
+            out[i] = audio_fp64(samples)
+        return pa.table({
+            self.id_col: tbl.column(self.id_col),
+            "afp": pa.array(out),
+        })
+
+
+def audio_mark_duplicates(
+    ds,
+    *,
+    id_col: str = "media_id",
+    max_distance: int = 3,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    prehashed=None,
+):
+    """Audio near-duplicate marking over PCM WAV payloads: decode ->
+    energy fingerprint in an actor pool, then the shared band-blocked
+    Hamming dedup (``hash64_mark_duplicates``) — gain-shifted re-encodes of
+    the same clip mark; unrelated clips verify apart."""
+    if prehashed is not None:
+        hashed = prehashed
+    else:
+        hashed = ds.map_batches(
+            AudioFingerprinter, fn_constructor_kwargs={"id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, batch_size=batch_size,
+        )
+    return hash64_mark_duplicates(hashed, id_col=id_col, hash_col="afp",
+                                  max_distance=max_distance)
