@@ -3368,7 +3368,52 @@ def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
         "n_samples": (arm["dhash"].astype(np.uint64)
                       & np.uint64((1 << 63) - 1)).astype(np.int64),
     })
-    return (pd.concat([stats, arm], ignore_index=True)
+
+    # video arm: frame-sequence fingerprint near-dup detection over REAL
+    # concatenated-PPM payloads (stages/multimodal.py video_mark_duplicates).
+    # Input spec (shared with tools/gen_oracle_fixtures.media_video_fixture):
+    # docs with doc_id % 10 in (0, 1) render the same 5-frame group video,
+    # the `1` twin with frame 0 brightness-shifted (dHash-invariant) and
+    # frame 4 re-rendered (a minority the majority vote eats — so the twin's
+    # fingerprint is hash-identical); every other doc renders unique frames.
+    # media_type='video/fp' rows carry is_neardup in mean_val, n_frames in
+    # width_dec and the 63-bit fingerprint in n_samples.
+    from great_expectations_ray.stages.multimodal import (
+        VideoFingerprinter,
+        encode_ppm_sequence,
+        video_mark_duplicates,
+    )
+
+    def derive_video(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        payloads = [encode_ppm_sequence(_video_probe_frames(int(i)))
+                    for i in doc_id.to_numpy()]
+        return pa.table({
+            "doc_id": doc_id,
+            "media_type": pa.array(["video/ppms"] * len(payloads)),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    vids = ds.map_batches(derive_video, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    vhashed = vids.map_batches(
+        VideoFingerprinter, fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 2), batch_size=128,
+    ).materialize()
+    vmarks = video_mark_duplicates(None, id_col="doc_id",
+                                   prehashed=vhashed).to_pandas()
+    vdf = vhashed.to_pandas().merge(vmarks, on="doc_id")
+    varm = pd.DataFrame({
+        "doc_id": vdf["doc_id"],
+        "media_type": "video/fp",
+        "mean_val": vdf["is_neardup"].astype(float),
+        "width_dec": vdf["n_frames"].astype(np.int32),
+        "height_dec": np.int32(0),
+        "n_samples": (vdf["vfp"].astype(np.uint64)
+                      & np.uint64((1 << 63) - 1)).astype(np.int64),
+    })
+    return (pd.concat([stats, arm, varm], ignore_index=True)
             .sort_values(["doc_id", "media_type"]).reset_index(drop=True))
 
 
@@ -3390,6 +3435,32 @@ def _dhash_probe_image(doc_id: int) -> "np.ndarray":
     if doc_id % 10 == 1:
         img = img + np.uint8(20)  # max 199+20=219: no clipping, exact shift
     return img
+
+
+def _video_probe_seed_frame(seed: int) -> "np.ndarray":
+    """One deterministic 16x16 RGB frame from a seed (same avalanche mix as
+    the image probe, parameterized by frame seed)."""
+    idx = np.arange(16 * 16 * 3, dtype=np.uint64)
+    v = np.uint64(seed) * np.uint64(2654435761) + idx * np.uint64(2246822519)
+    v ^= v >> np.uint64(33)
+    v *= np.uint64(0xFF51AFD7ED558CCD)
+    v ^= v >> np.uint64(29)
+    return (v % np.uint64(200)).astype(np.uint8).reshape(16, 16, 3)
+
+
+def _video_probe_frames(doc_id: int) -> "list[np.ndarray]":
+    """Deterministic 5-frame probe video — the INPUT SPEC shared verbatim
+    with tools/gen_oracle_fixtures.media_video_fixture (the operator itself
+    is reimplemented independently there)."""
+    base = doc_id // 10 if doc_id % 10 in (0, 1) else 1_000_000 + doc_id
+    frames = [_video_probe_seed_frame(base * 1000 + f) for f in range(5)]
+    if doc_id % 10 == 1:
+        # near-dup twin: one brightness-shifted frame (dHash-invariant, no
+        # clipping at max 199+20) and one re-rendered frame (a minority the
+        # per-bit majority vote eats)
+        frames[0] = frames[0] + np.uint8(20)
+        frames[4] = _video_probe_seed_frame((2_000_000 + doc_id) * 1000 + 4)
+    return frames
 
 
 SQL_MEDIA_DECODE_STATS = """
@@ -3762,8 +3833,8 @@ CONSTITUENT_ORACLE_SQL["exact_n_sample_docs"] = (
     "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 37)"
 )
 
-# dhash arm of media_decode_stats: closed-form decode stats UNION the
-# independent perceptual-hash fixture (media_type discriminates the arms)
+# dhash + video arms of media_decode_stats: closed-form decode stats UNION
+# the independent perceptual-hash fixtures (media_type discriminates arms)
 CONSTITUENT_ORACLE_SQL["media_decode_stats"] = (
     f"SELECT * FROM ({SQL_MEDIA_DECODE_STATS}) AS stats_arm "
     "UNION ALL "
@@ -3772,6 +3843,14 @@ CONSTITUENT_ORACLE_SQL["media_decode_stats"] = (
     "CAST(0 AS INTEGER) AS width_dec, CAST(0 AS INTEGER) AS height_dec, "
     "CAST(dhash63 AS BIGINT) AS n_samples "
     f"FROM read_parquet('{os.path.join(_FIXTURES, 'media_dhash_docs.parquet')}') "
+    f"WHERE fp = {_FP_DOCS} "
+    "UNION ALL "
+    "SELECT doc_id, 'video/fp' AS media_type, "
+    "CAST(is_neardup AS DOUBLE) AS mean_val, "
+    "CAST(n_frames AS INTEGER) AS width_dec, "
+    "CAST(0 AS INTEGER) AS height_dec, "
+    "CAST(vfp63 AS BIGINT) AS n_samples "
+    f"FROM read_parquet('{os.path.join(_FIXTURES, 'media_video_docs.parquet')}') "
     f"WHERE fp = {_FP_DOCS}"
 )
 _VERDICT_COLS["exact_n_sample_docs"] = [("n", "num"), ("sum_ids", "num")]

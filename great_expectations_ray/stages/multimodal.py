@@ -551,3 +551,196 @@ def audio_mark_duplicates(
         )
     return hash64_mark_duplicates(hashed, id_col=id_col, hash_col="afp",
                                   max_distance=max_distance)
+
+
+
+def encode_ppm_sequence(frames: "list[np.ndarray]") -> bytes:
+    """Frame list -> concatenated binary PPM/PGM stream (``video/ppms``):
+    each P6/P5 header is self-delimiting, so frames decode sequentially
+    with no extra container framing."""
+    if not frames:
+        raise ValueError("a video needs at least one frame")
+    return b"".join(encode_ppm(f) for f in frames)
+
+
+def decode_ppm_sequence(payload: bytes) -> "list[np.ndarray]":
+    """Concatenated binary PPM/PGM stream -> list of frames.  Parses each
+    header to find where the frame's pixel data ends, then resumes at the
+    next magic byte."""
+    frames, i, n = [], 0, len(payload)
+    while i < n:
+        if payload[i:i + 2] not in (b"P6", b"P5"):
+            raise ValueError(
+                f"bad frame magic {payload[i:i + 2]!r} at offset {i}")
+        tokens, j = [], i + 2
+        while len(tokens) < 3:
+            while j < n and payload[j:j + 1].isspace():
+                j += 1
+            if payload[j:j + 1] == b"#":
+                while j < n and payload[j:j + 1] != b"\n":
+                    j += 1
+                continue
+            k = j
+            while k < n and not payload[k:k + 1].isspace():
+                k += 1
+            tokens.append(int(payload[j:k]))
+            j = k
+        j += 1  # single whitespace terminating maxval
+        w, h, _ = tokens
+        ch = 3 if payload[i:i + 2] == b"P6" else 1
+        end = j + w * h * ch
+        frames.append(decode_ppm(payload[i:end]))
+        i = end
+    return frames
+
+
+def video_fp64(frame_hashes: "np.ndarray") -> "np.uint64":
+    """Per-video fingerprint from per-frame 64-bit hashes: majority vote per
+    bit (a SimHash over frame dHashes).  A minority of changed / inserted
+    frames cannot flip any bit, so re-encodes with a frame swapped or a
+    brightness-shifted frame land within Hamming<=3 of the original; pure
+    integer arithmetic, endian-independent."""
+    hs = np.asarray(frame_hashes, dtype=np.uint64)
+    if len(hs) == 0:
+        return np.uint64(0)
+    fp = np.uint64(0)
+    for bit in range(64):
+        ones = int(((hs >> np.uint64(bit)) & np.uint64(1)).sum())
+        if 2 * ones > len(hs):
+            fp |= np.uint64(1) << np.uint64(bit)
+    return fp
+
+
+class VideoFingerprinter:
+    """Actor-pool stage: ``video/ppms`` payload -> per-frame dHash; emits
+    ``vfp`` (uint64 majority-vote signature), ``n_frames`` and the distinct
+    ``frame_hashes`` (list<uint64>) next to the id column — payload dropped
+    so the heavy bytes stop here and only (id, a-few-hashes) rows travel."""
+
+    def __init__(self, id_col: str = "media_id"):
+        self.id_col = id_col
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        payloads = tbl.column("payload").combine_chunks()
+        fps = np.zeros(len(payloads), dtype=np.uint64)
+        nf = np.zeros(len(payloads), dtype=np.int32)
+        fhs: list[list[int]] = []
+        for i in range(len(payloads)):
+            raw = payloads[i].as_py() if payloads[i].is_valid else b""
+            frames = decode_ppm_sequence(raw)
+            hs = np.array([dhash64(f) for f in frames], dtype=np.uint64)
+            fps[i] = video_fp64(hs)
+            nf[i] = len(frames)
+            fhs.append(sorted({int(h) for h in hs}))
+        return pa.table({
+            self.id_col: tbl.column(self.id_col),
+            "vfp": pa.array(fps),
+            "n_frames": pa.array(nf),
+            "frame_hashes": pa.array(fhs, pa.list_(pa.uint64())),
+        })
+
+
+def video_mark_duplicates(
+    ds,
+    *,
+    id_col: str = "media_id",
+    min_overlap: float = 0.6,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    prehashed=None,
+):
+    """Video near-duplicate marking over concatenated-PPM payloads by
+    FRAME-SET OVERLAP — robust to uniform photometric changes (dHash eats
+    those frame-by-frame) AND to a minority of inserted / re-rendered
+    frames (which a whole-video 64-bit signature is not: over k distinct
+    frame hashes a per-bit majority flips wherever the rest split evenly).
+
+    Shape: decode -> per-frame dHash in an actor pool; explode distinct
+    (id, frame_hash, n_frames) rows; ONE bucketed exchange keyed on the
+    exact frame hash emits star edges (bucket keeper = min id -> member)
+    carrying both frame counts — O(videos sharing the frame), never
+    all-pairs; a second bucketed pass counts shared frames per (keeper,
+    member) pair and marks the member iff
+    ``shared >= min_overlap * min(n_keeper, n_member)``.  Keeper-star is
+    the same approximation the image/audio paths take: members verify
+    against the bucket keeper, not transitively.  Returns
+    ``(id_col, is_neardup)``."""
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.stages.neardup import _bucketed_any_mark
+
+    if prehashed is not None:
+        hashed = prehashed
+    else:
+        hashed = ds.map_batches(
+            VideoFingerprinter, fn_constructor_kwargs={"id_col": id_col},
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency, batch_size=batch_size,
+        )
+
+    def explode(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column(id_col).combine_chunks()
+        nfs = tbl.column("n_frames").combine_chunks()
+        fhs = tbl.column("frame_hashes").combine_chunks()
+        out_id, out_fh, out_n = [], [], []
+        for i in range(len(ids)):
+            hv = fhs[i].as_py() or []
+            out_id.extend([ids[i].as_py()] * len(hv))
+            out_fh.extend(hv)
+            out_n.extend([nfs[i].as_py()] * len(hv))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "fh": pa.array(np.asarray(out_fh, dtype=np.uint64)),
+            "nf": pa.array(out_n, pa.int32()),
+        })
+
+    frames = hashed.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        # per frame-hash bucket: keeper = min id; one edge keeper->member
+        # per member, both frame counts riding along (no join needed later)
+        g = g.sort_values(["fh", id_col], kind="mergesort")
+        fh = g["fh"].to_numpy()
+        ids = g[id_col].to_numpy()
+        nf = g["nf"].to_numpy()
+        newseg = np.empty(len(g), dtype=bool)
+        if len(g):
+            newseg[0] = True
+            newseg[1:] = fh[1:] != fh[:-1]
+        seg = np.cumsum(newseg) - 1
+        firsts = np.flatnonzero(newseg)
+        keeper_idx = firsts[seg]
+        member = keeper_idx != np.arange(len(g))
+        return pd.DataFrame({
+            "a": ids[keeper_idx][member],
+            "b": ids[member],
+            "n_a": nf[keeper_idx][member].astype(np.int32),
+            "n_b": nf[member].astype(np.int32),
+        })
+
+    edges = grouped_apply_bucketed(frames, ["fh"], star)
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # per (a, b) pair: shared-frame count vs the smaller video (the
+        # bucket carries many pairs — aggregate per pair, vectorized)
+        gb = (g.groupby(["a", "b"], sort=False)
+               .agg(shared=("n_a", "size"), n_a=("n_a", "first"),
+                    n_b=("n_b", "first"))
+               .reset_index())
+        ok = gb["shared"].to_numpy() >= min_overlap * np.minimum(
+            gb["n_a"].to_numpy(), gb["n_b"].to_numpy())
+        return pd.DataFrame({id_col: gb["b"], "is_neardup": ok})
+
+    marked = grouped_apply_bucketed(edges, ["a", "b"], verify)
+    base = hashed.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            "is_neardup": pa.array(np.zeros(len(t), dtype=bool)),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+    out = _bucketed_any_mark(base.union(marked), id_col)
+    return out.map_batches(
+        lambda df: df.rename(columns={"max(is_neardup)": "is_neardup"}),
+        batch_format="pandas")

@@ -285,3 +285,82 @@ def test_audio_fp64_gain_invariance_and_dedup(ray_session):
     assert out["a_clip"] is False or out["a_clip"] == False  # noqa: E712
     assert bool(out["b_quiet"]) is True
     assert bool(out["c_other"]) is False
+
+
+def test_ppm_sequence_roundtrip():
+    """Concatenated-PPM video container: frames survive encode/decode
+    byte-exactly, mixed P6/P5 streams parse, bad magic raises."""
+    import pytest
+
+    from great_expectations_ray.stages.multimodal import (
+        decode_ppm_sequence,
+        encode_ppm_sequence,
+    )
+
+    rgb = (np.arange(6 * 8 * 3, dtype=np.uint8) % 200).reshape(6, 8, 3)
+    gray = (np.arange(4 * 5, dtype=np.uint8) % 100).reshape(4, 5)
+    frames = decode_ppm_sequence(encode_ppm_sequence([rgb, gray, rgb]))
+    assert len(frames) == 3
+    assert (frames[0] == rgb).all() and (frames[1] == gray).all()
+    with pytest.raises(ValueError):
+        decode_ppm_sequence(b"XX nonsense")
+    with pytest.raises(ValueError):
+        encode_ppm_sequence([])
+
+
+def test_video_fp64_majority_and_photometric_invariance():
+    """Majority-vote signature: identical frame multisets agree; a uniform
+    brightness shift on any frame leaves the per-frame dHash (and so the
+    signature) unchanged."""
+    from great_expectations_ray.stages.multimodal import dhash64, video_fp64
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+              for _ in range(5)]
+    hs = np.array([dhash64(f) for f in frames], dtype=np.uint64)
+    # 2-of-3 majority equals the repeated hash exactly
+    assert video_fp64(np.array([hs[0], hs[1], hs[0]])) == hs[0]
+    shifted = [frames[0] + np.uint8(20)] + frames[1:]
+    hs2 = np.array([dhash64(f) for f in shifted], dtype=np.uint64)
+    assert video_fp64(hs) == video_fp64(hs2)
+
+
+def test_video_mark_duplicates_frame_overlap(ray_session):
+    """Frame-set overlap dedup: a copy with one frame re-rendered and one
+    brightness-shifted marks (4/5 shared >= 0.6*5); a video sharing only
+    2/5 frames does not; unrelated videos survive; partition-invariant."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.multimodal import (
+        encode_ppm_sequence,
+        video_mark_duplicates,
+    )
+
+    rng = np.random.default_rng(9)
+
+    def frame():
+        return rng.integers(0, 200, (16, 16, 3)).astype(np.uint8)
+
+    base = [frame() for _ in range(5)]
+    twin = [base[0] + np.uint8(20), base[1], base[2], base[3], frame()]
+    partial = [base[0], base[1], frame(), frame(), frame()]  # 2/5 shared
+    other = [frame() for _ in range(5)]
+
+    def run(nparts: int) -> list:
+        tbl = pa.table({
+            "media_id": ["a_base", "b_twin", "c_partial", "d_other"],
+            "media_type": ["video/ppms"] * 4,
+            "payload": pa.array([encode_ppm_sequence(f) for f in
+                                 (base, twin, partial, other)],
+                                pa.large_binary()),
+        })
+        out = video_mark_duplicates(
+            rd.from_arrow(tbl).repartition(nparts), id_col="media_id")
+        return sorted((r["media_id"], bool(r["is_neardup"]))
+                      for r in out.take_all())
+
+    a, b = run(1), run(4)
+    assert a == b
+    marks = dict(a)
+    assert marks == {"a_base": False, "b_twin": True,
+                     "c_partial": False, "d_other": False}

@@ -1150,6 +1150,97 @@ def media_dhash_fixture(docs: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+def media_video_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent video-fingerprint + Hamming-band near-dup marking over
+    the probe videos of the media_decode_stats 'video/fp' arm.
+
+    The probe-frame FORMULA is the shared input spec (demo_queries
+    ``_video_probe_frames``); the OPERATOR — integer ITU-601 luma dHash per
+    frame, per-bit majority-vote signature, frame-hash star buckets
+    (keeper = min id) and member marking at shared-frames >=
+    0.6 * min(n_frames) — is reimplemented here with explicit loops, none
+    of the stages/multimodal execution code."""
+    N_FRAMES = 5
+
+    def frame_img(seed: int) -> np.ndarray:
+        idx = np.arange(16 * 16 * 3, dtype=np.uint64)
+        v = (np.uint64(seed) * np.uint64(2654435761)
+             + idx * np.uint64(2246822519))
+        v ^= v >> np.uint64(33)
+        v *= np.uint64(0xFF51AFD7ED558CCD)
+        v ^= v >> np.uint64(29)
+        px = (v % np.uint64(200)).astype(np.uint8)
+        return px.reshape(16, 16, 3)
+
+    def frames_for(doc_id: int) -> list:
+        base = (doc_id // 10 if doc_id % 10 in (0, 1)
+                else 1_000_000 + doc_id)
+        frames = [frame_img(base * 1000 + f) for f in range(N_FRAMES)]
+        if doc_id % 10 == 1:
+            # near-dup twin: one frame brightness-shifted (dHash-invariant)
+            # and one frame re-rendered (a minority the majority vote eats)
+            frames[0] = frames[0] + np.uint8(20)
+            frames[4] = frame_img((2_000_000 + doc_id) * 1000 + 4)
+        return frames
+
+    def dhash_int_luma_loops(img: np.ndarray) -> int:
+        # operator contract for raw uint8 frames: exact integer ITU-R 601
+        # luma, 8x9 nearest resize, bit = right>left gradient, row-major
+        h, w = img.shape[:2]
+        gray = [[(299 * int(img[r][c][0]) + 587 * int(img[r][c][1])
+                  + 114 * int(img[r][c][2])) // 1000
+                 for c in range(w)] for r in range(h)]
+        rows = [min((r * h) // 8, h - 1) for r in range(8)]
+        cols = [min((c * w) // 9, w - 1) for c in range(9)]
+        bits = 0
+        for r in range(8):
+            for c in range(8):
+                a = gray[rows[r]][cols[c + 1]]
+                b = gray[rows[r]][cols[c]]
+                bits = (bits << 1) | (1 if a > b else 0)
+        return bits
+
+    def majority_fp(hashes: list) -> int:
+        fp = 0
+        for bit in range(64):
+            ones = sum((h >> bit) & 1 for h in hashes)
+            if 2 * ones > len(hashes):
+                fp |= 1 << bit
+        return fp
+
+    MIN_OVERLAP = 0.6
+
+    ids = sorted(int(i) for i in docs["doc_id"])
+    frame_hashes = {i: [dhash_int_luma_loops(f) for f in frames_for(i)]
+                    for i in ids}
+    fps = {i: majority_fp(frame_hashes[i]) for i in ids}
+    # frame-hash star buckets: keeper = min id sharing the hash; count
+    # shared frames per (keeper, member) pair; mark member at >= 60 % of
+    # the smaller video's frame count
+    buckets: dict[int, list[int]] = {}
+    for i in ids:
+        for fh in sorted(set(frame_hashes[i])):
+            buckets.setdefault(fh, []).append(i)
+    shared: dict[tuple[int, int], int] = {}
+    for members in buckets.values():
+        members.sort()
+        keeper = members[0]
+        for m in members[1:]:
+            shared[(keeper, m)] = shared.get((keeper, m), 0) + 1
+    marked = {i: False for i in ids}
+    n_frames = {i: N_FRAMES for i in ids}  # every probe video has 5 frames
+    for (a, b), s in shared.items():
+        if s >= MIN_OVERLAP * min(n_frames[a], n_frames[b]):
+            marked[b] = True
+    return pd.DataFrame({
+        "doc_id": ids,
+        "vfp63": np.array([fps[i] & ((1 << 63) - 1) for i in ids],
+                          dtype=np.int64),
+        "n_frames": np.full(len(ids), N_FRAMES, dtype=np.int32),
+        "is_neardup": [marked[i] for i in ids],
+    })
+
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -1190,6 +1281,7 @@ def main(sf_dirs: list[str]) -> None:
             ("pca_embeddings", pca_fixture(emb), fp_emb),
             ("pq_embeddings", pq_fixture(emb), fp_emb),
             ("media_dhash_docs", media_dhash_fixture(docs), fp_docs),
+            ("media_video_docs", media_video_fixture(docs), fp_docs),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
