@@ -138,3 +138,100 @@ def windowed_rank(
         return out
 
     return grouped_apply_bucketed(ds.select_columns(needed), [partition_by], bucket)
+
+
+def _norm_order(order_by):
+    raw = [order_by] if isinstance(order_by, str) else list(order_by)
+    cols, asc = [], []
+    for entry in raw:
+        if isinstance(entry, tuple):
+            cols.append(entry[0])
+            asc.append(entry[1].lower() != "desc")
+        else:
+            cols.append(entry)
+            asc.append(True)
+    return cols, asc
+
+
+def sessionize(
+    ds,
+    *,
+    partition_by: str,
+    order_by: str | list[str],
+    ts_col: str,
+    gap,
+    keep_cols: Iterable[str] = (),
+    out_col: str = "session_idx",
+):
+    """Gap-based sessionization: within each partition ordered by
+    ``order_by``, a new session starts at the first row and wherever
+    ``ts - previous ts > gap`` — ``out_col`` is the 1-based session index
+    (int64), the SQL idiom ``SUM(CASE WHEN ts - lag(ts) OVER w > gap THEN 1
+    ELSE 0 END) OVER w``.
+
+    Same wide-op shape as ``windowed_rank``: ONE bucketed key exchange,
+    then a vectorized cumsum per bucket.  ``gap`` is anything
+    ``pd.Timedelta`` accepts (``"8 hours"``, a timedelta) for timestamp
+    columns, or a number for numeric ts columns."""
+    order_cols, order_asc = _norm_order(order_by)
+    needed = sorted({partition_by, ts_col, *order_cols, *keep_cols})
+    gap_v = gap if isinstance(gap, (int, float)) else pd.Timedelta(gap)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([partition_by, *order_cols], kind="mergesort",
+                          ascending=[True, *order_asc], na_position="last")
+        grp = g.groupby(partition_by, sort=False, dropna=False)
+        out = g[needed].copy()
+        prev = grp[ts_col].shift(1)
+        new = prev.isna().to_numpy() | ((g[ts_col] - prev) > gap_v).to_numpy()
+        # per-partition cumsum of session starts: global cumsum minus the
+        # running count at each partition's first row
+        run = np.cumsum(new)
+        part_start = _run_starts(g, [partition_by])
+        base = np.where(part_start, run - 1, 0)
+        out[out_col] = (run - np.maximum.accumulate(base)).astype(np.int64)
+        return out
+
+    return grouped_apply_bucketed(ds.select_columns(needed), [partition_by], bucket)
+
+
+def session_stats(
+    ds,
+    *,
+    partition_by: str,
+    order_by: str | list[str],
+    ts_col: str,
+    gap,
+    value_col: str | None = None,
+):
+    """Per-session aggregates in the SAME single exchange as ``sessionize``:
+    one row per (partition, session_idx) with ``n_events``, ``t_start``,
+    ``t_end`` and (if ``value_col``) ``value_sum``.  Equivalent SQL: group
+    by the sessionized index."""
+    order_cols, order_asc = _norm_order(order_by)
+    needed = sorted({partition_by, ts_col, *order_cols}
+                    | ({value_col} if value_col else set()))
+    gap_v = gap if isinstance(gap, (int, float)) else pd.Timedelta(gap)
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([partition_by, *order_cols], kind="mergesort",
+                          ascending=[True, *order_asc], na_position="last")
+        grp = g.groupby(partition_by, sort=False, dropna=False)
+        prev = grp[ts_col].shift(1)
+        new = prev.isna().to_numpy() | ((g[ts_col] - prev) > gap_v).to_numpy()
+        run = np.cumsum(new)
+        part_start = _run_starts(g, [partition_by])
+        base = np.where(part_start, run - 1, 0)
+        sidx = (run - np.maximum.accumulate(base)).astype(np.int64)
+        agg = {"n_events": (ts_col, "size"),
+               "t_start": (ts_col, "min"), "t_end": (ts_col, "max")}
+        if value_col:
+            agg["value_sum"] = (value_col, "sum")
+        gg = g.assign(**{"__sidx": sidx}).groupby(
+            [partition_by, "__sidx"], sort=False, dropna=False)
+        out = gg.agg(**agg).reset_index()
+        out = out.rename(columns={"__sidx": "session_idx"})
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    return grouped_apply_bucketed(ds.select_columns(needed), [partition_by], bucket)

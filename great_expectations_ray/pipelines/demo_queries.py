@@ -1940,8 +1940,21 @@ def q_window_rank_events(sf_dir: str) -> pd.DataFrame:
     ).to_pandas()
     out["lag"] = out["lag"] / 100.0
     out["mavg3"] = out["moving_avg"] / 100.0
+
+    # sessionization arm (functions/window_rank.py sessionize): 1-based
+    # gap-based session index per user — new session when the inter-event
+    # gap exceeds 8 hours (the corpus's median gap is ~7.7 h, so sessions
+    # split on roughly half the steps).  Integer cumsum: hash-exact vs SQL.
+    from great_expectations_ray.functions.window_rank import sessionize
+
+    sess = sessionize(
+        ds, partition_by="user_id", order_by=["ts", "event_id"],
+        ts_col="ts", gap="8 hours", keep_cols=("event_id",),
+    ).to_pandas()
+    out = out.merge(sess[["event_id", "session_idx"]], on="event_id")
     return (
-        out[["event_id", "user_id", "row_number", "lag", "mavg3"]]
+        out[["event_id", "user_id", "row_number", "lag", "mavg3",
+             "session_idx"]]
         .sort_values("event_id")
         .reset_index(drop=True)
     )
@@ -1951,17 +1964,25 @@ SQL_WINDOW_RANK_EVENTS = """
 WITH e AS (
   SELECT event_id, ts, user_id,
          CAST(round(value * 100) AS BIGINT) AS cents
-  FROM events)
-SELECT event_id, user_id,
-       CAST(row_number() OVER w AS BIGINT) AS row_number,
-       lag(cents) OVER w / 100.0 AS lag,
-       (CAST(sum(cents) OVER w3 AS DOUBLE) / count(cents) OVER w3) / 100.0
-         AS mavg3
-FROM e
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
-              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-ORDER BY event_id
+  FROM events),
+l AS (
+  SELECT event_id, ts, user_id,
+         lag(ts) OVER w AS prev_ts,
+         CAST(row_number() OVER w AS BIGINT) AS row_number,
+         lag(cents) OVER w / 100.0 AS lag,
+         (CAST(sum(cents) OVER w3 AS DOUBLE) / count(cents) OVER w3) / 100.0
+           AS mavg3
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, row_number, lag, mavg3,
+       CAST(SUM(CASE WHEN prev_ts IS NULL
+                      OR ts - prev_ts > INTERVAL 8 HOURS
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS session_idx
+FROM l ORDER BY event_id
 """
 
 
