@@ -87,14 +87,28 @@ class ExpectationValidationResult:
     exception_info: dict[str, Any] = field(
         default_factory=lambda: {"raised_exception": False, "exception_message": None}
     )
+    rendered_content: Optional[list] = None
+
+    def render(self) -> "ExpectationValidationResult":
+        """Attach atomic rendered content — the reference's
+        ``ExpectationValidationResult.render()``
+        (core/expectation_validation_result.py:187): diagnostic
+        observed-value + prescriptive summary via the inline renderer."""
+        from great_expectations_ray.pipelines.inline import inline_render
+
+        self.rendered_content = inline_render(self.to_json_dict())
+        return self
 
     def to_json_dict(self) -> dict[str, Any]:
-        return {
+        out = {
             "success": bool(self.success),
             "expectation_config": self.expectation_config,
             "result": self.result,
             "exception_info": self.exception_info,
         }
+        if self.rendered_content is not None:
+            out["rendered_content"] = self.rendered_content
+        return out
 
 
 def format_map_result(
@@ -201,6 +215,14 @@ class SuiteValidationResult:
     statistics: dict[str, Any]
     suite_name: str
     meta: dict[str, Any] = field(default_factory=dict)
+
+    def render(self) -> "SuiteValidationResult":
+        """Attach atomic rendered content to every EVR — the reference's
+        suite-level ``render()`` loop
+        (core/expectation_validation_result.py:508)."""
+        for evr in self.results:
+            evr.render()
+        return self
 
     def to_json_dict(self) -> dict[str, Any]:
         return {

@@ -107,3 +107,28 @@ def test_unknown_expectation_falls_back_not_raises():
     (content,) = inline_render({"type": "totally_unknown", "kwargs": {"a": 1}})
     assert content["name"] in (PRESCRIPTIVE_SUMMARY, PRESCRIPTIVE_FAILED)
     assert "$a" in content["value"]["template"] or "a" in str(content["value"])
+
+
+def test_evr_render_attaches_rendered_content():
+    from great_expectations_ray.core.results import (
+        ExpectationValidationResult,
+        SuiteValidationResult,
+    )
+    evr = ExpectationValidationResult(
+        success=True,
+        expectation_config={"type": "expect_column_values_to_not_be_null",
+                            "kwargs": {"column": "r_name"}},
+        result={"element_count": 5, "unexpected_count": 0,
+                "unexpected_percent": 0.0})
+    suite_res = SuiteValidationResult(
+        success=True, results=[evr],
+        statistics={"evaluated_expectations": 1},
+        suite_name="s")
+    assert "rendered_content" not in evr.to_json_dict()
+    suite_res.render()
+    d = suite_res.to_json_dict()
+    rc = d["results"][0]["rendered_content"]
+    assert rc[0]["name"] == DIAGNOSTIC_OBSERVED_VALUE
+    assert rc[0]["value"]["template"] == "0% unexpected"
+    assert rc[1]["name"] == PRESCRIPTIVE_SUMMARY
+    assert rc[1]["value"]["params"]["column"]["value"] == "r_name"
