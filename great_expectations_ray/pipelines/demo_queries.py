@@ -4516,15 +4516,74 @@ def q_bpe_apply_docs(sf_dir: str) -> pd.DataFrame:
 CONSTITUENT_QUERIES["bpe_apply_docs"] = q_bpe_apply_docs
 
 
+def q_unigram_train_vocab(sf_dir: str) -> pd.DataFrame:
+    """Distributed unigram-LM (SentencePiece-style) tokenizer TRAINING: the
+    same word-count exchange as BPE, then driver hard-EM with exact-integer
+    Viterbi (stages/unigram.py).  Oracle: independent top-down fixture
+    (tools/gen_oracle_fixtures.py unigram_train_fixture)."""
+    from great_expectations_ray.stages.unigram import train_unigram
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    v = train_unigram(ds, text_col="text", vocab_size=60, max_piece_len=5,
+                      em_iters=3, seed_size=400)
+    return v.sort_values("rank").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["unigram_train_vocab"] = q_unigram_train_vocab
+CONSTITUENT_ORACLE_SQL["unigram_train_vocab"] = _fixture_sql(
+    "unigram_train_vocab", "rank, piece, cnt", _FP_DOCS, "rank")
+
+
+def q_unigram_apply_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END trained unigram tokenizer application: learn the vocab
+    from the corpus, segment the SAME corpus with the broadcast exact-Viterbi
+    actor pool (stages/unigram.py apply_unigram), report per-language token
+    totals.  Oracle: independent per-doc fixture aggregated in SQL."""
+    from great_expectations_ray.stages.unigram import apply_unigram, train_unigram
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    vocab = train_unigram(ds, text_col="text", vocab_size=60,
+                          max_piece_len=5, em_iters=3, seed_size=400)
+    toks = apply_unigram(ds, vocab, text_col="text", id_col="doc_id",
+                         keep_cols=("lang",), max_piece_len=5)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by("lang").aggregate(
+            [("unigram_tokens", "sum"), ("doc_id", "count")])
+
+    rows = (toks.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all())
+    df = pd.DataFrame(rows)
+    out = (df.groupby("lang", sort=True)
+           .agg(unigram_tokens=("unigram_tokens_sum", "sum"),
+                n_docs=("doc_id_count", "sum"))
+           .reset_index())
+    return out.astype({"unigram_tokens": "int64", "n_docs": "int64"})
+
+
+CONSTITUENT_QUERIES["unigram_apply_docs"] = q_unigram_apply_docs
+CONSTITUENT_ORACLE_SQL["unigram_apply_docs"] = (
+    "SELECT d.lang, CAST(SUM(f.unigram_tokens) AS BIGINT) AS unigram_tokens, "
+    "COUNT(*) AS n_docs "
+    f"FROM read_parquet('{os.path.join(_FIXTURES, 'unigram_apply_docs.parquet')}') f "
+    "JOIN documents d USING (doc_id) "
+    f"WHERE f.fp = {_FP_DOCS} GROUP BY d.lang ORDER BY d.lang"
+)
+
+
 def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
-    """Token statistics per language by both tokenizers, as generic (v1, v2):
-    whitespace = (tokens, alnum_chars); bpe = (ws_tokens, bpe_tokens); plus
-    the TRAINED-tokenizer arm 'bpe_train' carrying the learned merge table
-    (lang = merged pair, v1 = rank, v2 = pair frequency at merge time)."""
+    """Token statistics per language by every tokenizer family, as generic
+    (v1, v2): whitespace = (tokens, alnum_chars); bpe = (ws_tokens,
+    bpe_tokens); TRAINED-tokenizer arms 'bpe_train' (lang = merged pair,
+    v1 = rank, v2 = pair frequency at merge time) and 'bpe_apply'; unigram-LM
+    arms 'unigram_train' (lang = piece, v1 = rank, v2 = count) and
+    'unigram_apply' (per-lang trained-unigram token totals)."""
     ws = _run_part("token_stats_docs", sf_dir)
     bpe = _run_part("bpe_token_stats_docs", sf_dir)
     tr = _run_part("bpe_train_merges", sf_dir)
     ap = _run_part("bpe_apply_docs", sf_dir)
+    utr = _run_part("unigram_train_vocab", sf_dir)
+    uap = _run_part("unigram_apply_docs", sf_dir)
     frames = [
         pd.DataFrame({"method": "whitespace", "lang": ws["lang"],
                       "v1": ws["tokens"], "v2": ws["alnum_chars"]}),
@@ -4534,6 +4593,10 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "v1": tr["rank"], "v2": tr["cnt"]}),
         pd.DataFrame({"method": "bpe_apply", "lang": ap["lang"],
                       "v1": ap["bpe_tokens"], "v2": ap["n_docs"]}),
+        pd.DataFrame({"method": "unigram_train", "lang": utr["piece"],
+                      "v1": utr["rank"], "v2": utr["cnt"]}),
+        pd.DataFrame({"method": "unigram_apply", "lang": uap["lang"],
+                      "v1": uap["unigram_tokens"], "v2": uap["n_docs"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
@@ -4860,7 +4923,11 @@ SQL_TOKEN_STATS_METHODS_DOCS = _union_sql(
      ("'bpe_train'", "pair AS lang, rank AS v1, cnt AS v2",
       "bpe_train_merges"),
      ("'bpe_apply'", "lang, bpe_tokens AS v1, n_docs AS v2",
-      "bpe_apply_docs")],
+      "bpe_apply_docs"),
+     ("'unigram_train'", "piece AS lang, rank AS v1, cnt AS v2",
+      "unigram_train_vocab"),
+     ("'unigram_apply'", "lang, unigram_tokens AS v1, n_docs AS v2",
+      "unigram_apply_docs")],
     "method, lang",
 )
 SQL_CODE_PAYLOAD_CORPUS = _union_sql(

@@ -552,6 +552,125 @@ def bpe_apply_fixture(docs: pd.DataFrame, num_merges=60, max_words=30_000,
                                       "bpe_tokens": "int64"})
 
 
+def _unigram_best_suffix(word: str, counts: dict, total: int, L: int):
+    """Top-down exact Viterbi (stage uses a bottom-up prefix DP): best
+    segmentation of word[i:] maximizing prod(cnt)/total**k, ties -> fewer
+    pieces then lexicographically smallest tuple.  Unknown single chars act
+    as count-1 pieces."""
+    memo: dict[int, tuple] = {}
+
+    def best(i: int) -> tuple:
+        if i == len(word):
+            return (1, 0, ())
+        got = memo.get(i)
+        if got is not None:
+            return got
+        res = None
+        for l in range(1, min(L, len(word) - i) + 1):
+            p = word[i : i + l]
+            c = counts.get(p)
+            if c is None:
+                if l > 1:
+                    continue
+                c = 1
+            sub = best(i + l)
+            cand = (c * sub[0], 1 + sub[1], (p,) + sub[2])
+            if res is None:
+                res = cand
+            else:
+                lhs = cand[0] * total ** res[1]
+                rhs = res[0] * total ** cand[1]
+                if lhs > rhs or (lhs == rhs
+                                 and (cand[1], cand[2]) < (res[1], res[2])):
+                    res = cand
+        memo[i] = res
+        return res
+
+    return best(0)[2]
+
+
+def unigram_train_fixture(docs: pd.DataFrame, vocab_size=60, max_piece_len=5,
+                          em_iters=3, seed_size=400,
+                          max_words=30_000) -> pd.DataFrame:
+    """Unigram-LM (SentencePiece-style) vocab by hard EM — independent
+    reimplementation of the spec in stages/unigram.py's docstring: ASCII-ws
+    word counts, char + top-substring seeding, exact-integer Viterbi E-step
+    (top-down here, bottom-up in the stage), char counts floored at 1,
+    final vocab = chars + best multi pieces by (cnt desc, piece asc)."""
+    import re as _re
+
+    wc: dict[str, int] = {}
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    for text in docs["text"]:
+        for w in splitter.split(text or ""):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+    words = dict(sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words])
+    char_set = {ch for w in words for ch in w}
+
+    # seed: chars + top substrings by weighted occurrence (overlaps count)
+    chars: dict[str, int] = {}
+    multi: dict[str, int] = {}
+    for w, c in words.items():
+        for i in range(len(w)):
+            chars[w[i]] = chars.get(w[i], 0) + c
+            for l in range(2, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                multi[p] = multi.get(p, 0) + c
+    counts = dict(chars)
+    counts.update(sorted(multi.items(), key=lambda kv: (-kv[1], kv[0]))[:seed_size])
+
+    for _ in range(em_iters):
+        total = sum(counts.values())
+        new: dict[str, int] = {}
+        for w, c in words.items():
+            for p in _unigram_best_suffix(w, counts, total, max_piece_len):
+                new[p] = new.get(p, 0) + c
+        counts = {p: c for p, c in new.items() if c > 0 and len(p) > 1}
+        for ch in char_set:
+            counts[ch] = max(new.get(ch, 0), 1)
+
+    cs = sorted(char_set)
+    mu = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda kv: (-kv[1], kv[0]))[: max(0, vocab_size - len(cs))]
+    vocab = [(p, counts[p]) for p in cs] + mu
+    vocab.sort(key=lambda kv: (-kv[1], kv[0]))
+    return pd.DataFrame({
+        "rank": pd.Series(range(len(vocab)), dtype="int64"),
+        "piece": [p for p, _ in vocab],
+        "cnt": pd.Series([c for _, c in vocab], dtype="int64"),
+    })
+
+
+def unigram_apply_fixture(docs: pd.DataFrame, vocab_size=60, max_piece_len=5,
+                          em_iters=3, seed_size=400) -> pd.DataFrame:
+    """Per-doc token counts under the trained unigram vocab (same exact
+    Viterbi, unknown single chars = count 1)."""
+    import re as _re
+
+    v = unigram_train_fixture(docs, vocab_size=vocab_size,
+                              max_piece_len=max_piece_len,
+                              em_iters=em_iters, seed_size=seed_size)
+    counts = {p: int(c) for p, c in zip(v["piece"], v["cnt"])}
+    total = sum(counts.values())
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    cache: dict[str, int] = {}
+
+    def ntok(w: str) -> int:
+        n = cache.get(w)
+        if n is None:
+            n = len(_unigram_best_suffix(w, counts, total, max_piece_len))
+            cache[w] = n
+        return n
+
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        tot = sum(ntok(w) for w in splitter.split(text or "") if w)
+        rows.append({"doc_id": did, "unigram_tokens": tot})
+    return pd.DataFrame(rows).astype({"doc_id": "int64",
+                                      "unigram_tokens": "int64"})
+
+
 def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
     """Winnowing fingerprints per doc: unique window-of-w minima over the
     shingle hashes; count + xor-fold digest (int64 view)."""
@@ -1263,6 +1382,8 @@ def main(sf_dirs: list[str]) -> None:
              ngram_jaccard_fixture(docs, threshold=0.985), fp_docs),
             ("bpe_train_merges", bpe_train_fixture(docs), fp_docs),
             ("bpe_apply_docs", bpe_apply_fixture(docs), fp_docs),
+            ("unigram_train_vocab", unigram_train_fixture(docs), fp_docs),
+            ("unigram_apply_docs", unigram_apply_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("incremental_neardup_docs", incremental_neardup_fixture(docs), fp_docs),
             ("zlib_ratio_docs", zlib_ratio_fixture(docs), fp_docs),
