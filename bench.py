@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dsir_docs",
     "cc_cluster_docs",
     "bpe_train_merges",
+    "unigram_train_vocab",
     "fim_docs",
     "html_extract_docs",
     "kmeans_embeddings",
