@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "cc_cluster_docs",
     "bpe_train_merges",
     "unigram_train_vocab",
+    "wordpiece_train_vocab",
     "fim_docs",
     "html_extract_docs",
     "kmeans_embeddings",

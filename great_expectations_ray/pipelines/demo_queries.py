@@ -4571,19 +4571,82 @@ CONSTITUENT_ORACLE_SQL["unigram_apply_docs"] = (
 )
 
 
+def q_wordpiece_train_vocab(sf_dir: str) -> pd.DataFrame:
+    """Distributed WordPiece (likelihood-gain BPE variant; BERT tokenizer)
+    TRAINING: shared word-count exchange, then driver merge loop picking the
+    pair maximizing cnt(ab)/(cnt(a)*cnt(b)) via exact cross-multiplied
+    integer compares (stages/wordpiece.py).  Oracle: independent naive
+    full-recount fixture (tools/gen_oracle_fixtures.py
+    wordpiece_train_fixture)."""
+    from great_expectations_ray.stages.wordpiece import train_wordpiece
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    v = train_wordpiece(ds, text_col="text", num_merges=60)
+    return v.sort_values("rank").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["wordpiece_train_vocab"] = q_wordpiece_train_vocab
+CONSTITUENT_ORACLE_SQL["wordpiece_train_vocab"] = _fixture_sql(
+    "wordpiece_train_vocab", "rank, piece, cnt", _FP_DOCS, "rank")
+
+
+def q_wordpiece_apply_docs(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END trained WordPiece application: learn the vocab from the
+    corpus, encode the SAME corpus greedy-longest-match-first (whole word ->
+    [UNK] on any uncovered position) in the broadcast-vocab actor pool
+    (stages/wordpiece.py apply_wordpiece), report per-language token totals.
+    Oracle: independent per-doc fixture aggregated in SQL."""
+    from great_expectations_ray.stages.wordpiece import (
+        apply_wordpiece,
+        train_wordpiece,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    vocab = train_wordpiece(ds, text_col="text", num_merges=60)
+    toks = apply_wordpiece(ds, vocab, text_col="text", id_col="doc_id",
+                           keep_cols=("lang",))
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        return tbl.group_by("lang").aggregate(
+            [("wordpiece_tokens", "sum"), ("doc_id", "count")])
+
+    rows = (toks.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all())
+    df = pd.DataFrame(rows)
+    out = (df.groupby("lang", sort=True)
+           .agg(wordpiece_tokens=("wordpiece_tokens_sum", "sum"),
+                n_docs=("doc_id_count", "sum"))
+           .reset_index())
+    return out.astype({"wordpiece_tokens": "int64", "n_docs": "int64"})
+
+
+CONSTITUENT_QUERIES["wordpiece_apply_docs"] = q_wordpiece_apply_docs
+CONSTITUENT_ORACLE_SQL["wordpiece_apply_docs"] = (
+    "SELECT d.lang, CAST(SUM(f.wordpiece_tokens) AS BIGINT) AS wordpiece_tokens, "
+    "COUNT(*) AS n_docs "
+    f"FROM read_parquet('{os.path.join(_FIXTURES, 'wordpiece_apply_docs.parquet')}') f "
+    "JOIN documents d USING (doc_id) "
+    f"WHERE f.fp = {_FP_DOCS} GROUP BY d.lang ORDER BY d.lang"
+)
+
+
 def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     """Token statistics per language by every tokenizer family, as generic
     (v1, v2): whitespace = (tokens, alnum_chars); bpe = (ws_tokens,
     bpe_tokens); TRAINED-tokenizer arms 'bpe_train' (lang = merged pair,
     v1 = rank, v2 = pair frequency at merge time) and 'bpe_apply'; unigram-LM
     arms 'unigram_train' (lang = piece, v1 = rank, v2 = count) and
-    'unigram_apply' (per-lang trained-unigram token totals)."""
+    'unigram_apply' (per-lang trained-unigram token totals); WordPiece
+    (likelihood-gain merges + greedy longest-match) arms 'wordpiece_train'
+    and 'wordpiece_apply' with the same shapes."""
     ws = _run_part("token_stats_docs", sf_dir)
     bpe = _run_part("bpe_token_stats_docs", sf_dir)
     tr = _run_part("bpe_train_merges", sf_dir)
     ap = _run_part("bpe_apply_docs", sf_dir)
     utr = _run_part("unigram_train_vocab", sf_dir)
     uap = _run_part("unigram_apply_docs", sf_dir)
+    wtr = _run_part("wordpiece_train_vocab", sf_dir)
+    wap = _run_part("wordpiece_apply_docs", sf_dir)
     frames = [
         pd.DataFrame({"method": "whitespace", "lang": ws["lang"],
                       "v1": ws["tokens"], "v2": ws["alnum_chars"]}),
@@ -4597,6 +4660,10 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "v1": utr["rank"], "v2": utr["cnt"]}),
         pd.DataFrame({"method": "unigram_apply", "lang": uap["lang"],
                       "v1": uap["unigram_tokens"], "v2": uap["n_docs"]}),
+        pd.DataFrame({"method": "wordpiece_train", "lang": wtr["piece"],
+                      "v1": wtr["rank"], "v2": wtr["cnt"]}),
+        pd.DataFrame({"method": "wordpiece_apply", "lang": wap["lang"],
+                      "v1": wap["wordpiece_tokens"], "v2": wap["n_docs"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
@@ -4927,7 +4994,11 @@ SQL_TOKEN_STATS_METHODS_DOCS = _union_sql(
      ("'unigram_train'", "piece AS lang, rank AS v1, cnt AS v2",
       "unigram_train_vocab"),
      ("'unigram_apply'", "lang, unigram_tokens AS v1, n_docs AS v2",
-      "unigram_apply_docs")],
+      "unigram_apply_docs"),
+     ("'wordpiece_train'", "piece AS lang, rank AS v1, cnt AS v2",
+      "wordpiece_train_vocab"),
+     ("'wordpiece_apply'", "lang, wordpiece_tokens AS v1, n_docs AS v2",
+      "wordpiece_apply_docs")],
     "method, lang",
 )
 SQL_CODE_PAYLOAD_CORPUS = _union_sql(

@@ -671,6 +671,127 @@ def unigram_apply_fixture(docs: pd.DataFrame, vocab_size=60, max_piece_len=5,
                                       "unigram_tokens": "int64"})
 
 
+def wordpiece_train_fixture(docs: pd.DataFrame, num_merges=60,
+                            max_words=30_000,
+                            min_pair_count=2) -> pd.DataFrame:
+    """WordPiece vocab learned from word frequencies — NAIVE reference
+    implementation: FULL pair+symbol recount every round (the stage in
+    stages/wordpiece.py maintains an incremental pair->words index; only the
+    spec is shared).  Spec: words split on ASCII whitespace; top-K cut by
+    (count desc, word asc); symbols = first char bare, rest ##-prefixed;
+    winning pair maximizes the EXACT fraction cnt(ab)/(cnt(a)*cnt(b))
+    (cross-multiplied integer compare), ties -> higher pair count then
+    lexicographically smallest (left, right); merge needs pair count >=
+    min_pair_count; vocab = seed symbols sorted asc (initial counts) then
+    merged pieces in merge order (cnt = pair count at merge)."""
+    import re as _re
+    from fractions import Fraction
+
+    wcounts: dict[str, int] = {}
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    for text in docs["text"]:
+        for w in splitter.split(text or ""):
+            if w:
+                wcounts[w] = wcounts.get(w, 0) + 1
+    top = sorted(wcounts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_words]
+    seqs = {w: [w[0]] + ["##" + ch for ch in w[1:]] for w, _ in top}
+    wcnt = dict(top)
+
+    seed_counts: dict[str, int] = {}
+    for w, syms in seqs.items():
+        for s in syms:
+            seed_counts[s] = seed_counts.get(s, 0) + wcnt[w]
+    seeds = sorted(seed_counts.items())
+
+    merge_rows = []
+    for rank in range(num_merges):
+        pc_: dict[tuple[str, str], int] = {}
+        sc_: dict[str, int] = {}
+        for w, syms in seqs.items():
+            c = wcnt[w]
+            for s in syms:
+                sc_[s] = sc_.get(s, 0) + c
+            for j in range(len(syms) - 1):
+                p = (syms[j], syms[j + 1])
+                pc_[p] = pc_.get(p, 0) + c
+        best, best_score = None, None
+        for p in sorted(pc_):
+            cp = pc_[p]
+            if cp < min_pair_count:
+                continue
+            score = Fraction(cp, sc_[p[0]] * sc_[p[1]])
+            if (best is None or score > best_score
+                    or (score == best_score and (-cp, p) < (-best[1], best[0]))):
+                best, best_score = (p, cp), score
+        if best is None:
+            break
+        (bl, br), bc = best
+        new_sym = bl + (br[2:] if br.startswith("##") else br)
+        merge_rows.append({"rank": rank + len(seeds), "piece": new_sym,
+                           "cnt": bc})
+        for w, syms in seqs.items():
+            merged, j = [], 0
+            while j < len(syms):
+                if (j < len(syms) - 1 and syms[j] == bl
+                        and syms[j + 1] == br):
+                    merged.append(new_sym)
+                    j += 2
+                else:
+                    merged.append(syms[j])
+                    j += 1
+            seqs[w] = merged
+    rows = [{"rank": i, "piece": p, "cnt": c}
+            for i, (p, c) in enumerate(seeds)] + merge_rows
+    return pd.DataFrame(rows, columns=["rank", "piece", "cnt"]).astype(
+        {"rank": "int64", "cnt": "int64"})
+
+
+def wordpiece_apply_fixture(docs: pd.DataFrame, num_merges=60,
+                            max_words=30_000,
+                            min_pair_count=2) -> pd.DataFrame:
+    """Per-doc token counts under the trained WordPiece vocab — greedy
+    longest-match-first (BERT semantics: any uncovered position makes the
+    whole word one [UNK]); empty word contributes nothing."""
+    import re as _re
+
+    v = wordpiece_train_fixture(docs, num_merges=num_merges,
+                                max_words=max_words,
+                                min_pair_count=min_pair_count)
+    vocab = set(v["piece"])
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    cache: dict[str, int] = {}
+
+    def ntok(w: str) -> int:
+        n = cache.get(w)
+        if n is not None:
+            return n
+        toks, i = 0, 0
+        while i < len(w):
+            end = len(w)
+            hit = None
+            while end > i:
+                cand = w[i:end] if i == 0 else "##" + w[i:end]
+                if cand in vocab:
+                    hit = end
+                    break
+                end -= 1
+            if hit is None:
+                toks = 1  # whole word -> [UNK]
+                break
+            toks += 1
+            i = hit
+        n = toks if toks else 1
+        cache[w] = n
+        return n
+
+    rows = []
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        tot = sum(ntok(w) for w in splitter.split(text or "") if w)
+        rows.append({"doc_id": did, "wordpiece_tokens": tot})
+    return pd.DataFrame(rows).astype({"doc_id": "int64",
+                                      "wordpiece_tokens": "int64"})
+
+
 def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
     """Winnowing fingerprints per doc: unique window-of-w minima over the
     shingle hashes; count + xor-fold digest (int64 view)."""
@@ -1384,6 +1505,8 @@ def main(sf_dirs: list[str]) -> None:
             ("bpe_apply_docs", bpe_apply_fixture(docs), fp_docs),
             ("unigram_train_vocab", unigram_train_fixture(docs), fp_docs),
             ("unigram_apply_docs", unigram_apply_fixture(docs), fp_docs),
+            ("wordpiece_train_vocab", wordpiece_train_fixture(docs), fp_docs),
+            ("wordpiece_apply_docs", wordpiece_apply_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("incremental_neardup_docs", incremental_neardup_fixture(docs), fp_docs),
             ("zlib_ratio_docs", zlib_ratio_fixture(docs), fp_docs),
