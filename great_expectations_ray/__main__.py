@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -134,6 +135,17 @@ def cmd_profile(args) -> int:
             with open(args.html, "w") as f:
                 f.write(render_profiling_page(
                     profs, title=f"Profiling: {args.input}"))
+        if args.root:
+            import time
+
+            from great_expectations_ray.state.stores import (
+                ProfilingResultsStore,
+            )
+
+            asset = args.asset or os.path.splitext(
+                os.path.basename(args.input))[0]
+            run_name = f"profile-{time.time():.0f}"
+            ProfilingResultsStore(args.root).save(asset, run_name, profs)
     finally:
         _maybe_shutdown(owned)
     return 0
@@ -463,6 +475,10 @@ def main(argv=None) -> int:
     pr.add_argument("--input", required=True)
     pr.add_argument("--suggest-suite", help="write suggested suite JSON here")
     pr.add_argument("--html", help="write a profiling-results HTML page here")
+    pr.add_argument("--root", help="store root: persist the profile so "
+                    "`docs` renders it on the Profiling Results tab")
+    pr.add_argument("--asset", help="asset name for the stored profile "
+                    "(default: input file stem)")
     pr.add_argument("--suite-name", default="profiled")
     pr.add_argument("--cpus", type=int, default=None)
     pr.set_defaults(fn=cmd_profile)

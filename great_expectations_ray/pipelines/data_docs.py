@@ -82,10 +82,32 @@ _CSS = (
     ".banner.ok{background:#e4f5e9}.banner.fail{background:#fbe9e7}"
     "code{background:#f4f4f4;padding:1px 4px}"
     "code.dim{color:#777;background:none;font-size:0.85em}"
+    "p.dim{color:#777}"
     ".histbar{display:inline-block;height:10px;background:#4a7fb5;"
     "vertical-align:middle}"
     ".histcell{white-space:nowrap}"
     "details{margin:6px 0}summary{cursor:pointer;color:#555}"
+    ".exclist{margin:8px 0;padding:8px 12px;background:#fff4f2;"
+    "border:1px solid #e6b8b2;border-radius:6px}"
+    ".exclist li{font-family:monospace;font-size:0.9em;margin:2px 0}"
+    ".badge{background:#4a7fb5;color:#fff;border-radius:4px;"
+    "padding:0 6px;font-size:0.85em}"
+    # CSS-only tabs (reference site_index_page_renderer.py tab layout,
+    # minus the bootstrap-table JS): radio inputs toggle panel visibility.
+    ".tabs input[type=radio]{display:none}"
+    ".tabs label{display:inline-block;padding:6px 16px;cursor:pointer;"
+    "border:1px solid #bbb;border-bottom:none;border-radius:6px 6px 0 0;"
+    "background:#f4f4f4;color:#555;margin-right:4px}"
+    ".tabs .panel{display:none;border-top:1px solid #bbb;padding-top:4px}"
+    "#tab-validations:checked~label[for=tab-validations],"
+    "#tab-profiling:checked~label[for=tab-profiling],"
+    "#tab-suites:checked~label[for=tab-suites]"
+    "{background:#fff;color:#222;font-weight:bold}"
+    "#tab-validations:checked~.panel-validations,"
+    "#tab-profiling:checked~.panel-profiling,"
+    "#tab-suites:checked~.panel-suites{display:block}"
+    ".cta{margin:2rem 0;padding:14px 18px;background:#eef4fb;"
+    "border:1px solid #b9cfe8;border-radius:6px}"
 )
 
 
@@ -182,6 +204,34 @@ def _render_histogram_block(result: dict) -> str:
     )
 
 
+def _render_exception_list(results: list[dict]) -> str:
+    """'Failed expectations' bullet list over EVRs that raised — the
+    reference's ExceptionListContentBlockRenderer
+    (render/renderer/content_block/exception_list_content_block.py:80-88:
+    '$column: $expectation_type raised an exception: $exception_message',
+    rendered only when raised_exception is True)."""
+    items = []
+    for evr in results:
+        exc = evr.get("exception_info") or {}
+        if not exc.get("raised_exception"):
+            continue
+        cfg = evr.get("expectation_config") or {}
+        etype = cfg.get("expectation_type") or cfg.get("type", "?")
+        col = (cfg.get("kwargs") or {}).get("column")
+        prefix = f"<span class='badge'>{_esc(col)}</span> " if col else ""
+        items.append(
+            f"<li>{prefix}<code>{_esc(etype)}</code> raised an exception: "
+            f"{_esc(exc.get('exception_message', ''))}</li>"
+        )
+    if not items:
+        return ""
+    return (
+        "<details class='exclist' open><summary>Failed expectations "
+        f"({len(items)} raised)</summary><ul>" + "".join(items)
+        + "</ul></details>"
+    )
+
+
 def _evr_rows(results: list[dict]) -> str:
     rows = []
     for evr in results:
@@ -262,6 +312,7 @@ def render_validation_page(payload: dict, *, title: str = "Validation result") -
             f"({round(stats.get('success_percent') or 0, 2)}%)</p>"
         )
     if payload.get("results"):
+        parts.append(_render_exception_list(payload["results"]))
         parts.append(_evr_sections(payload["results"]))
     for grp in payload.get("rollup", []):
         keys = {k: v for k, v in grp.items()
@@ -396,13 +447,36 @@ def render_profiling_page(
     return "".join(parts)
 
 
+def _fmt_run_time(run: str) -> tuple[str, str]:
+    """Split a stored ``{run_name}-{epoch}`` key into (run_name, formatted
+    datetime) — the reference index's _get_formatted_datetime column
+    (site_index_page_renderer.py:136).  Falls back to the raw key when no
+    trailing epoch is present."""
+    import datetime
+
+    name, _, ts = run.rpartition("-")
+    if name and ts.isdigit():
+        dt = datetime.datetime.fromtimestamp(
+            int(ts), tz=datetime.timezone.utc)
+        return name, dt.strftime("%Y-%m-%d %H:%M:%S UTC")
+    return run, ""
+
+
 def build_site(root: str, site_dir: Optional[str] = None) -> str:
     """Build the browsable static site from every result in the
-    ``ValidationResultsStore`` (and every suite in the ``ExpectationsStore``)
-    under ``root`` (site_builder.py:1 shape: ``index.html`` + one page per
-    validation + one per suite).  Returns the index path."""
+    ``ValidationResultsStore``, every suite in the ``ExpectationsStore`` and
+    every profile in the ``ProfilingResultsStore`` under ``root``
+    (site_builder.py:1 shape: ``index.html`` + one page per artifact).
+
+    The index is the reference's SiteIndexPageRenderer layout
+    (site_index_page_renderer.py:164-258): three tabs — Validation Results
+    (run time / run name / batch / suite / status), Expectation Suites,
+    Profiling Results — CSS-only (no JS), plus the call-to-action block
+    (call_to_action_renderer.py) when the project has no artifacts yet.
+    Returns the index path."""
     from great_expectations_ray.state.stores import (
         ExpectationsStore,
+        ProfilingResultsStore,
         ValidationResultsStore,
     )
 
@@ -443,25 +517,82 @@ def build_site(root: str, site_dir: Optional[str] = None) -> str:
         with open(os.path.join(site_dir, page_rel), "w") as f:
             f.write(page)
         ok = bool(payload.get("success"))
+        run_name, run_when = _fmt_run_time(run)
         index_rows.append(
-            f"<tr><td><a href='{_esc(page_rel)}'>{_esc(suite)}</a></td>"
-            f"<td>{_esc(run)}</td><td>{_esc(batch)}</td>"
+            f"<tr><td>{_esc(run_when)}</td><td>{_esc(run_name)}</td>"
+            f"<td>{_esc(batch)}</td>"
+            f"<td><a href='{_esc(page_rel)}'>{_esc(suite)}</a></td>"
             f"<td class='{'ok' if ok else 'fail'}'>"
             f"{'&#10003;' if ok else '&#10007;'}</td></tr>"
         )
-    suites_html = (
-        "<h1>Expectation suites</h1>"
+
+    prof_rows = []
+    try:
+        ps = ProfilingResultsStore(root)
+        prof_keys = ps.list_keys()
+    except Exception:
+        prof_keys = []
+    if prof_keys:
+        prof_dir = os.path.join(site_dir, "profiling")
+        os.makedirs(prof_dir, exist_ok=True)
+        for asset, run in prof_keys:
+            profiles = ps.load(asset, run)
+            page_rel = os.path.join("profiling", f"{asset}-{run}.html")
+            with open(os.path.join(site_dir, page_rel), "w") as f:
+                f.write(render_profiling_page(
+                    profiles, title=f"Profiling: {asset} / {run}"))
+            run_name, run_when = _fmt_run_time(run)
+            prof_rows.append(
+                f"<tr><td>{_esc(run_when)}</td><td>{_esc(run_name)}</td>"
+                f"<td><a href='{_esc(page_rel)}'>{_esc(asset)}</a></td>"
+                f"<td>{len(profiles)}</td></tr>"
+            )
+
+    val_panel = (
+        "<table><tr><th>run time</th><th>run name</th><th>batch</th>"
+        "<th>suite</th><th>status</th></tr>" + "".join(index_rows)
+        + "</table>"
+    ) if index_rows else "<p class='dim'>No validation results stored.</p>"
+    prof_panel = (
+        "<table><tr><th>run time</th><th>run name</th><th>asset</th>"
+        "<th>columns</th></tr>" + "".join(prof_rows) + "</table>"
+    ) if prof_rows else "<p class='dim'>No profiling results stored.</p>"
+    suites_panel = (
         "<table><tr><th>suite</th><th>expectations</th></tr>"
         + "".join(suite_rows) + "</table>"
-    ) if suite_rows else ""
+    ) if suite_rows else "<p class='dim'>No expectation suites stored.</p>"
+
+    body = (
+        "<div class='tabs'>"
+        "<input type='radio' name='tab' id='tab-validations' checked>"
+        "<input type='radio' name='tab' id='tab-profiling'>"
+        "<input type='radio' name='tab' id='tab-suites'>"
+        f"<label for='tab-validations'>Validation Results"
+        f" ({len(index_rows)})</label>"
+        f"<label for='tab-profiling'>Profiling Results"
+        f" ({len(prof_rows)})</label>"
+        f"<label for='tab-suites'>Expectation Suites"
+        f" ({len(suite_rows)})</label>"
+        f"<div class='panel panel-validations'>{val_panel}</div>"
+        f"<div class='panel panel-profiling'>{prof_panel}</div>"
+        f"<div class='panel panel-suites'>{suites_panel}</div>"
+        "</div>"
+    )
+    if not (index_rows or prof_rows or suite_rows):
+        # call_to_action_renderer.py essentials: how to populate the site
+        body += (
+            "<div class='cta'><b>No Expectations, Validations, or Profiles "
+            "yet.</b><p>Run a checkpoint to populate this site:</p>"
+            "<p><code>python -m great_expectations_ray run "
+            f"--input 'data/*.parquet' --output {_esc(root)}</code></p>"
+            "<p>or profile a table: <code>python -m great_expectations_ray "
+            f"profile --input data.parquet --root {_esc(root)}</code></p>"
+            "</div>"
+        )
     index = (
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>Data Docs</title><style>{_CSS}</style></head><body>"
-        + suites_html
-        + "<h1>Validation results</h1>"
-        "<table><tr><th>suite</th><th>run</th><th>batch</th><th>status</th></tr>"
-        + "".join(index_rows)
-        + "</table></body></html>"
+        "<h1>Data Docs</h1>" + body + "</body></html>"
     )
     path = os.path.join(site_dir, "index.html")
     with open(path, "w") as f:

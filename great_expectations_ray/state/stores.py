@@ -158,3 +158,38 @@ class CheckpointStore:
 
     def delete(self, name: str) -> None:
         self.backend.remove(("checkpoints", f"{name}.json"))
+
+
+class ProfilingResultsStore:
+    """Profiler output keyed by (asset_name, run_name) — the reference keeps
+    profiling results in the validations store under the profiler's
+    run_name (``data_context/store/validation_results_store.py`` +
+    ``render/renderer/site_builder.py`` profiling section); here they get
+    their own prefix so ``build_site`` can render the profiling tab without
+    sniffing payload shapes.  Payload is ``profiler.profile()`` output
+    serialized per column (``ColumnProfile.to_json_dict()``)."""
+
+    def __init__(self, root: str):
+        self.backend = TupleStoreBackend(root)
+
+    def save(self, asset_name: str, run_name: str,
+             profiles: dict[str, Any]) -> str:
+        payload = {
+            c: (p.to_json_dict() if hasattr(p, "to_json_dict") else p)
+            for c, p in profiles.items()
+        }
+        return self.backend.set(
+            ("profiling", asset_name, f"{run_name}.json"),
+            json.dumps(payload, indent=1, sort_keys=True, default=str),
+        )
+
+    def load(self, asset_name: str, run_name: str) -> dict[str, Any]:
+        return json.loads(
+            self.backend.get(("profiling", asset_name, f"{run_name}.json"))
+        )
+
+    def list_keys(self) -> list[tuple[str, str]]:
+        return [
+            (k[1], k[2][: -len(".json")])
+            for k in self.backend.list_keys(("profiling",))
+        ]

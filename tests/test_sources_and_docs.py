@@ -423,7 +423,7 @@ def test_site_renders_suite_pages(tmp_path):
         min_value=0, max_value={"$PARAMETER": "x * 3"}))
     index = build_site(root)
     idx = open(index).read()
-    assert "Expectation suites" in idx and "site_suite" in idx
+    assert "Expectation Suites" in idx and "site_suite" in idx
     page = open(os.path.join(os.path.dirname(index),
                              "expectations", "site_suite.html")).read()
     assert "expect_column_values_to_be_between" in page
@@ -514,3 +514,109 @@ def test_render_column_sections_and_profiling_page(tmp_path):
     assert "numeric=<code>2</code>" in page and "string=<code>1</code>" in page
     assert "<a href='#col-x'>x</a>" in page
     assert page.count("<td>0.0%</td>") == 3  # missing column per row
+
+
+def test_site_index_tabs_profiling_and_exception_list(tmp_path):
+    """SiteIndexPageRenderer parity (site_index_page_renderer.py:164-258):
+    the index carries three tabs — Validation Results (run time / run name /
+    batch / suite / status), Profiling Results, Expectation Suites — and the
+    profiling tab links pages rendered from the ProfilingResultsStore.  The
+    validation page carries the ExceptionListContentBlockRenderer block
+    (exception_list_content_block.py:80-88) for EVRs that raised."""
+    from great_expectations_ray import ExpectationSuite
+    from great_expectations_ray.pipelines.data_docs import build_site
+    from great_expectations_ray.state.stores import (
+        ExpectationsStore,
+        ProfilingResultsStore,
+        ValidationResultsStore,
+    )
+
+    root = str(tmp_path)
+    ExpectationsStore(root).save(
+        ExpectationSuite("tab_suite").add(
+            "expect_column_values_to_not_be_null", column="x"))
+    # one stored validation with a raised-exception EVR
+    ValidationResultsStore(root).save(
+        {"suite_name": "tab_suite", "success": False,
+         "statistics": {"evaluated_expectations": 2,
+                        "successful_expectations": 1,
+                        "success_percent": 50.0},
+         "results": [
+             {"success": True,
+              "expectation_config": {
+                  "expectation_type": "expect_column_values_to_not_be_null",
+                  "kwargs": {"column": "x"}},
+              "result": {"unexpected_count": 0}},
+             {"success": False,
+              "expectation_config": {
+                  "expectation_type": "expect_column_mean_to_be_between",
+                  "kwargs": {"column": "ghost"}},
+              "exception_info": {
+                  "raised_exception": True,
+                  "exception_message": "column 'ghost' not found"},
+              "result": {}},
+         ]},
+        run_name="nightly", run_time=1700000000.0, batch_id="b0")
+    # one stored profile
+    ProfilingResultsStore(root).save(
+        "lineitem", "profile-1700000000",
+        {"qty": {"dtype": "int64", "row_count": 10, "null_count": 1,
+                 "distinct_estimate": 7, "mean": 3.5, "stdev": 1.1,
+                 "min": 1, "max": 9}})
+
+    index = build_site(root)
+    idx = open(index).read()
+    # three tabs with counts; validation table has the reference's columns
+    assert "Validation Results (1)" in idx
+    assert "Profiling Results (1)" in idx
+    assert "Expectation Suites (1)" in idx
+    assert "<th>run time</th>" in idx and "<th>run name</th>" in idx
+    assert "nightly" in idx and "2023-11-14" in idx  # epoch 1700000000 UTC
+    # profiling page rendered and linked
+    prof_page = os.path.join(os.path.dirname(index), "profiling",
+                             "lineitem-profile-1700000000.html")
+    body = open(prof_page).read()
+    assert "qty" in body and "Overview" in body
+    # exception list block on the validation page
+    val_page = os.path.join(
+        os.path.dirname(index), "validations",
+        "tab_suite-nightly-1700000000-b0.html")
+    vbody = open(val_page).read()
+    assert "Failed expectations" in vbody
+    assert "raised an exception" in vbody
+    assert "column &#x27;ghost&#x27; not found" in vbody or \
+        "column 'ghost' not found" in vbody
+    assert "expect_column_mean_to_be_between" in vbody
+
+
+def test_site_index_call_to_action_when_empty(tmp_path):
+    """call_to_action_renderer.py essentials: an empty project renders the
+    how-to block instead of bare tables."""
+    from great_expectations_ray.pipelines.data_docs import build_site
+
+    index = build_site(str(tmp_path))
+    idx = open(index).read()
+    assert "No Expectations, Validations, or Profiles" in idx
+    assert "python -m great_expectations_ray run" in idx
+
+
+def test_profiling_store_roundtrip_and_profile_cli(ray_session, tmp_path):
+    """ProfilingResultsStore round trip + `profile --root` persists the
+    profile so `docs` renders it on the Profiling Results tab."""
+    from great_expectations_ray.__main__ import main
+    from great_expectations_ray.state.stores import ProfilingResultsStore
+
+    root = str(tmp_path / "store")
+    rc = main(["profile", "--input", "/root/testdata/sf0.001/region.parquet",
+               "--root", root, "--asset", "region", "--cpus", "2"])
+    assert rc == 0
+    ps = ProfilingResultsStore(root)
+    keys = ps.list_keys()
+    assert len(keys) == 1 and keys[0][0] == "region"
+    profs = ps.load(*keys[0])
+    assert "r_name" in profs and profs["r_name"]["row_count"] > 0
+
+    rc = main(["docs", "--root", root])
+    assert rc == 0
+    idx = open(os.path.join(root, "docs", "site", "index.html")).read()
+    assert "Profiling Results (1)" in idx and "region" in idx
