@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "bpe_train_merges",
     "unigram_train_vocab",
     "wordpiece_train_vocab",
+    "wordpiece_pack_docs",
     "fim_docs",
     "html_extract_docs",
     "kmeans_embeddings",

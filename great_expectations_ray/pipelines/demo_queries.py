@@ -4630,6 +4630,57 @@ CONSTITUENT_ORACLE_SQL["wordpiece_apply_docs"] = (
 )
 
 
+def q_wordpiece_pack_docs(sf_dir: str) -> pd.DataFrame:
+    """Tokenize-to-training-sequences (stages/pack_ids.py): train WordPiece,
+    encode every doc to rank ids (+EOS), pack the corpus into fixed 128-token
+    sequences via the two-pass prefix-sum + one bucketed fragment exchange.
+    Reports per sequence (seq_id, n_tokens, idhash) where idhash is an
+    order-sensitive polynomial hash of the ids — byte-identical sequences or
+    the gate fails.  Oracle: independent driver-side concat+slice fixture
+    (tools/gen_oracle_fixtures.py wordpiece_pack_fixture)."""
+    from great_expectations_ray.stages.pack_ids import (
+        encode_token_ids,
+        pack_sequences,
+    )
+    from great_expectations_ray.stages.wordpiece import train_wordpiece
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = train_wordpiece(ds, text_col="text", num_merges=60)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1)
+    packed = pack_sequences(enc, order_col="doc_id", seq_len=128)
+
+    pows = np.array([pow(1000003, 127 - i, 2 ** 64) for i in range(128)],
+                    dtype=np.uint64)
+
+    def hash_batch(tbl: pa.Table) -> pa.Table:
+        ids = tbl.column("token_ids").combine_chunks()
+        n = len(tbl)
+        if hasattr(ids, "offsets"):  # plain list<int32>
+            offs = np.asarray(ids.offsets, dtype=np.int64)
+            flat = np.asarray(ids.values, dtype=np.uint64)[offs[0]:offs[-1]] \
+                if n else np.empty(0, dtype=np.uint64)
+            mat = flat.reshape(n, 128)
+        else:  # Ray packs equal-length rows as a tensor extension array
+            mat = np.asarray(ids.to_numpy(zero_copy_only=False),
+                             dtype=np.uint64).reshape(n, 128)
+        h = (mat * pows).sum(axis=1).astype(np.int64)
+        return pa.table({
+            "seq_id": tbl.column("seq_id"),
+            "n_tokens": tbl.column("n_tokens"),
+            "idhash": pa.array(h),
+        })
+
+    out = packed.map_batches(hash_batch, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return out.to_pandas().sort_values("seq_id").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["wordpiece_pack_docs"] = q_wordpiece_pack_docs
+CONSTITUENT_ORACLE_SQL["wordpiece_pack_docs"] = _fixture_sql(
+    "wordpiece_pack_docs", "seq_id, n_tokens, idhash", _FP_DOCS, "seq_id")
+
+
 def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     """Token statistics per language by every tokenizer family, as generic
     (v1, v2): whitespace = (tokens, alnum_chars); bpe = (ws_tokens,
@@ -4638,7 +4689,9 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     arms 'unigram_train' (lang = piece, v1 = rank, v2 = count) and
     'unigram_apply' (per-lang trained-unigram token totals); WordPiece
     (likelihood-gain merges + greedy longest-match) arms 'wordpiece_train'
-    and 'wordpiece_apply' with the same shapes."""
+    and 'wordpiece_apply' with the same shapes; 'wordpiece_pack' =
+    tokenize-to-training-sequences (lang = seq_id, v1 = n_tokens, v2 =
+    order-sensitive id-hash pinning byte-identical 128-token sequences)."""
     ws = _run_part("token_stats_docs", sf_dir)
     bpe = _run_part("bpe_token_stats_docs", sf_dir)
     tr = _run_part("bpe_train_merges", sf_dir)
@@ -4647,6 +4700,7 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
     uap = _run_part("unigram_apply_docs", sf_dir)
     wtr = _run_part("wordpiece_train_vocab", sf_dir)
     wap = _run_part("wordpiece_apply_docs", sf_dir)
+    wpk = _run_part("wordpiece_pack_docs", sf_dir)
     frames = [
         pd.DataFrame({"method": "whitespace", "lang": ws["lang"],
                       "v1": ws["tokens"], "v2": ws["alnum_chars"]}),
@@ -4664,6 +4718,9 @@ def q_token_stats_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "v1": wtr["rank"], "v2": wtr["cnt"]}),
         pd.DataFrame({"method": "wordpiece_apply", "lang": wap["lang"],
                       "v1": wap["wordpiece_tokens"], "v2": wap["n_docs"]}),
+        pd.DataFrame({"method": "wordpiece_pack",
+                      "lang": wpk["seq_id"].astype(str),
+                      "v1": wpk["n_tokens"], "v2": wpk["idhash"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "lang"], kind="mergesort").reset_index(drop=True)
@@ -4998,7 +5055,10 @@ SQL_TOKEN_STATS_METHODS_DOCS = _union_sql(
      ("'wordpiece_train'", "piece AS lang, rank AS v1, cnt AS v2",
       "wordpiece_train_vocab"),
      ("'wordpiece_apply'", "lang, wordpiece_tokens AS v1, n_docs AS v2",
-      "wordpiece_apply_docs")],
+      "wordpiece_apply_docs"),
+     ("'wordpiece_pack'",
+      "CAST(seq_id AS VARCHAR) AS lang, n_tokens AS v1, idhash AS v2",
+      "wordpiece_pack_docs")],
     "method, lang",
 )
 SQL_CODE_PAYLOAD_CORPUS = _union_sql(

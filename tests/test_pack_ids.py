@@ -1,0 +1,153 @@
+"""Tokenize-to-training-sequences (stages/pack_ids.py): WordPiece token-id
+encoding + distributed fixed-length packing.  No reference counterpart
+(training-data-pipeline surface); spec shared with
+tools/gen_oracle_fixtures.py wordpiece_pack_fixture (naive driver-side
+concat+slice reimplementation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from great_expectations_ray.stages.pack_ids import (
+    encode_token_ids,
+    pack_sequences,
+)
+from great_expectations_ray.stages.wordpiece import (
+    encode_word,
+    train_wordpiece_from_words,
+)
+
+DOCS = [
+    {"doc_id": 1, "text": "aa bb aa"},
+    {"doc_id": 2, "text": "bb bb cc"},
+    {"doc_id": 3, "text": ""},
+    {"doc_id": 4, "text": "aa cc aa bb"},
+    {"doc_id": 5, "text": "zz"},          # unknown chars -> [UNK]
+]
+WORDS = {"aa": 4, "bb": 4, "cc": 2}
+
+
+def _naive_ids(vocab):
+    """Driver-side expected encoding: doc_id order, eos after every doc."""
+    p2i = {p: int(r) for r, p in zip(vocab["rank"], vocab["piece"])}
+    vs = frozenset(p2i)
+    unk, eos = len(vocab), len(vocab) + 1
+    per_doc = {}
+    for d in DOCS:
+        ids = []
+        for w in d["text"].split():
+            ids.extend(p2i.get(p, unk) for p in encode_word(w, vs))
+        ids.append(eos)
+        per_doc[d["doc_id"]] = ids
+    return per_doc
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    return train_wordpiece_from_words(WORDS, num_merges=3, min_pair_count=2)
+
+
+def test_encode_token_ids_matches_naive(ray_session, vocab):
+    ds = rd.from_items(DOCS)
+    out = (encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                            eos_id=len(vocab) + 1, concurrency=(1, 2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = _naive_ids(vocab)
+    for _, row in out.iterrows():
+        assert list(row["token_ids"]) == exp[row["doc_id"]]
+        assert row["n_tokens"] == len(exp[row["doc_id"]])
+
+
+@pytest.mark.parametrize("seq_len,drop_last", [(4, True), (4, False),
+                                               (5, True), (100, False)])
+def test_pack_sequences_matches_concat_slice(ray_session, vocab, seq_len,
+                                             drop_last):
+    ds = rd.from_items(DOCS)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1, concurrency=(1, 2))
+    packed = (pack_sequences(enc, order_col="doc_id", seq_len=seq_len,
+                             drop_last=drop_last)
+              .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    exp_docs = _naive_ids(vocab)
+    stream = [t for did in sorted(exp_docs) for t in exp_docs[did]]
+    exp_seqs = [stream[i:i + seq_len]
+                for i in range(0, len(stream), seq_len)]
+    if drop_last and len(exp_seqs) and len(exp_seqs[-1]) < seq_len:
+        exp_seqs.pop()
+    assert list(packed["seq_id"]) == list(range(len(exp_seqs)))
+    for sid, row in packed.iterrows():
+        assert list(row["token_ids"]) == exp_seqs[sid]
+        assert row["n_tokens"] == len(exp_seqs[sid])
+
+
+def test_pack_sequences_many_blocks_cross_doc(ray_session, vocab):
+    """Sequences crossing documents that live in different blocks: 60 docs
+    over 8 blocks, seq_len chosen to never align with doc boundaries."""
+    docs = [{"doc_id": i, "text": "aa bb cc aa"[: 2 + 3 * (i % 4)]}
+            for i in range(60)]
+    ds = rd.from_items(docs).repartition(8)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1, concurrency=(1, 2))
+    packed = (pack_sequences(enc, order_col="doc_id", seq_len=7,
+                             drop_last=False)
+              .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    # independent driver-side expectation
+    p2i = {p: int(r) for r, p in zip(vocab["rank"], vocab["piece"])}
+    vs = frozenset(p2i)
+    unk, eos = len(vocab), len(vocab) + 1
+    stream = []
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        for w in d["text"].split():
+            stream.extend(p2i.get(p, unk) for p in encode_word(w, vs))
+        stream.append(eos)
+    exp = [stream[i:i + 7] for i in range(0, len(stream), 7)]
+    assert len(packed) == len(exp)
+    for sid, row in packed.iterrows():
+        assert list(row["token_ids"]) == exp[sid], sid
+    # every full sequence has exactly seq_len tokens
+    assert (packed["n_tokens"].iloc[:-1] == 7).all()
+
+
+def test_pack_rejects_bad_seq_len(ray_session, vocab):
+    ds = rd.from_items(DOCS)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id")
+    with pytest.raises(ValueError):
+        pack_sequences(enc, order_col="doc_id", seq_len=0)
+
+
+def _tools_path():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+
+def test_distributed_pack_matches_fixture_spec(ray_session):
+    """sf0.001 differential: the distributed two-pass pack reproduces the
+    naive fixture (train on the corpus, encode per doc, concat in doc_id
+    order, slice at 128) byte-identically — lengths AND id-hashes."""
+    _tools_path()
+    from gen_oracle_fixtures import wordpiece_pack_fixture
+
+    from great_expectations_ray.stages.wordpiece import train_wordpiece
+
+    docs_pd = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    vocab = train_wordpiece(ds, text_col="text", num_merges=60)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1)
+    packed = (pack_sequences(enc, order_col="doc_id", seq_len=128)
+              .to_pandas().sort_values("seq_id").reset_index(drop=True))
+    fix = wordpiece_pack_fixture(docs_pd).sort_values(
+        "seq_id").reset_index(drop=True)
+    assert list(packed["seq_id"]) == list(fix["seq_id"])
+    assert list(packed["n_tokens"]) == list(fix["n_tokens"])
+    # same polynomial id-hash the gate pins (order-sensitive, mod 2^64)
+    pows = np.array([pow(1000003, 127 - i, 2 ** 64) for i in range(128)],
+                    dtype=np.uint64)
+    got = [int((np.asarray(ids, dtype=np.uint64) * pows).sum()
+               .astype(np.int64))
+           for ids in packed["token_ids"]]
+    assert got == list(fix["idhash"])

@@ -792,6 +792,70 @@ def wordpiece_apply_fixture(docs: pd.DataFrame, num_merges=60,
                                       "wordpiece_tokens": "int64"})
 
 
+def wordpiece_pack_fixture(docs: pd.DataFrame, seq_len=128, num_merges=60,
+                           max_words=30_000,
+                           min_pair_count=2) -> pd.DataFrame:
+    """Tokenize-to-training-sequences — NAIVE reference implementation of
+    stages/pack_ids.py: train the WordPiece vocab, greedy-encode each doc to
+    RANK ids (unknown word -> unk_id = len(vocab); eos_id = len(vocab)+1
+    appended after every doc), concatenate the whole corpus in ascending
+    doc_id order ON THE DRIVER, slice every seq_len tokens, drop the
+    trailing partial.  Output per sequence: (seq_id, n_tokens, idhash) with
+    idhash = sum(ids[i] * 1000003^(seq_len-1-i)) mod 2^64 viewed as int64
+    (order-sensitive — pins byte-identical sequences)."""
+    import re as _re
+
+    v = wordpiece_train_fixture(docs, num_merges=num_merges,
+                                max_words=max_words,
+                                min_pair_count=min_pair_count)
+    p2i = {p: int(r) for r, p in zip(v["rank"], v["piece"])}
+    vocab = set(p2i)
+    unk, eos = len(v), len(v) + 1
+    splitter = _re.compile(r"[ \t\n\r\f\v]+")
+    cache: dict[str, list[int]] = {}
+
+    def word_ids(w: str) -> list[int]:
+        ids = cache.get(w)
+        if ids is not None:
+            return ids
+        out, i = [], 0
+        while i < len(w):
+            end, hit = len(w), None
+            while end > i:
+                cand = w[i:end] if i == 0 else "##" + w[i:end]
+                if cand in vocab:
+                    hit = end
+                    break
+                end -= 1
+            if hit is None:
+                out = [unk]
+                break
+            out.append(p2i[cand])
+            i = hit
+        out = out if out else [unk]
+        cache[w] = out
+        return out
+
+    stream: list[int] = []
+    order = sorted(zip(docs["doc_id"], docs["text"]), key=lambda t: t[0])
+    for _, text in order:
+        for w in splitter.split(text or ""):
+            if w:
+                stream.extend(word_ids(w))
+        stream.append(eos)
+
+    pows = [pow(1000003, seq_len - 1 - i, 2 ** 64) for i in range(seq_len)]
+    rows = []
+    for sid in range(len(stream) // seq_len):
+        seq = stream[sid * seq_len:(sid + 1) * seq_len]
+        h = sum(t * p for t, p in zip(seq, pows)) % 2 ** 64
+        if h >= 2 ** 63:
+            h -= 2 ** 64
+        rows.append({"seq_id": sid, "n_tokens": seq_len, "idhash": h})
+    return pd.DataFrame(rows, columns=["seq_id", "n_tokens", "idhash"]).astype(
+        {"seq_id": "int64", "n_tokens": "int64", "idhash": "int64"})
+
+
 def winnow_fixture(docs: pd.DataFrame, k=8, w=4) -> pd.DataFrame:
     """Winnowing fingerprints per doc: unique window-of-w minima over the
     shingle hashes; count + xor-fold digest (int64 view)."""
@@ -1507,6 +1571,7 @@ def main(sf_dirs: list[str]) -> None:
             ("unigram_apply_docs", unigram_apply_fixture(docs), fp_docs),
             ("wordpiece_train_vocab", wordpiece_train_fixture(docs), fp_docs),
             ("wordpiece_apply_docs", wordpiece_apply_fixture(docs), fp_docs),
+            ("wordpiece_pack_docs", wordpiece_pack_fixture(docs), fp_docs),
             ("cc_cluster_docs", cc_cluster_fixture(docs), fp_docs),
             ("incremental_neardup_docs", incremental_neardup_fixture(docs), fp_docs),
             ("zlib_ratio_docs", zlib_ratio_fixture(docs), fp_docs),
