@@ -382,6 +382,63 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Tokenize a corpus into fixed-length training sequences (partitioned).
+
+    Trains a WordPiece vocab from the corpus and saves it to ``--vocab``
+    when the file does not exist; loads it otherwise (day-2 runs reuse the
+    day-1 tokenizer so sequence ids stay comparable — the persisted-bloom
+    convention).  Encodes every doc to rank ids (+EOS), packs into
+    ``--seq-len``-token sequences that freely cross documents
+    (stages/pack_ids.py), writes partitioned parquet."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.pack_ids import (
+        encode_token_ids,
+        pack_sequences,
+    )
+    from great_expectations_ray.stages.wordpiece import (
+        load_vocab,
+        save_vocab,
+        train_wordpiece,
+    )
+
+    owned = _init_ray(args.cpus)
+    try:
+        ds = rd.read_parquet(args.input,
+                             columns=[args.id_col, args.text_col])
+        if args.vocab and os.path.exists(args.vocab):
+            vocab, vocab_src = load_vocab(args.vocab), "loaded"
+        else:
+            vocab = train_wordpiece(ds, text_col=args.text_col,
+                                    num_merges=args.num_merges)
+            vocab_src = "trained"
+            if args.vocab:
+                parent = os.path.dirname(args.vocab)
+                if parent:
+                    os.makedirs(parent, exist_ok=True)
+                save_vocab(vocab, args.vocab)
+        enc = encode_token_ids(ds, vocab, text_col=args.text_col,
+                               id_col=args.id_col, eos_id=len(vocab) + 1)
+        packed = pack_sequences(enc, order_col=args.id_col,
+                                seq_len=args.seq_len,
+                                drop_last=not args.keep_last)
+        packed.repartition(args.partitions).write_parquet(args.output)
+        out = rd.read_parquet(args.output)
+        n_seq = out.count()
+        print(json.dumps({
+            "sequences": n_seq,
+            "tokens": n_seq * args.seq_len if not args.keep_last else None,
+            "seq_len": args.seq_len,
+            "vocab": vocab_src,
+            "vocab_size": len(vocab),
+            "output": args.output,
+        }))
+    finally:
+        _maybe_shutdown(owned)
+    return 0
+
+
 def cmd_select(args) -> int:
     """Score a parquet corpus and keep the top fraction (partitioned).
 
@@ -499,6 +556,22 @@ def main(argv=None) -> int:
     dd.add_argument("--partitions", type=int, default=8)
     dd.add_argument("--cpus", type=int, default=None)
     dd.set_defaults(fn=cmd_dedup)
+
+    pk = sub.add_parser(
+        "pack", help="tokenize a corpus into fixed-length training sequences")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--vocab", help="vocab JSON: loaded when present, "
+                    "trained-and-saved otherwise")
+    pk.add_argument("--num-merges", type=int, default=60)
+    pk.add_argument("--text-col", default="text")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--keep-last", action="store_true",
+                    help="keep the trailing partial sequence")
+    pk.add_argument("--partitions", type=int, default=8)
+    pk.add_argument("--cpus", type=int, default=None)
+    pk.set_defaults(fn=cmd_pack)
 
     sl = sub.add_parser("select",
                         help="keep the top fraction of a corpus by score")

@@ -231,6 +231,40 @@ def train_wordpiece(
     )
 
 
+def save_vocab(vocab: pd.DataFrame, path: str) -> str:
+    """Persist a trained vocab ``(rank, piece, cnt)`` as JSON — the
+    reusable tokenizer artifact (day-2 runs load instead of retraining;
+    mirrors the persisted-bloom pattern in stages/bloomdedup.py)."""
+    import json
+
+    payload = {
+        "format": "wordpiece_vocab_v1",
+        "pieces": [
+            {"rank": int(r), "piece": p, "cnt": int(c)}
+            for r, p, c in zip(vocab["rank"], vocab["piece"], vocab["cnt"])
+        ],
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+    return path
+
+
+def load_vocab(path: str) -> pd.DataFrame:
+    """Load a vocab saved by :func:`save_vocab`."""
+    import json
+
+    with open(path) as f:
+        payload = json.load(f)
+    if payload.get("format") != "wordpiece_vocab_v1":
+        raise ValueError(f"not a wordpiece vocab file: {path}")
+    rows = payload["pieces"]
+    return pd.DataFrame({
+        "rank": pd.Series([r["rank"] for r in rows], dtype="int64"),
+        "piece": pd.Series([r["piece"] for r in rows], dtype="object"),
+        "cnt": pd.Series([r["cnt"] for r in rows], dtype="int64"),
+    })
+
+
 def encode_word(word: str, vocab: set[str]) -> list[str]:
     """Greedy longest-match-first WordPiece encoding of one word.
 

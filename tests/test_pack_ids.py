@@ -151,3 +151,41 @@ def test_distributed_pack_matches_fixture_spec(ray_session):
                .astype(np.int64))
            for ids in packed["token_ids"]]
     assert got == list(fix["idhash"])
+
+
+def test_pack_cli_train_then_load(ray_session, tmp_path):
+    """`pack` CLI end-to-end: first run trains + saves the vocab and writes
+    534 sequences at sf0.001/seq_len=128 (the fixture count); second run
+    LOADS the saved vocab (day-2 convention) and reproduces the identical
+    output."""
+    import json as _json
+
+    import pandas as pd
+
+    from great_expectations_ray.__main__ import main
+    from great_expectations_ray.stages.wordpiece import load_vocab
+
+    vocab_path = str(tmp_path / "vocab.json")
+    out1 = str(tmp_path / "seqs1")
+    rc = main(["pack", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", out1, "--seq-len", "128",
+               "--vocab", vocab_path, "--partitions", "2", "--cpus", "2"])
+    assert rc == 0
+    assert _json.load(open(vocab_path))["format"] == "wordpiece_vocab_v1"
+    a = pd.read_parquet(out1).sort_values("seq_id").reset_index(drop=True)
+    assert len(a) == 534 and (a["n_tokens"] == 128).all()
+
+    out2 = str(tmp_path / "seqs2")
+    rc = main(["pack", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", out2, "--seq-len", "128",
+               "--vocab", vocab_path, "--partitions", "2", "--cpus", "2"])
+    assert rc == 0
+    b = pd.read_parquet(out2).sort_values("seq_id").reset_index(drop=True)
+    assert list(a["seq_id"]) == list(b["seq_id"])
+    for x, y in zip(a["token_ids"], b["token_ids"]):
+        # written sequences round-trip as Ray's tensor extension type
+        assert np.asarray(x).tolist() == np.asarray(y).tolist()
+    # vocab round-trip is exact
+    v = load_vocab(vocab_path)
+    assert list(v.columns) == ["rank", "piece", "cnt"]
+    assert (v["rank"] == range(len(v))).all()
