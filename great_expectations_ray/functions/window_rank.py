@@ -235,3 +235,89 @@ def session_stats(
         return out
 
     return grouped_apply_bucketed(ds.select_columns(needed), [partition_by], bucket)
+
+
+def hopping_window_stats(
+    ds,
+    *,
+    ts_col: str,
+    width,
+    slide,
+    value_col: str | None = None,
+    partition_by: str | None = None,
+):
+    """Overlapping (hopping / sliding) time-window aggregates: every event
+    lands in each window ``[k*slide, k*slide + width)`` that covers its
+    timestamp — ``width == slide`` degenerates to tumbling windows.  One row
+    per (``partition_by``?, ``window_start``) with ``n_events`` and (if
+    ``value_col``) ``value_sum``; ``window_start`` is epoch-anchored.
+
+    SQL equivalent (the test oracle): expand each event to its covering
+    window indices with ``generate_series((t-width)//slide + 1, t//slide)``
+    and GROUP BY ``k*slide``.
+
+    Scale shape: the expansion factor is ``ceil(width/slide)`` but the
+    per-batch partial aggregation collapses it BEFORE the exchange — only
+    (window, partial-count/sum) rows move, ONE bucketed exchange
+    (functions/bucketed.py), vectorized final sum per bucket.  Timestamps
+    convert to int64 epoch-us; ``width``/``slide`` take anything
+    ``pd.Timedelta`` accepts, or plain numbers for numeric ts columns.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts_is_time = pa.types.is_timestamp(
+        dict(zip(ds.schema().names, ds.schema().types))[ts_col])
+    if ts_is_time:
+        width_v = int(pd.Timedelta(width).value // 1000)   # ns -> us
+        slide_v = int(pd.Timedelta(slide).value // 1000)
+    else:
+        width_v, slide_v = width, slide
+    if width_v <= 0 or slide_v <= 0:
+        raise ValueError("width and slide must be positive")
+
+    needed = sorted({ts_col}
+                    | ({value_col} if value_col else set())
+                    | ({partition_by} if partition_by else set()))
+    keys = ([partition_by] if partition_by else []) + ["window_start"]
+
+    def to_int(tbl: pa.Table) -> pa.Table:
+        if ts_is_time:
+            col = pc.cast(pc.cast(tbl.column(ts_col), pa.timestamp("us")),
+                          pa.int64())
+            tbl = tbl.set_column(tbl.schema.get_field_index(ts_col),
+                                 ts_col, col)
+        return tbl
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy()
+        k_min = (t - width_v) // slide_v + 1   # numpy // floors
+        k_max = t // slide_v
+        counts = (k_max - k_min + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), counts)
+        starts = np.zeros(len(df), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        off = np.arange(int(counts.sum())) - np.repeat(starts, counts)
+        exp = pd.DataFrame({
+            "window_start": (k_min[idx] + off) * slide_v,
+        })
+        if partition_by:
+            exp[partition_by] = df[partition_by].to_numpy()[idx]
+        agg = {"n_events": ("window_start", "size")}
+        if value_col:
+            exp["__v"] = df[value_col].to_numpy()[idx]
+            agg["value_sum"] = ("__v", "sum")
+        return exp.groupby(keys, sort=False).agg(**agg).reset_index()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        agg = {"n_events": ("n_events", "sum")}
+        if value_col:
+            agg["value_sum"] = ("value_sum", "sum")
+        out = g.groupby(keys, sort=False).agg(**agg).reset_index()
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    partials = ds.select_columns(needed).map_batches(
+        to_int, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(partial, batch_format="pandas")
+    return grouped_apply_bucketed(partials, keys, final)
