@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "chunk_docs",
     "web_pipeline_docs",
     "dsir_docs",
+    "kn_ppl_docs",
     "cc_cluster_docs",
     "bpe_train_merges",
     "unigram_train_vocab",

@@ -4424,16 +4424,19 @@ def q_langid_methods_docs(sf_dir: str) -> pd.DataFrame:
 def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
     """Per-doc LM-based data-selection scores, all methods: the broadcast
     character-bigram perplexity, the distributed-trained LM perplexity
-    (bit-identical to the driver trainer), and DSIR importance log-weights
+    (bit-identical to the driver trainer), DSIR importance log-weights
     ('dsir' rows carry logw; 'dsir_sel' rows carry the Gumbel-top-k selection
-    flag as 0/1)."""
+    flag as 0/1), zlib compression-ratio scores, and the interpolated
+    Kneser-Ney hashed word-bigram perplexity ('kn' rows; stages/kn_lm.py)."""
     b = _run_part("perplexity_docs", sf_dir)
     t = _run_part("lm_trained_ppl_docs", sf_dir)
     d = _run_part("dsir_docs", sf_dir)
     z = _run_part("zlib_ratio_docs", sf_dir)
     zt = _run_part("zlib_top25_docs", sf_dir)
+    kn = _run_part("kn_ppl_docs", sf_dir)
     b.insert(0, "method", "broadcast")
     t.insert(0, "method", "trained")
+    kn.insert(0, "method", "kn")
     frames = [
         b, t,
         pd.DataFrame({"method": "dsir", "doc_id": d["doc_id"],
@@ -4444,9 +4447,32 @@ def q_perplexity_methods_docs(sf_dir: str) -> pd.DataFrame:
                       "perplexity": z["ratio"]}),
         pd.DataFrame({"method": "zlib_top25", "doc_id": zt["doc_id"],
                       "perplexity": zt["selected"].astype(np.float64)}),
+        kn,
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
+
+
+def q_kn_ppl_docs(sf_dir: str) -> pd.DataFrame:
+    """Interpolated Kneser-Ney hashed word-bigram perplexity (stages/kn_lm.py;
+    the CCNet-style KenLM quality signal, Wenzek et al. 2020): ONE sparse
+    bigram-count exchange trains the model, broadcast scoring appends per-doc
+    perplexity.  Deterministic end-to-end (crc32 word hashing, exact integer
+    counts), so the oracle is an independent per-doc dict-count fixture
+    (tools/gen_oracle_fixtures.py kn_ppl_fixture)."""
+    from great_expectations_ray.stages.kn_lm import kn_perplexity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = kn_perplexity(ds, column="text", concurrency=(1, 4))
+    rows = scored.select_columns(["doc_id", "kn_ppl"]).take_all()
+    df = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    return pd.DataFrame({"doc_id": df["doc_id"],
+                         "perplexity": df["kn_ppl"].round(6)})
+
+
+CONSTITUENT_QUERIES["kn_ppl_docs"] = q_kn_ppl_docs
+CONSTITUENT_ORACLE_SQL["kn_ppl_docs"] = _fixture_sql(
+    "kn_ppl_docs", "doc_id, perplexity", _FP_DOCS, "doc_id")
 
 
 def q_urlops_docs(sf_dir: str) -> pd.DataFrame:
@@ -5031,7 +5057,8 @@ SQL_PERPLEXITY_METHODS_DOCS = _union_sql(
       "dsir_docs"),
      ("'zlib'", "doc_id, ratio AS perplexity", "zlib_ratio_docs"),
      ("'zlib_top25'", "doc_id, CAST(selected AS DOUBLE) AS perplexity",
-      "zlib_top25_docs")],
+      "zlib_top25_docs"),
+     ("'kn'", "doc_id, perplexity", "kn_ppl_docs")],
     "method, doc_id",
 )
 SQL_URLOPS_DOCS = _union_sql(

@@ -1211,6 +1211,59 @@ def dsir_fixture(docs: pd.DataFrame, add_k: float = 0.01, seed: int = 0) -> pd.D
 
 
 # --------------------------------------------------------------------------- #
+# Kneser-Ney bigram perplexity — per-doc python loops + dict counts of the
+# hashed-bigram SPEC (stages/kn_lm.py docstring: W=4096 crc32 word ids,
+# d=0.75 interpolated KN over same-doc adjacent pairs, EPS=2^-40 floor,
+# 1e6 short-doc sentinel).  Per-doc log-prob totals use the same IEEE
+# left-to-right reduce the engine's reduceat performs.
+# --------------------------------------------------------------------------- #
+
+KN_W, KN_D, KN_EPS = 4096, 0.75, 2.0 ** -40
+
+
+def kn_ppl_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    from zlib import crc32 as _crc
+
+    docs = docs.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    seqs = []
+    for t in docs["text"]:
+        toks = DSIR_TOKEN.findall((t or "").lower())
+        seqs.append([_crc(w.encode()) % KN_W for w in toks])
+
+    big: dict[tuple[int, int], int] = {}
+    for s in seqs:
+        for a, b in zip(s, s[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    c_ctx: dict[int, int] = {}
+    n1_after: dict[int, int] = {}
+    before_sets: dict[int, set] = {}
+    for (a, b), c in big.items():
+        c_ctx[a] = c_ctx.get(a, 0) + c
+        n1_after[a] = n1_after.get(a, 0) + 1
+        before_sets.setdefault(b, set()).add(a)
+    n_types = max(len(big), 1)
+
+    ppl = np.full(len(docs), 1e6, dtype=np.float64)
+    for i, s in enumerate(seqs):
+        if len(s) < 2:
+            continue
+        lps = []
+        for a, b in zip(s, s[1:]):
+            pcont = len(before_sets.get(b, ())) / n_types
+            cu = c_ctx.get(a, 0)
+            if cu > 0:
+                p = (max(big.get((a, b), 0) - KN_D, 0.0) / cu
+                     + KN_D * n1_after[a] / cu * pcont)
+            else:
+                p = pcont
+            lps.append(np.log2(np.maximum(p, KN_EPS)))
+        total = np.add.reduceat(np.array(lps, dtype=np.float64), [0])[0]
+        ppl[i] = 2.0 ** (-(total / (len(s) - 1)))
+    return pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(),
+                         "perplexity": np.round(ppl, 6)})
+
+
+# --------------------------------------------------------------------------- #
 # distributed k-means / PCA — whole-matrix numpy reimplementations of the
 # fixed-point accumulation SPEC (scale bits, splitmix init, sign convention);
 # the stages compute the same integer sums per batch + Python-int fold.
@@ -1585,6 +1638,7 @@ def main(sf_dirs: list[str]) -> None:
             ("fasttext_langid_docs", fasttext_fixture(docs), fp_docs),
             ("logreg_docs", logreg_fixture(docs), fp_docs),
             ("dsir_docs", dsir_fixture(docs), fp_docs),
+            ("kn_ppl_docs", kn_ppl_fixture(docs), fp_docs),
             ("semdedup_embeddings", semdedup_fixture(emb), fp_emb),
             ("kmeans_embeddings", kmeans_fixture(emb), fp_emb),
             ("pca_embeddings", pca_fixture(emb), fp_emb),
