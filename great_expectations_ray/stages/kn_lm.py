@@ -216,8 +216,13 @@ class KnScorer:
                  out_col: str = "kn_ppl"):
         import ray
 
-        self.model = (ray.get(model_ref)
-                      if not isinstance(model_ref, dict) else model_ref)
+        model = (ray.get(model_ref)
+                 if not isinstance(model_ref, (dict, tuple)) else model_ref)
+        if isinstance(model, tuple):  # broadcast payload (see kn_perplexity)
+            model = dict(zip(
+                ("cells", "cnts", "c_ctx", "n1_after", "n1_before", "n_types"),
+                model))
+        self.model = model
         self.column = column
         self.out_col = out_col
 
@@ -250,7 +255,12 @@ def kn_perplexity(ds, *, column: str = "text", model: dict | None = None,
 
     if model is None:
         model = distributed_train_kn(ds, column=column)
-    ref = ray.put(model)
+    # broadcast as a TUPLE: Ray Data's schema-dedup hasher chokes on dict
+    # constructor args (harmless but noisy "Failed to hash the schemas"
+    # warning per actor); the scorer rebuilds the dict
+    ref = ray.put(tuple(model[k] for k in
+                        ("cells", "cnts", "c_ctx", "n1_after", "n1_before",
+                         "n_types")))
     return ds.map_batches(
         KnScorer, fn_constructor_kwargs={"model_ref": ref, "column": column,
                                          "out_col": out_col},
