@@ -141,23 +141,18 @@ class _FeatureCounter:
 def fit_hashed_bag(ds, *, column: str = "text", add_k: float = 0.01) -> np.ndarray:
     """One pass over ``ds[column]`` -> dense log-prob vector (float64[D])
     of the smoothed hashed-n-gram bag model."""
-    import pandas as _pd
-
-    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.bucketed import merge_count_partials
 
     partials = ds.select_columns([column]).map_batches(
         _FeatureCounter(column), batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
-        return g.groupby("cell", sort=False)["cnt"].sum().reset_index()
-
-    # the cell domain is bounded (<= D per side), so few buckets suffice;
-    # 64 halves the groupby-sort fixed cost vs the 256 default
-    rows = grouped_apply_bucketed(partials, ["cell"], merge,
-                                  n_buckets=64).take_all()
+    # the cell domain is bounded (<= D per side), so the driver fast path
+    # almost always applies; 64 buckets on the over-cap exchange
+    t = merge_count_partials(partials, ["cell"], n_buckets=64)
     counts = np.zeros(D, dtype=np.float64)
-    for r in rows:
-        counts[r["cell"]] = r["cnt"]
+    if t.num_rows:
+        counts[np.asarray(t.column("cell"), dtype=np.int64)] = (
+            np.asarray(t.column("cnt"), dtype=np.float64))
     sm = counts + add_k
     return np.log(sm / sm.sum())
 
@@ -170,9 +165,7 @@ def fit_hashed_bag_pair(
     a single bucketed merge exchange.  Numerically identical to two
     ``fit_hashed_bag`` calls — the per-cell sums are integer — but halves the
     fixed per-execution cost (one executor spin-up, one exchange)."""
-    import pandas as _pd
-
-    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.bucketed import merge_count_partials
 
     def tagged(ds_, side: int):
         def tag(tbl: pa.Table) -> pa.Table:
@@ -184,17 +177,15 @@ def fit_hashed_bag_pair(
             zero_copy_batch=True,
         ).map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
-        return (g.groupby(["side", "cell"], sort=False)["cnt"].sum()
-                .reset_index())
-
-    rows = grouped_apply_bucketed(
-        tagged(target_ds, 0).union(tagged(raw_ds, 1)), ["cell"], merge,
+    t = merge_count_partials(
+        tagged(target_ds, 0).union(tagged(raw_ds, 1)), ["side", "cell"],
         n_buckets=64,
-    ).take_all()
+    )
     counts = np.zeros((2, D), dtype=np.float64)
-    for r in rows:
-        counts[r["side"], r["cell"]] = r["cnt"]
+    if t.num_rows:
+        counts[np.asarray(t.column("side"), dtype=np.int64),
+               np.asarray(t.column("cell"), dtype=np.int64)] = (
+            np.asarray(t.column("cnt"), dtype=np.float64))
     sm = counts + add_k
     logs = np.log(sm / sm.sum(axis=1, keepdims=True))
     return logs[0], logs[1]

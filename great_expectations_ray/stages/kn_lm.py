@@ -164,25 +164,13 @@ def distributed_train_kn(ds, *, column: str = "text") -> dict:
     """Corpus-wide KN bigram model as a Ray pipeline: sparse per-batch
     partials -> ONE bucketed exchange -> driver-side model derivation.
     Bit-identical under any partitioning (integer count sums)."""
-    import pandas as _pd
-
-    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.bucketed import merge_count_partials
 
     partials = ds.select_columns([column]).map_batches(
         _BigramCounter(column), batch_format="pyarrow", zero_copy_batch=True)
-
-    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
-        return g.groupby("cell", sort=False)["cnt"].sum().reset_index()
-
-    rows = grouped_apply_bucketed(partials, ["cell"], merge,
-                                  n_buckets=64).take_all()
-    if rows:
-        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
-        cnts = np.array([r["cnt"] for r in rows], dtype=np.int64)
-    else:
-        cells = np.empty(0, np.int64)
-        cnts = np.empty(0, np.int64)
-    return build_kn_model(cells, cnts)
+    t = merge_count_partials(partials, ["cell"], n_buckets=64)
+    return build_kn_model(np.asarray(t.column("cell"), dtype=np.int64),
+                          np.asarray(t.column("cnt"), dtype=np.int64))
 
 
 def kn_log2_probs(model: dict, cells: np.ndarray) -> np.ndarray:

@@ -258,21 +258,16 @@ def distributed_train_char_lm(ds, *, column: str = "content",
     exchange -> the <= N_CTX*256-row count table materializes on the
     driver only to build the dense model (which is then ``ray.put``
     broadcast for scoring, never re-shipped per batch)."""
-    import pandas as _pd
-
-    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.bucketed import merge_count_partials
 
     partials = ds.select_columns([column]).map_batches(
         _TrigramCounter(column), batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: _pd.DataFrame) -> _pd.DataFrame:
-        return g.groupby("cell", sort=False)["cnt"].sum().reset_index()
-
-    rows = grouped_apply_bucketed(partials, ["cell"], merge).take_all()
+    t = merge_count_partials(partials, ["cell"])
     counts = np.zeros(N_CTX * V, dtype=np.float64)
-    if rows:
-        cells = np.array([r["cell"] for r in rows], dtype=np.int64)
-        cnts = np.array([r["cnt"] for r in rows], dtype=np.float64)
+    if t.num_rows:
+        cells = np.asarray(t.column("cell"), dtype=np.int64)
+        cnts = np.asarray(t.column("cnt"), dtype=np.float64)
         counts[cells] = cnts
     counts = counts.reshape(N_CTX, V)
     sm = counts + add_k

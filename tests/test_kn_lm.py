@@ -153,3 +153,36 @@ def test_distributed_train_equals_local_counts():
     got = {(int(c) // W, int(c) % W): int(n)
            for c, n in zip(model["cells"], model["cnts"])}
     assert got == big
+
+
+def test_merge_count_partials_paths_identical():
+    """Driver fast path (under the cap) and bucketed-exchange path (cap=0)
+    produce identical exact sums; both match a local recount."""
+    from great_expectations_ray.functions.bucketed import merge_count_partials
+
+    rng = np.random.default_rng(7)
+    cells = rng.integers(0, 50, size=400).astype(np.int64)
+    cnts = rng.integers(1, 9, size=400).astype(np.int64)
+    parts = rd.from_pandas(pd.DataFrame({"cell": cells, "cnt": cnts})
+                           ).repartition(8)
+    fast = merge_count_partials(parts, ["cell"])
+    slow = merge_count_partials(parts, ["cell"], max_driver_rows=0)
+    f = pd.DataFrame({"cell": fast.column("cell").to_numpy(),
+                      "cnt": fast.column("cnt").to_numpy()}
+                     ).sort_values("cell").reset_index(drop=True)
+    s = pd.DataFrame({"cell": slow.column("cell").to_numpy(),
+                      "cnt": slow.column("cnt").to_numpy()}
+                     ).sort_values("cell").reset_index(drop=True)
+    ref = (pd.DataFrame({"cell": cells, "cnt": cnts}).groupby("cell")["cnt"]
+           .sum().reset_index())
+    pd.testing.assert_frame_equal(f, s)
+    pd.testing.assert_frame_equal(f, ref)
+
+
+def test_merge_count_partials_empty():
+    from great_expectations_ray.functions.bucketed import merge_count_partials
+
+    parts = rd.from_pandas(pd.DataFrame({"cell": pd.Series([], dtype="int64"),
+                                         "cnt": pd.Series([], dtype="int64")}))
+    t = merge_count_partials(parts, ["cell"])
+    assert t.num_rows == 0
