@@ -49,9 +49,19 @@ def distributed_word_counts(
     text_col: str = "content",
     max_words: int = 30_000,
     n_buckets: int = 64,
+    max_driver_rows: int = 4_000_000,
 ):
     """(word, cnt) Dataset: per-batch Arrow split + value_counts pre-combine,
-    one bucketed sum exchange, per-bucket deterministic top-``max_words``."""
+    one bucketed sum exchange, per-bucket deterministic top-``max_words``.
+
+    Driver fast path: the per-batch ``value_counts`` pre-combine bounds the
+    unmerged partials at (distinct words per batch) x (batches); when their
+    total is at most ``max_driver_rows`` the exchange is pure fixed cost, so
+    we concat + ``group_by`` sum driver-side and cut the global
+    top-``max_words`` directly.  Bit-identical to the exchange path: both
+    compute exact integer global sums, and a word in the global top-K is by
+    definition in its bucket's top-K (at most K words beat it anywhere), so
+    the per-bucket cut never drops a survivor of the callers' final cut."""
     from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
 
     def word_counts(tbl: pa.Table) -> pa.Table:
@@ -76,7 +86,23 @@ def distributed_word_counts(
     wc = ds.select_columns([text_col]).map_batches(
         word_counts, batch_format="pyarrow", zero_copy_batch=True
     )
-    return grouped_apply_bucketed(wc, ["word"], sum_and_cut,
+    mat = wc.materialize()
+    if mat.count() <= max_driver_rows:
+        import ray
+        import ray.data as rd
+
+        blocks = [b for b in (ray.get(r) for r in mat.to_arrow_refs())
+                  if b.num_rows]
+        if not blocks:
+            return mat
+        t = pa.concat_tables(blocks, promote_options="default")
+        g = t.group_by(["word"]).aggregate([("cnt", "sum")])
+        g = g.rename_columns(["word", "cnt"])
+        df = g.to_pandas().sort_values(
+            ["cnt", "word"], ascending=[False, True], kind="mergesort"
+        ).head(max_words)
+        return rd.from_pandas(df.reset_index(drop=True))
+    return grouped_apply_bucketed(mat, ["word"], sum_and_cut,
                                   n_buckets=n_buckets)
 
 

@@ -146,3 +146,38 @@ def test_apply_matches_sequential_fixture_apply(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"doc_id": "int64", "bpe_tokens": "int64"}), expected)
+
+
+def test_word_counts_driver_and_exchange_paths_identical():
+    """The under-cap driver fast path and the bucketed-exchange path of
+    distributed_word_counts feed train_bpe identically (exact integer sums,
+    same deterministic top-K), so the learned merge tables must be equal."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.bpe_train import distributed_word_counts
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i:03d}" for i in range(40)]
+    docs = pd.DataFrame({
+        "text": [" ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+                 for _ in range(300)],
+    })
+    ds = rd.from_pandas(docs).repartition(6)
+    fast = distributed_word_counts(ds, text_col="text", max_words=25
+                                   ).to_pandas()
+    slow = distributed_word_counts(ds, text_col="text", max_words=25,
+                                   max_driver_rows=0).to_pandas()
+    key = ["cnt", "word"]
+    fast = fast.sort_values(key, ascending=[False, True],
+                            kind="mergesort").head(25).reset_index(drop=True)
+    slow = slow.sort_values(key, ascending=[False, True],
+                            kind="mergesort").head(25).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast[["word", "cnt"]],
+                                  slow[["word", "cnt"]])
+    # and the full trainer path over each is identical
+    m_fast = train_bpe(ds, text_col="text", num_merges=5, max_words=25)
+    ref = (pd.Series(" ".join(docs["text"]).split()).value_counts())
+    assert set(fast["word"]) <= set(ref.index)
+    for w, c in zip(fast["word"], fast["cnt"]):
+        assert ref[w] == c
+    assert len(m_fast) == 5
