@@ -3434,8 +3434,54 @@ def q_media_decode_stats(sf_dir: str) -> pd.DataFrame:
         "n_samples": (vdf["vfp"].astype(np.uint64)
                       & np.uint64((1 << 63) - 1)).astype(np.int64),
     })
-    return (pd.concat([stats, arm, varm], ignore_index=True)
+    # log-mel arm: REAL STFT feature extraction over WAV tone probes
+    # (stages/multimodal.py AudioFeaturizer).  media_type='audio/logmel'
+    # rows carry the 6dp-rounded scalar mean of the pooled (mean, std)
+    # log-mel vector in mean_val, n_frames in width_dec and the probe's
+    # closed-form sample count in n_samples.
+    from great_expectations_ray.stages.multimodal import AudioFeaturizer
+
+    def derive_logmel(tbl: pa.Table) -> pa.Table:
+        doc_id = pc.cast(tbl.column("doc_id"), pa.int64()).combine_chunks()
+        ids = doc_id.to_numpy()
+        payloads = [encode_wav_pcm16(_logmel_probe_wave(int(i))) for i in ids]
+        return pa.table({
+            "doc_id": doc_id,
+            "media_type": pa.array(["audio/wav"] * len(ids)),
+            "payload": pa.array(payloads, pa.large_binary()),
+        })
+
+    waves = ds.map_batches(derive_logmel, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    feats = waves.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 2), batch_size=256,
+    ).to_pandas()
+    fmean = feats["audio_feat"].map(
+        lambda v: round(float(np.asarray(v, dtype=np.float64).mean()), 6))
+    larm = pd.DataFrame({
+        "doc_id": feats["doc_id"],
+        "media_type": "audio/logmel",
+        "mean_val": fmean.astype(np.float64),
+        "width_dec": feats["n_frames"].astype(np.int32),
+        "height_dec": np.int32(0),
+        "n_samples": (800 + (feats["doc_id"] % 5) * 160).astype(np.int64),
+    })
+    return (pd.concat([stats, arm, varm, larm], ignore_index=True)
             .sort_values(["doc_id", "media_type"]).reset_index(drop=True))
+
+
+def _logmel_probe_wave(doc_id: int) -> "np.ndarray":
+    """Deterministic int16 tone probe — the INPUT SPEC shared verbatim with
+    tools/gen_oracle_fixtures.media_logmel_fixture (the log-mel operator is
+    reimplemented independently there): n = 800 + (doc_id % 5)*160 samples,
+    f = 200 + (doc_id % 16)*450 Hz at 16 kHz."""
+    n = 800 + (doc_id % 5) * 160
+    f0 = 200.0 + (doc_id % 16) * 450.0
+    t = np.arange(n)
+    return np.round(8000.0 * np.sin(2 * np.pi * f0 * t / 16000.0)
+                    ).astype(np.int16)
 
 
 def _dhash_probe_image(doc_id: int) -> "np.ndarray":
@@ -3872,6 +3918,14 @@ CONSTITUENT_ORACLE_SQL["media_decode_stats"] = (
     "CAST(0 AS INTEGER) AS height_dec, "
     "CAST(vfp63 AS BIGINT) AS n_samples "
     f"FROM read_parquet('{os.path.join(_FIXTURES, 'media_video_docs.parquet')}') "
+    f"WHERE fp = {_FP_DOCS} "
+    "UNION ALL "
+    "SELECT doc_id, 'audio/logmel' AS media_type, "
+    "logmel_mean AS mean_val, "
+    "CAST(n_frames AS INTEGER) AS width_dec, "
+    "CAST(0 AS INTEGER) AS height_dec, "
+    "CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples "
+    f"FROM read_parquet('{os.path.join(_FIXTURES, 'media_logmel_docs.parquet')}') "
     f"WHERE fp = {_FP_DOCS}"
 )
 _VERDICT_COLS["exact_n_sample_docs"] = [("n", "num"), ("sum_ids", "num")]

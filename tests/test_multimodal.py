@@ -364,3 +364,115 @@ def test_video_mark_duplicates_frame_overlap(ray_session):
     marks = dict(a)
     assert marks == {"a_base": False, "b_twin": True,
                      "c_partial": False, "d_other": False}
+
+
+# --------------------------------------------------------------------------- #
+# log-mel spectrogram feature extraction
+# --------------------------------------------------------------------------- #
+
+
+def _naive_log_mel(samples, rate, n_mels=24, frame_len=400, hop=160,
+                   eps=1e-10):
+    """Independent per-frame loop reimplementation (explicit frame slicing,
+    per-frame rfft, explicit triangle evaluation per bin)."""
+    from great_expectations_ray.stages.multimodal import mel_filterbank
+
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)
+    if len(s) < frame_len:
+        s = np.concatenate([s, np.zeros(frame_len - len(s))])
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame_len) / frame_len)
+    fb = mel_filterbank(n_mels, frame_len, rate)
+    out = []
+    start = 0
+    while start + frame_len <= len(s):
+        fr = s[start:start + frame_len] * win
+        p = np.abs(np.fft.rfft(fr)) ** 2
+        out.append(np.log(fb @ p + eps))
+        start += hop
+    return np.array(out)
+
+
+def test_log_mel_matches_naive_loop():
+    from great_expectations_ray.stages.multimodal import log_mel_frames
+
+    rng = np.random.default_rng(3)
+    s = (rng.standard_normal(16000) * 3000).astype(np.int16)
+    got = log_mel_frames(s, 16000)
+    ref = _naive_log_mel(s, 16000)
+    assert got.shape == ref.shape and got.shape[1] == 24
+    np.testing.assert_allclose(got, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_log_mel_tone_concentrates_in_right_band():
+    from great_expectations_ray.stages.multimodal import (
+        log_mel_frames,
+        mel_filterbank,
+    )
+
+    rate, f0 = 16000, 1000.0
+    t = np.arange(rate) / rate
+    tone = (np.sin(2 * np.pi * f0 * t) * 10000).astype(np.int16)
+    lm = log_mel_frames(tone, rate).mean(axis=0)
+    # expected band: the filter with max response at the tone's fft bin
+    fb = mel_filterbank(24, 400, rate)
+    bin_hz = np.fft.rfftfreq(400, d=1.0 / rate)
+    expect = int(np.argmax(fb[:, np.argmin(np.abs(bin_hz - f0))]))
+    assert int(np.argmax(lm)) == expect
+
+
+def test_log_mel_short_and_stereo():
+    from great_expectations_ray.stages.multimodal import log_mel_frames
+
+    rng = np.random.default_rng(5)
+    short = (rng.standard_normal(100) * 1000).astype(np.int16)
+    assert log_mel_frames(short, 16000).shape[0] == 1  # zero-padded to 1 frame
+    mono = (rng.standard_normal(4000) * 1000).astype(np.int16)
+    stereo = np.stack([mono, mono], axis=1)
+    np.testing.assert_allclose(log_mel_frames(stereo, 16000),
+                               log_mel_frames(mono, 16000))
+
+
+def test_mel_filterbank_shape_and_coverage():
+    from great_expectations_ray.stages.multimodal import mel_filterbank
+
+    fb = mel_filterbank(24, 400, 16000)
+    assert fb.shape == (24, 201)
+    assert (fb >= 0).all() and np.isclose(fb.max(), 1.0, atol=0.05)
+    # every filter has support, and interior bins are covered by some filter
+    assert (fb.sum(axis=1) > 0).all()
+    assert (fb[:, 5:-5].sum(axis=0) > 0).any()
+
+
+def test_audio_featurizer_stage(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.stages.multimodal import (
+        AudioFeaturizer,
+        encode_wav_pcm16,
+        log_mel_pooled,
+    )
+
+    rng = np.random.default_rng(9)
+    sigs = [(rng.standard_normal(3000 + 500 * i) * 5000).astype(np.int16)
+            for i in range(4)]
+    rows = {
+        "media_id": [f"a{i}" for i in range(4)] + ["img0", "empty0"],
+        "media_type": ["audio/wav"] * 4 + ["image/ppm", "audio/wav"],
+        "payload": [encode_wav_pcm16(s) for s in sigs] + [b"P6 junk", b""],
+    }
+    ds = rd.from_arrow(pa.table(rows)).repartition(3)
+    out = {r["media_id"]: r for r in ds.map_batches(
+        AudioFeaturizer, concurrency=(1, 2), batch_size=2,
+        batch_format="pyarrow").take_all()}
+    assert len(out) == 6
+    for i, s in enumerate(sigs):
+        want = log_mel_pooled(s, 16000).astype(np.float32)
+        np.testing.assert_allclose(out[f"a{i}"]["audio_feat"], want,
+                                   rtol=1e-6, atol=1e-6)
+        assert out[f"a{i}"]["n_frames"] >= 1
+    # non-audio and empty payloads: zero vector, 0 frames, no crash
+    for mid in ("img0", "empty0"):
+        assert out[mid]["n_frames"] == 0
+        assert not np.any(out[mid]["audio_feat"])

@@ -19,6 +19,7 @@ Run:  python tools/gen_oracle_fixtures.py  [sf_dir ...]
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import sys
@@ -1598,6 +1599,67 @@ def media_video_fixture(docs: pd.DataFrame) -> pd.DataFrame:
     })
 
 
+
+def media_logmel_fixture(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent log-mel spectrogram features over the audio probes of the
+    media_decode_stats 'audio/logmel' arm.
+
+    The probe-signal FORMULA is the shared input spec (demo_queries
+    ``_logmel_probe_wave``: n = 800 + (doc_id % 5)*160 samples of a
+    round(8000*sin(2*pi*f*t/16000)) int16 tone, f = 200 + (doc_id % 16)*450
+    Hz, 16 kHz).  The OPERATOR — Hann window, per-frame rfft power, HTK-mel
+    triangular filterbank, log, per-band (mean, std) pooling, float32 cast,
+    scalar mean — is reimplemented here with explicit per-frame and
+    per-bin loops, none of the stages/multimodal execution code."""
+    RATE, FRAME, HOP, N_MELS = 16000, 400, 160, 24
+
+    # explicit filterbank: mel points, then per-(mel, bin) triangle loop
+    def to_mel(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    m_lo, m_hi = to_mel(0.0), to_mel(RATE / 2.0)
+    pts = [from_mel(m_lo + (m_hi - m_lo) * k / (N_MELS + 1))
+           for k in range(N_MELS + 2)]
+    n_bins = FRAME // 2 + 1
+    bin_hz = [b * RATE / FRAME for b in range(n_bins)]
+    fb = [[0.0] * n_bins for _ in range(N_MELS)]
+    for m in range(N_MELS):
+        lo, mid, hi = pts[m], pts[m + 1], pts[m + 2]
+        for b in range(n_bins):
+            up = (bin_hz[b] - lo) / max(mid - lo, 1e-12)
+            down = (hi - bin_hz[b]) / max(hi - mid, 1e-12)
+            fb[m][b] = min(max(min(up, down), 0.0), 1e18)
+    fb = np.array(fb)
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(FRAME) / FRAME)
+
+    out_mean, out_frames, ids = [], [], sorted(int(i) for i in docs["doc_id"])
+    for i in ids:
+        n = 800 + (i % 5) * 160
+        f0 = 200.0 + (i % 16) * 450.0
+        t = np.arange(n)
+        s = np.round(8000.0 * np.sin(2 * np.pi * f0 * t / 16000.0)
+                     ).astype(np.int16).astype(np.float64)
+        frames = []
+        start = 0
+        while start + FRAME <= n:
+            fr = s[start:start + FRAME] * win
+            p = np.abs(np.fft.rfft(fr)) ** 2
+            frames.append(np.log(fb @ p + 1e-10))
+            start += HOP
+        lm = np.array(frames)
+        pooled = np.concatenate([lm.mean(axis=0), lm.std(axis=0)]
+                                ).astype(np.float32)
+        out_mean.append(round(float(pooled.astype(np.float64).mean()), 6))
+        out_frames.append(len(frames))
+    return pd.DataFrame({
+        "doc_id": ids,
+        "logmel_mean": np.array(out_mean, dtype=np.float64),
+        "n_frames": np.array(out_frames, dtype=np.int32),
+    })
+
 def main(sf_dirs: list[str]) -> None:
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     acc: dict[str, list[pd.DataFrame]] = {}
@@ -1645,6 +1707,7 @@ def main(sf_dirs: list[str]) -> None:
             ("pq_embeddings", pq_fixture(emb), fp_emb),
             ("media_dhash_docs", media_dhash_fixture(docs), fp_docs),
             ("media_video_docs", media_video_fixture(docs), fp_docs),
+            ("media_logmel_docs", media_logmel_fixture(docs), fp_docs),
         ]:
             df.insert(0, "fp", np.int64(fp))
             acc.setdefault(name, []).append(df)
