@@ -188,3 +188,47 @@ def classify(ds, *, label_col: str = "lang", text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+class TextEmbedder:
+    """First-class text -> embedding stage: the fastText-style hashed
+    unigram+bigram mean-pooled vector exposed as a ``list<float32>``
+    column (default ``text_emb``), so the `documents` table chains
+    directly into the embedding operators (ANN / k-means / PCA /
+    SemDeDup / embedding-cosine near-dup) without an external model.
+
+    ``ds.map_batches(TextEmbedder, fn_constructor_kwargs={"text_col":
+    "text"}, concurrency=(1, N), batch_format="pyarrow")`` — the ~4 MiB
+    embedding table regenerates from its seed ONCE per actor (cheaper
+    than shipping it); the per-batch path is the same vectorized
+    hash → gather → segment-mean used by the classifier, emitted as
+    float32 (deterministic quantization of the float64 pipeline)."""
+
+    def __init__(self, text_col: str = "text", seed: int = 41,
+                 sep: str = " ", out_col: str = "text_emb"):
+        self.text_col = text_col
+        self.sep = sep
+        self.out_col = out_col
+        self.E = embedding_table(seed)
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        texts = tbl.column(self.text_col).combine_chunks()
+        ids, counts = _feature_ids(texts, self.sep)
+        vecs = _doc_vectors(self.E, ids, counts).astype(np.float32)
+        return tbl.append_column(
+            self.out_col,
+            pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        )
+
+
+def embed_text(ds, *, text_col: str = "text", seed: int = 41,
+               sep: str = " ", out_col: str = "text_emb",
+               concurrency=(1, 8), batch_size: int = 4096):
+    """Dataset -> Dataset with a pooled hashed-feature embedding column."""
+    return ds.map_batches(
+        TextEmbedder,
+        fn_constructor_kwargs={"text_col": text_col, "seed": seed,
+                               "sep": sep, "out_col": out_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+    )

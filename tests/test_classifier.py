@@ -92,3 +92,38 @@ def test_classifier_batch_split_invariance(ray_session):
     merged = pa.concat_tables(parts)
     assert whole.column("pred_label").to_pylist() == merged.column("pred_label").to_pylist()
     assert whole.column("pred_score").to_pylist() == merged.column("pred_score").to_pylist()
+
+
+def test_embed_text_matches_driver_math(ray_session):
+    """TextEmbedder output == the driver-side _feature_ids/_doc_vectors
+    math per doc, float32-cast; partitioning-invariant; zero-feature docs
+    embed to the zero vector; chains into cosine similarity."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.classifier import (
+        _doc_vectors,
+        _feature_ids,
+        embed_text,
+        embedding_table,
+    )
+
+    texts = ["the quick brown fox", "the quick brown fox", "lazy dog", "",
+             "one", "completely different words here"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = {r["doc_id"]: np.asarray(r["text_emb"], dtype=np.float32)
+           for r in embed_text(rd.from_pandas(df).repartition(3),
+                               concurrency=(1, 2), batch_size=2).take_all()}
+    E = embedding_table(41)
+    ids, counts = _feature_ids(pa.array(texts, pa.string()))
+    want = _doc_vectors(E, ids, counts).astype(np.float32)
+    for i in range(len(texts)):
+        np.testing.assert_array_equal(out[i], want[i])
+    # identical docs embed identically; empty doc -> zero vector
+    np.testing.assert_array_equal(out[0], out[1])
+    assert not np.any(out[3])
+    # cosine of identical docs = 1, different docs < 1
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb)) if na and nb else 0.0
+    assert np.isclose(cos(out[0], out[1]), 1.0)
+    assert cos(out[0], out[5]) < 0.999
