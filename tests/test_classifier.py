@@ -127,3 +127,27 @@ def test_embed_text_matches_driver_math(ray_session):
         return float(a @ b / (na * nb)) if na and nb else 0.0
     assert np.isclose(cos(out[0], out[1]), 1.0)
     assert cos(out[0], out[5]) < 0.999
+
+
+def test_embed_text_chains_into_embedding_neardup(ray_session):
+    """End-to-end documents -> embed_text -> embedding-cosine near-dup:
+    exact duplicate texts are marked (cosine 1.0 in every bucketing),
+    unrelated docs are not."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.classifier import embed_text
+    from great_expectations_ray.stages.neardup import embedding_mark_duplicates
+
+    texts = (["the quick brown fox jumps over the lazy dog"] * 3
+             + ["vectorized arrow kernels stream blocks with backpressure",
+                "completely unrelated words about cooking pasta tonight"])
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    emb = embed_text(rd.from_pandas(df).repartition(2),
+                     concurrency=(1, 2), batch_size=2)
+    marked = {r["doc_id"]: r["max(is_neardup)"]
+              for r in embedding_mark_duplicates(
+                  emb, emb_col="text_emb", id_col="doc_id",
+                  cosine_threshold=0.999).take_all()}
+    assert marked[0] is False or marked[0] == False  # keeper (lowest id)
+    assert marked[1] and marked[2]                   # exact text twins
+    assert not marked[3] and not marked[4]
