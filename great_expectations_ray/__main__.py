@@ -439,6 +439,31 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_embed(args) -> int:
+    """Embed a text corpus into hashed-feature vectors (partitioned).
+
+    documents -> ``text_emb`` list<float32> via the fastText-style hashed
+    unigram+bigram mean-pooled embedding (stages/classifier.py TextEmbedder,
+    seeded — re-runs and day-2 corpora embed into the SAME space, so the
+    output chains into dedup/ANN/k-means across runs)."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.classifier import embed_text
+
+    owned = _init_ray(args.cpus)
+    try:
+        ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        emb = embed_text(ds, text_col=args.text_col, seed=args.seed,
+                         concurrency=(1, max(2, args.cpus // 2)))
+        emb.repartition(args.partitions).write_parquet(args.output)
+        n = rd.read_parquet(args.output).count()
+        print(json.dumps({"rows": n, "dim": 16, "seed": args.seed,
+                          "output": args.output}))
+    finally:
+        _maybe_shutdown(owned)
+    return 0
+
+
 def cmd_select(args) -> int:
     """Score a parquet corpus and keep the top fraction (partitioned).
 
@@ -572,6 +597,17 @@ def main(argv=None) -> int:
     pk.add_argument("--partitions", type=int, default=8)
     pk.add_argument("--cpus", type=int, default=None)
     pk.set_defaults(fn=cmd_pack)
+
+    em = sub.add_parser("embed",
+                        help="embed a text corpus into hashed-feature vectors")
+    em.add_argument("--input", required=True)
+    em.add_argument("--output", required=True)
+    em.add_argument("--text-col", default="text")
+    em.add_argument("--id-col", default="doc_id")
+    em.add_argument("--seed", type=int, default=41)
+    em.add_argument("--partitions", type=int, default=8)
+    em.add_argument("--cpus", type=int, default=8)
+    em.set_defaults(fn=cmd_embed)
 
     sl = sub.add_parser("select",
                         help="keep the top fraction of a corpus by score")
