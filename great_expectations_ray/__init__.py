@@ -20,6 +20,7 @@ from great_expectations_ray.core.results import (
     SuiteValidationResult,
 )
 from great_expectations_ray.engine import validate
+from great_expectations_ray.pipelines.grouped import validate_grouped
 from great_expectations_ray.context import DataContext, get_context
 
 # side-effect import: registers the contrib-expectation ports (hexadecimal,
@@ -37,4 +38,5 @@ __all__ = [
     "SuiteValidationResult",
     "get_context",
     "validate",
+    "validate_grouped",
 ]

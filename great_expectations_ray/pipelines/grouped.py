@@ -1,0 +1,292 @@
+"""Grouped validation — one suite x EVERY partition of one Dataset, in a
+single fused streaming pass.
+
+The reference validates one batch (partition) at a time: a batch definition
+slices the asset, then each slice runs the full suite separately
+(``datasource/fluent/batch_request.py``, ``checkpoint/checkpoint.py:1`` run
+loops).  Validating N month-partitions therefore costs N passes over the
+data.  Here the engine's fused per-block evaluator (engine.py
+``_PartialEvaluator``) runs per (block, group) sub-table instead: ONE pass
+over the corpus emits one pickled partial per (block, group), the driver
+merges partials per group (all states are associative), and each group gets
+the same GX-shaped ``SuiteValidationResult`` that ``validate`` produces —
+row-count semantics, vacuous truth, ``mostly``, partial-unexpected samples
+and all.
+
+Scale shape: the corpus streams once; what reaches the driver is bounded by
+(#blocks x groups-per-block) partial rows, each a small pickled state
+(aggregate moments + capped unexpected samples), never corpus rows.  A
+``max_driver_partials`` guard raises with guidance instead of silently
+accumulating an unbounded pull when the key is high-cardinality (use the
+wide dedup/groupby operators for per-key metrics at that cardinality, or
+pre-bucket the key).
+
+Scope: map rules, aggregate rules and table rules — the families whose
+finish needs only the merged partials.  Families that need a second pass or
+their own exchange over each group (two-phase z-scores, distinct-set /
+uniqueness, KS/chi2/KL, cross-table, queried SQL, ordered) raise a clear
+ValueError; run those through ``validate`` per slice.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from great_expectations_ray.core.results import (
+    ExpectationValidationResult,
+    MapPartialState,
+    SuiteValidationResult,
+    calc_validation_statistics,
+    format_map_result,
+    mostly_success,
+    PARTIAL_UNEXPECTED_COUNT_DEFAULT,
+)
+from great_expectations_ray.core.suite import ExpectationSuite
+from great_expectations_ray.engine import (
+    FAIL_ON_EMPTY_TYPES,
+    TABLE_RULES,
+    _dataset_arrow_schema,
+    _merge_partials,
+    _PartialEvaluator,
+    compile_suite,
+)
+from great_expectations_ray.functions.aggregates import (
+    AGG_EXPECTATIONS,
+    NumericAggState,
+    validate_metric_value_between,
+)
+
+_UNSUPPORTED_FAMILIES = (
+    ("two_phase_rules", "two-phase (z-score / outlier)"),
+    ("vc_rules", "distinct-set / value-count"),
+    ("unique_rules", "uniqueness (shuffle phase)"),
+    ("dist_rules", "KL / histogram distribution"),
+    ("ks_rules", "KS tests"),
+    ("cross_rules", "cross-table"),
+    ("global_sql_rules", "table-scope SQL"),
+    ("queried_rules", "queried family"),
+    ("ordered_rules", "increasing / decreasing"),
+    ("paired_stat_rules", "paired statistics (chi2 / paired KS)"),
+    ("cramers_rules", "Cramér's phi"),
+)
+
+
+class _GroupedEvaluator:
+    """Per-block: dictionary-encode the key column, run the fused evaluator
+    on each group's sub-table, emit one (key, partial) row per group present
+    in the block.  Null keys form their own group (GX has no opinion here;
+    SQL GROUP BY semantics)."""
+
+    def __init__(self, by: str, evaluator: _PartialEvaluator):
+        self.by = by
+        self.evaluator = evaluator
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(self.by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        ind = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        key_parts: list[pa.Array] = []
+        partials: list[bytes] = []
+        for g in range(len(enc.dictionary)):
+            sub = tbl.filter(pa.array(ind == g))
+            partials.append(
+                self.evaluator(sub).column("partial")[0].as_py())
+            key_parts.append(enc.dictionary.slice(g, 1))
+        if (ind == -1).any():
+            sub = tbl.filter(pa.array(ind == -1))
+            partials.append(
+                self.evaluator(sub).column("partial")[0].as_py())
+            key_parts.append(pa.nulls(1, keys.type))
+        key_arr = (pa.concat_arrays(key_parts) if key_parts
+                   else pa.nulls(0, keys.type))
+        return pa.table({
+            "__key": key_arr,
+            "partial": pa.array(partials, pa.large_binary()),
+        })
+
+
+def validate_grouped(
+    ds,
+    suite: ExpectationSuite,
+    *,
+    by: str,
+    result_format: str | dict = "SUMMARY",
+    partial_unexpected_count: int = PARTIAL_UNEXPECTED_COUNT_DEFAULT,
+    catch_exceptions: bool = True,
+    max_driver_partials: int = 200_000,
+) -> dict[Any, SuiteValidationResult]:
+    """Validate every ``by``-group of ``ds`` against ``suite`` in ONE pass.
+
+    Returns ``{group_key: SuiteValidationResult}`` — per group, the same
+    result ``validate(ds.filter(key == k), suite)`` produces for the
+    supported rule families (pinned by tests).  Null keys map to ``None``.
+    """
+    if isinstance(result_format, dict):
+        rf = dict(result_format)
+        result_format = rf.get("result_format", "SUMMARY")
+        partial_unexpected_count = rf.get(
+            "partial_unexpected_count", partial_unexpected_count)
+
+    plan = compile_suite(suite)
+    bad = [label for attr, label in _UNSUPPORTED_FAMILIES
+           if getattr(plan, attr)]
+    if bad:
+        raise ValueError(
+            "validate_grouped supports map/aggregate/table rules only; "
+            f"unsupported families in this suite: {', '.join(bad)}. "
+            "Run those expectations through validate() per slice.")
+
+    evaluator = _PartialEvaluator(
+        plan.map_rules, plan.agg_columns, plan.count_columns, set(), None)
+    mat = ds.map_batches(
+        _GroupedEvaluator(by, evaluator),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_partials = mat.count()
+    if n_partials > max_driver_partials:
+        raise ValueError(
+            f"{n_partials} (block x group) partials exceed "
+            f"max_driver_partials={max_driver_partials}: the key is too "
+            "high-cardinality for per-group suite results on the driver — "
+            "pre-bucket the key, or use the wide per-key operators "
+            "(grouped_apply_bucketed) for per-key metrics at this scale.")
+
+    by_key: dict[Any, list[bytes]] = {}
+    for row in mat.take_all():
+        by_key.setdefault(row["__key"], []).append(row["partial"])
+
+    schema = _dataset_arrow_schema(ds)
+    configs = suite.resolved_expectations()
+    out: dict[Any, SuiteValidationResult] = {}
+    for key, parts in by_key.items():
+        merged = _merge_partials(parts)
+        out[key] = _finish_group(
+            suite, plan, configs, merged, schema,
+            result_format=result_format,
+            partial_unexpected_count=partial_unexpected_count,
+            catch_exceptions=catch_exceptions,
+        )
+        out[key].meta["group_key"] = key
+        out[key].meta["group_by"] = by
+    return out
+
+
+def _finish_group(
+    suite: ExpectationSuite,
+    plan,
+    configs,
+    merged: dict,
+    schema,
+    *,
+    result_format: str,
+    partial_unexpected_count: int,
+    catch_exceptions: bool,
+) -> SuiteValidationResult:
+    """Build one group's suite result from its merged partials — the same
+    finish semantics as engine.validate's map/agg/table sections (vacuous
+    truth, FAIL_ON_EMPTY_TYPES, mostly, exact-sum equality, normaltest)."""
+    evrs: dict[int, ExpectationValidationResult] = {}
+
+    def fail_evr(idx, cfg, msg) -> None:
+        if not catch_exceptions:
+            raise RuntimeError(msg)
+        evrs[idx] = ExpectationValidationResult(
+            success=False,
+            expectation_config=cfg.to_json_dict(),
+            exception_info={"raised_exception": True,
+                            "exception_message": msg},
+        )
+
+    for idx, cfg, msg in plan.errors:
+        fail_evr(idx, cfg, msg)
+
+    row_count = merged["row_count"]
+    for idx, cfg in plan.table_rules:
+        try:
+            ok, result = TABLE_RULES[cfg.expectation_type](
+                schema, row_count, cfg.kwargs)
+            evrs[idx] = ExpectationValidationResult(
+                success=ok, expectation_config=cfg.to_json_dict(),
+                result=result)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    for idx, cfg in plan.map_rules:
+        if idx in merged["errors"]:
+            fail_evr(idx, cfg, merged["errors"][idx])
+            continue
+        ps = merged["maps"].get(idx, MapPartialState())
+        nonnull = ps.element_count - ps.null_count
+        if ps.element_count == 0 or nonnull == 0:
+            success = cfg.expectation_type not in FAIL_ON_EMPTY_TYPES
+        else:
+            success = mostly_success(
+                nonnull, ps.unexpected_count, cfg.kwargs.get("mostly", 1.0))
+        evrs[idx] = ExpectationValidationResult(
+            success=success,
+            expectation_config=cfg.to_json_dict(),
+            result=format_map_result(
+                result_format=result_format,
+                partial_unexpected_count=partial_unexpected_count,
+                success=success,
+                state=ps,
+            ),
+        )
+
+    for idx, cfg in plan.agg_rules:
+        err = merged["errors"].get(("agg", cfg.kwargs["column"]))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
+        try:
+            metric = AGG_EXPECTATIONS[cfg.expectation_type]
+            ag = merged["aggs"].get(cfg.kwargs["column"], NumericAggState())
+            value = ag.metric(metric)
+            if (cfg.expectation_type == "expect_column_skew_to_be_between"
+                    and cfg.kwargs.get("abs") and value is not None):
+                value = abs(value)
+            if cfg.expectation_type == "expect_column_sum_to_be":
+                ok = value == cfg.kwargs["sum_total"]
+                evrs[idx] = ExpectationValidationResult(
+                    success=ok, expectation_config=cfg.to_json_dict(),
+                    result={"observed_value": value})
+                continue
+            if (cfg.expectation_type
+                    == "expect_column_values_to_be_normally_distributed"):
+                from great_expectations_ray.functions.stats_math import (
+                    dagostino_normaltest_p,
+                )
+
+                g1 = ag.metric("column.custom.skew")
+                g2 = ag.metric("column.custom.kurtosis")
+                if g1 is None or g2 is None:
+                    raise ValueError("normaltest needs a non-constant column")
+                value = dagostino_normaltest_p(int(ag.n), g1, g2)
+            ok = validate_metric_value_between(
+                value,
+                cfg.kwargs.get("min_value"), cfg.kwargs.get("max_value"),
+                cfg.kwargs.get("strict_min", False),
+                cfg.kwargs.get("strict_max", False),
+            )
+            evrs[idx] = ExpectationValidationResult(
+                success=ok, expectation_config=cfg.to_json_dict(),
+                result={"observed_value": value})
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    results = [evrs[i] for i in sorted(evrs)] if evrs else []
+    stats = calc_validation_statistics(results)
+    return SuiteValidationResult(
+        success=stats["success"],
+        results=results,
+        statistics=stats,
+        suite_name=suite.name,
+        meta={"result_format": result_format, "row_count": row_count},
+    )

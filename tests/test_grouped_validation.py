@@ -1,0 +1,100 @@
+"""Grouped validation (pipelines/grouped.py): one suite x every partition of
+one Dataset in a single fused pass, pinned EVR-for-EVR against per-slice
+engine.validate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from great_expectations_ray import ExpectationSuite, validate
+from great_expectations_ray.pipelines.grouped import validate_grouped
+
+
+def _suite() -> ExpectationSuite:
+    return (
+        ExpectationSuite("grouped")
+        .add("expect_column_values_to_not_be_null", column="v")
+        .add("expect_column_values_to_be_between", column="v",
+             min_value=0, max_value=100, mostly=0.8)
+        .add("expect_column_mean_to_be_between", column="v",
+             min_value=10, max_value=60)
+        .add("expect_table_row_count_to_be_between", min_value=2)
+        .add("expect_column_to_exist", column="grp")
+    )
+
+
+def _frame() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    n = 400
+    grp = rng.choice(["a", "b", "c"], size=n).astype(object)
+    grp[::41] = None  # a null-key group
+    v = rng.integers(0, 80, size=n).astype(float)
+    v[grp == "b"] += 200.0        # 'b' violates between + mean
+    v[::23] = np.nan              # some nulls everywhere
+    return pd.DataFrame({"grp": grp, "v": v})
+
+
+def test_grouped_matches_per_slice_validate(ray_session):
+    df = _frame()
+    ds = rd.from_pandas(df).repartition(6)
+    got = validate_grouped(ds, _suite(), by="grp")
+    assert set(got) == {"a", "b", "c", None}
+    for key in got:
+        mask = df["grp"].isna() if key is None else (df["grp"] == key)
+        ref = validate(rd.from_pandas(
+            df[mask.fillna(False)].reset_index(drop=True)), _suite())
+        g = got[key]
+        assert g.statistics == ref.statistics
+        assert g.meta["row_count"] == ref.meta["row_count"]
+        for ge, re_ in zip(g.results, ref.results):
+            assert ge.success == re_.success
+            gd, rd_ = ge.to_json_dict(), re_.to_json_dict()
+            # partial samples are order-dependent across block layouts;
+            # compare everything else exactly and the samples as multisets
+            for fld in ("element_count", "unexpected_count",
+                        "unexpected_percent", "missing_count",
+                        "observed_value"):
+                a, b = gd["result"].get(fld), rd_["result"].get(fld)
+                if isinstance(a, float) and isinstance(b, float):
+                    # Chan-merged moments differ in the last bits across
+                    # block layouts (documented engine convention)
+                    assert np.isclose(a, b, rtol=1e-12, atol=0.0), (
+                        key, gd["expectation_config"]["expectation_type"], fld)
+                else:
+                    assert a == b, (
+                        key, gd["expectation_config"]["expectation_type"], fld)
+            gs = gd["result"].get("partial_unexpected_list")
+            rs = rd_["result"].get("partial_unexpected_list")
+            if gs is not None or rs is not None:
+                assert sorted(map(str, gs or [])) == sorted(map(str, rs or []))
+
+
+def test_grouped_single_pass_vacuous_and_empty_groups(ray_session):
+    # group 'z' has only null v: map rules are vacuous-true, mean fails
+    df = pd.DataFrame({"grp": ["z", "z"], "v": [np.nan, np.nan]})
+    got = validate_grouped(rd.from_pandas(df), _suite(), by="grp")
+    r = {g.to_json_dict()["results"][i]["expectation_config"]["expectation_type"]:
+         g.to_json_dict()["results"][i]["success"]
+         for g in [got["z"]] for i in range(len(g.results))}
+    assert r["expect_column_values_to_be_between"] is True   # vacuous
+    assert r["expect_column_mean_to_be_between"] is False    # None metric
+
+
+def test_grouped_rejects_unsupported_families(ray_session):
+    suite = (ExpectationSuite("s")
+             .add("expect_column_values_to_be_unique", column="v"))
+    ds = rd.from_pandas(pd.DataFrame({"grp": ["a"], "v": [1.0]}))
+    with pytest.raises(ValueError, match="unsupported families"):
+        validate_grouped(ds, suite, by="grp")
+
+
+def test_grouped_partial_cap_guard(ray_session):
+    df = pd.DataFrame({"grp": [str(i) for i in range(50)],
+                       "v": np.arange(50, dtype=float)})
+    ds = rd.from_pandas(df).repartition(2)
+    with pytest.raises(ValueError, match="max_driver_partials"):
+        validate_grouped(ds, _suite(), by="grp", max_driver_partials=10)
