@@ -4040,12 +4040,62 @@ _VERDICT_COLS["pct_rank_quantity"] = [
     ("n", "num"), ("sum_cnt_less", "num"), ("n_min", "num"), ("n_max", "num")]
 
 
+def q_grouped_validate_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Grouped validation (pipelines/grouped.py validate_grouped): one suite
+    x every l_returnflag partition of lineitem in a SINGLE fused pass.
+    Verdict columns are integer counts and success booleans only (Chan-merged
+    float means are partition-order-dependent in the last bits, so the mean
+    expectation contributes its SUCCESS, never its observed value)."""
+    from great_expectations_ray.core.suite import ExpectationSuite as _ES
+    from great_expectations_ray.pipelines.grouped import validate_grouped
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+    suite = (
+        _ES("grouped_gate")
+        .add("expect_column_values_to_be_between", column="l_quantity",
+             min_value=1, max_value=49)
+        .add("expect_column_mean_to_be_between", column="l_discount",
+             min_value=0.0, max_value=0.1)
+    )
+    res = validate_grouped(ds, suite, by="l_returnflag")
+    row: dict[str, int] = {}
+    for flag in ("A", "N", "R"):
+        r = res[flag].to_json_dict()
+        row[f"{flag}_n"] = int(res[flag].meta["row_count"])
+        row[f"{flag}_unexp"] = int(
+            r["results"][0]["result"]["unexpected_count"])
+        row[f"{flag}_mean_ok"] = int(bool(r["results"][1]["success"]))
+    return pd.DataFrame([row]).astype("int64")
+
+
+CONSTITUENT_QUERIES["grouped_validate_lineitem"] = q_grouped_validate_lineitem
+_GV_COLS = []
+for _f in ("A", "N", "R"):
+    _GV_COLS += [
+        f"CAST(COUNT(*) FILTER (WHERE l_returnflag = '{_f}') AS BIGINT) "
+        f"AS {_f}_n",
+        f"CAST(COUNT(*) FILTER (WHERE l_returnflag = '{_f}' AND "
+        f"(l_quantity < 1 OR l_quantity > 49)) AS BIGINT) AS {_f}_unexp",
+        f"CAST(CASE WHEN (AVG(l_discount) FILTER (WHERE l_returnflag = "
+        f"'{_f}')) BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END AS BIGINT) "
+        f"AS {_f}_mean_ok",
+    ]
+CONSTITUENT_ORACLE_SQL["grouped_validate_lineitem"] = (
+    "SELECT " + ", ".join(_GV_COLS) + " FROM lineitem"
+)
+_VERDICT_COLS["grouped_validate_lineitem"] = [
+    (f"{f}_{m}", "num") for f in ("A", "N", "R")
+    for m in ("n", "unexp", "mean_ok")
+]
+
+
 _AGG_STATS_VERDICT_PARTS = [
     "agg_quantity", "distinct_mktsegment", "most_common_returnflag",
     "quantiles_price", "unique_prefix_violations", "compound_unique_orders",
     "zscore_quantity", "kl_event_types", "cramers_events",
     "ks_uniform_quantity", "exact_n_sample_docs", "psi_quantity_halves",
-    "pct_rank_quantity",
+    "pct_rank_quantity", "grouped_validate_lineitem",
 ]
 
 
