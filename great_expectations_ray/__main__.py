@@ -95,6 +95,18 @@ def cmd_validate(args) -> int:
         with open(args.suite) as f:
             suite = ExpectationSuite.from_json(f.read())
         ds = read_batch(args.input)
+        if args.by:
+            from great_expectations_ray.pipelines.grouped import (
+                validate_grouped,
+            )
+
+            grouped = validate_grouped(ds, suite, by=args.by,
+                                       result_format=args.result_format)
+            print(json.dumps(
+                {str(k): r.to_json_dict() for k, r in sorted(
+                    grouped.items(), key=lambda kv: str(kv[0]))},
+                indent=1, default=str))
+            return 0 if all(r.success for r in grouped.values()) else 1
         res = validate(ds, suite, result_format=args.result_format)
         print(json.dumps(res.to_json_dict(), indent=1, default=str))
     finally:
@@ -550,6 +562,9 @@ def main(argv=None) -> int:
     v.add_argument("--suite", required=True)
     v.add_argument("--result-format", default="SUMMARY",
                    choices=["BOOLEAN_ONLY", "BASIC", "SUMMARY", "COMPLETE"])
+    v.add_argument("--by", default=None,
+                   help="validate every group of this column in ONE pass "
+                        "(exit 1 if any group fails)")
     v.add_argument("--cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
 

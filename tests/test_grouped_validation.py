@@ -98,3 +98,29 @@ def test_grouped_partial_cap_guard(ray_session):
     ds = rd.from_pandas(df).repartition(2)
     with pytest.raises(ValueError, match="max_driver_partials"):
         validate_grouped(ds, _suite(), by="grp", max_driver_partials=10)
+
+
+def test_validate_cli_by_flag(ray_session, tmp_path, capsys):
+    """`validate --by` validates every group in one pass and exits 1 when
+    any group fails."""
+    import json as _json
+
+    from great_expectations_ray.__main__ import main
+
+    df = pd.DataFrame({
+        "grp": ["a"] * 5 + ["b"] * 5,
+        "v": [1.0] * 5 + [500.0] * 5,   # 'b' violates between
+    })
+    inp = str(tmp_path / "t")
+    rd.from_pandas(df).repartition(2).write_parquet(inp)
+    suite_p = str(tmp_path / "suite.json")
+    suite = (ExpectationSuite("cli")
+             .add("expect_column_values_to_be_between", column="v",
+                  min_value=0, max_value=100))
+    with open(suite_p, "w") as f:
+        f.write(suite.to_json())
+    rc = main(["validate", "--input", inp,
+               "--suite", suite_p, "--by", "grp", "--cpus", "4"])
+    out = _json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert out["a"]["success"] is True and out["b"]["success"] is False
