@@ -1148,15 +1148,28 @@ def _finish_vc_rule(
         and cfg.kwargs.get("allow_relative_error")
     ):
         # reference's allow_relative_error knob (column_quantile_values.py:36,
-        # SQL-only there): bounded-rank-error sampled quantiles, 2 passes
-        from great_expectations_ray.functions.quantiles import sampled_quantiles
-
+        # SQL-only there).  Two Ray-native recasts:
+        #   - a float epsilon -> DKW-sampled quantiles (2 passes), or
+        #   - the string "kll" -> ONE-pass mergeable KLL sketch partials
+        #     (functions/kll.py; Spark's knob maps to Greenwald-Khanna —
+        #     KLL dominates it on space and is mergeable)
         qr = cfg.kwargs["quantile_ranges"]
-        values = sampled_quantiles(
-            ds, col, qr["quantiles"],
-            relative_error=float(cfg.kwargs["allow_relative_error"]),
-            interpolation=cfg.kwargs.get("interpolation", "nearest"),
-        )
+        are = cfg.kwargs["allow_relative_error"]
+        if isinstance(are, str) and are.lower() == "kll":
+            from great_expectations_ray.functions.kll import kll_quantiles
+
+            values = kll_quantiles(
+                ds, col, qr["quantiles"],
+                interpolation=cfg.kwargs.get("interpolation", "nearest"),
+            )
+        else:
+            from great_expectations_ray.functions.quantiles import sampled_quantiles
+
+            values = sampled_quantiles(
+                ds, col, qr["quantiles"],
+                relative_error=float(are),
+                interpolation=cfg.kwargs.get("interpolation", "nearest"),
+            )
         oks = [validate_metric_value_between(v, lo, hi)
                for v, (lo, hi) in zip(values, qr["value_ranges"])]
         return ExpectationValidationResult(

@@ -2493,8 +2493,15 @@ _LIC_HDRS = ["SPDX-License-Identifier: MIT\n",
 def _derived_code_corpus(sf_dir: str):
     """documents -> code-corpus shape (repo, content) with deterministic,
     SQL-re-derivable structure: autogen/license headers, import lines, a
-    require() line, comment lines, and every doc_id%11==0 row a minified
-    blob.  Mirrors _SQL_CODE_CORPUS_CTE exactly."""
+    require() line, comment lines, embedded secrets (doc_id%13==5 a hex
+    token via md5, doc_id%17==3 a base64 signature via to_base64(unhex(md5))
+    — both bit-identical between hashlib/base64 and DuckDB), and every
+    doc_id%11==0 row a minified blob.  Mirrors _SQL_CODE_CORPUS_CTE exactly.
+    The per-row md5 list comps run only over the ~1/13 + ~1/17 affected rows
+    of a GATE corpus derivation — not a production hot path."""
+    import base64 as _b64
+    import hashlib as _hashlib
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def derive(tbl: pa.Table) -> pa.Table:
@@ -2523,8 +2530,18 @@ def _derived_code_corpus(sf_dir: str):
                 lit("const x = require('lib"), smod(5), lit("')\n"), ""),
             lit(""))
         cmt = pc.if_else(pa.array(ids % 7 <= 2), lit("// note\n"), lit(""))
+        sec_hex = [""] * n
+        for j in np.nonzero(ids % 13 == 5)[0]:
+            h = _hashlib.md5(str(ids[j]).encode()).hexdigest()
+            sec_hex[j] = f'token = "{h}"\n'
+        sec_b64 = [""] * n
+        for j in np.nonzero(ids % 17 == 3)[0]:
+            b1 = _b64.b64encode(_hashlib.md5(str(ids[j]).encode()).digest()).decode()
+            b2 = _b64.b64encode(_hashlib.md5(str(ids[j] + 1).encode()).digest()).decode()
+            sec_b64[j] = f'sig = "{b1}{b2}"\n'
         body = pc.binary_join_element_wise(
             autogen, lic, imp1, imp2, req, cmt,
+            pa.array(sec_hex, pa.string()), pa.array(sec_b64, pa.string()),
             pc.cast(tbl.column("text").combine_chunks(), pa.string()), lit("\n"), "")
         content = pc.if_else(pa.array(ids % 11 == 0), lit(_MINIFIED_BLOB), body)
         return pa.table({
@@ -2551,6 +2568,8 @@ code_corpus AS (
         || 'from pkg' || CAST(doc_id % 3 AS VARCHAR) || ' import thing' || chr(10)
         || (CASE WHEN doc_id % 2 = 1 THEN 'const x = require(''lib' || CAST(doc_id % 5 AS VARCHAR) || ''')' || chr(10) ELSE '' END)
         || (CASE WHEN doc_id % 7 <= 2 THEN '// note' || chr(10) ELSE '' END)
+        || (CASE WHEN doc_id % 13 = 5 THEN 'token = "' || md5(CAST(doc_id AS VARCHAR)) || '"' || chr(10) ELSE '' END)
+        || (CASE WHEN doc_id % 17 = 3 THEN 'sig = "' || to_base64(unhex(md5(CAST(doc_id AS VARCHAR)))) || to_base64(unhex(md5(CAST(doc_id + 1 AS VARCHAR)))) || '"' || chr(10) ELSE '' END)
         || text || chr(10)
     END AS content
   FROM documents)
@@ -2639,6 +2658,50 @@ cnts AS (SELECT repo, license, CAST(count(*) AS BIGINT) AS cnt
 SELECT repo, license, cnt FROM cnts
 QUALIFY row_number() OVER (PARTITION BY repo ORDER BY cnt DESC, license ASC) = 1
 ORDER BY repo
+""")
+
+
+def q_secret_scan_corpus(sf_dir: str) -> pd.DataFrame:
+    """Entropy-based secret detection (stages/secrets_entropy.py — the
+    truffleHog signal): per file the maximal base64/hex candidate runs
+    >= 20 chars, the pure-hex subset, and the high-entropy count (hex >=
+    3.0, base64 >= 4.5 bits/char).  One C-regex sweep over the Arrow buffer
+    + one vectorized histogram scatter; no shuffle."""
+    from great_expectations_ray.stages.secrets_entropy import scan_secrets
+
+    out = scan_secrets(_derived_code_corpus(sf_dir)).select_columns(
+        ["doc_id", "n_secret_candidates", "n_hex_candidates", "n_high_entropy"])
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# Entropy in SQL: explode each candidate into chars, histogram per candidate,
+# -sum(p*log2 p).  Threshold compares only (integers out), so the order-of-
+# summation float jitter between numpy and DuckDB cannot flip a verdict
+# unless a candidate sits within float epsilon of the bar (structured-string
+# hazard documented in stages/secrets_entropy.py; corpus verified clear).
+SQL_SECRET_SCAN_CORPUS = ("WITH " + _SQL_CODE_CORPUS_CTE + r""",
+cands AS (
+  SELECT doc_id, unnest(regexp_extract_all(content, '[A-Za-z0-9+/=_-]{20,}')) AS cand
+  FROM code_corpus),
+c2 AS (SELECT doc_id, cand, length(cand) AS L,
+              regexp_matches(cand, '^[0-9a-fA-F]+$') AS is_hex,
+              row_number() OVER () AS cid FROM cands),
+chars AS (SELECT cid, doc_id, L, is_hex, unnest(string_split(cand, '')) AS ch FROM c2),
+hist AS (SELECT cid, doc_id, L, is_hex, ch, count(*) AS c
+         FROM chars GROUP BY cid, doc_id, L, is_hex, ch),
+ent AS (SELECT cid, doc_id, is_hex,
+               -sum((c * 1.0 / L) * log2(c * 1.0 / L)) AS H
+        FROM hist GROUP BY cid, doc_id, is_hex, L),
+flags AS (SELECT doc_id, CASE WHEN is_hex THEN 1 ELSE 0 END AS is_hexi,
+                 CASE WHEN is_hex AND H >= 3.0 THEN 1
+                      WHEN NOT is_hex AND H >= 4.5 THEN 1 ELSE 0 END AS hi
+          FROM ent)
+SELECT d.doc_id,
+  CAST(count(f.is_hexi) AS BIGINT) AS n_secret_candidates,
+  CAST(coalesce(sum(f.is_hexi), 0) AS BIGINT) AS n_hex_candidates,
+  CAST(coalesce(sum(f.hi), 0) AS BIGINT) AS n_high_entropy
+FROM code_corpus d LEFT JOIN flags f USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id
 """)
 
 
@@ -3632,6 +3695,7 @@ QUERIES = {
     "code_metrics_corpus": q_code_metrics_corpus,
     "imports_corpus": q_imports_corpus,
     "license_majority_corpus": q_license_majority_corpus,
+    "secret_scan_corpus": q_secret_scan_corpus,
     "url_canon_docs": q_url_canon_docs,
     "domain_cap_docs": q_domain_cap_docs,
     "toxicity_docs": q_toxicity_docs,
@@ -3725,6 +3789,7 @@ ORACLE_SQL = {
     "code_metrics_corpus": SQL_CODE_METRICS_CORPUS,
     "imports_corpus": SQL_IMPORTS_CORPUS,
     "license_majority_corpus": SQL_LICENSE_MAJORITY_CORPUS,
+    "secret_scan_corpus": SQL_SECRET_SCAN_CORPUS,
     "url_canon_docs": SQL_URL_CANON_DOCS,
     "domain_cap_docs": SQL_DOMAIN_CAP_DOCS,
     "toxicity_docs": SQL_TOXICITY_DOCS,
@@ -5073,14 +5138,22 @@ def q_chunk_fim_docs(sf_dir: str) -> pd.DataFrame:
 
 def q_code_payload_corpus(sf_dir: str) -> pd.DataFrame:
     """Code-payload extraction in one frame: import counts ('imports', module,
-    '', cnt) and per-repo license majority ('license', repo, license, cnt)."""
+    '', cnt), per-repo license majority ('license', repo, license, cnt), and
+    the per-file entropy secret scan ('secrets', doc_id,
+    'n_candidates:n_hex', n_high_entropy)."""
     imp = _run_part("imports_corpus", sf_dir)
     lic = _run_part("license_majority_corpus", sf_dir)
+    sec = _run_part("secret_scan_corpus", sf_dir)
     frames = [
         pd.DataFrame({"kind": "imports", "key": imp["module"], "label": "",
                       "cnt": imp["cnt"]}),
         pd.DataFrame({"kind": "license", "key": lic["repo"],
                       "label": lic["license"], "cnt": lic["cnt"]}),
+        pd.DataFrame({"kind": "secrets",
+                      "key": sec["doc_id"].astype(str),
+                      "label": (sec["n_secret_candidates"].astype(str) + ":"
+                                + sec["n_hex_candidates"].astype(str)),
+                      "cnt": sec["n_high_entropy"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["kind", "key"], kind="mergesort").reset_index(drop=True)
@@ -5195,7 +5268,12 @@ SQL_TOKEN_STATS_METHODS_DOCS = _union_sql(
 SQL_CODE_PAYLOAD_CORPUS = _union_sql(
     [("'imports' AS kind", "module AS key, '' AS label, cnt", "imports_corpus"),
      ("'license'", "repo AS key, license AS label, cnt",
-      "license_majority_corpus")],
+      "license_majority_corpus"),
+     ("'secrets'",
+      "CAST(doc_id AS VARCHAR) AS key, "
+      "CAST(n_secret_candidates AS VARCHAR) || ':' || "
+      "CAST(n_hex_candidates AS VARCHAR) AS label, "
+      "n_high_entropy AS cnt", "secret_scan_corpus")],
     "kind, key",
 )
 SQL_CHUNK_FIM_DOCS = _union_sql(

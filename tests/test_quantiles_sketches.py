@@ -132,3 +132,21 @@ def test_engine_allow_relative_error(highcard_ds):
     sv = np.sort(vals)
     rank = np.searchsorted(sv, got) / (len(sv) - 1)
     assert abs(rank - 0.5) <= 0.05
+
+
+def test_engine_allow_relative_error_kll(highcard_ds):
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds, vals = highcard_ds
+    suite = ExpectationSuite("kq").add(
+        "expect_column_quantile_values_to_be_between", column="x",
+        quantile_ranges={"quantiles": [0.1, 0.5, 0.9],
+                         "value_ranges": [[None, None]] * 3},
+        allow_relative_error="kll", interpolation="lower",
+    )
+    r = validate(ds, suite).results[0]
+    assert r.result["details"]["approximate"] is True
+    sv = np.sort(vals)
+    for q, got in zip([0.1, 0.5, 0.9], r.result["observed_value"]["values"]):
+        rank = np.searchsorted(sv, got) / (len(sv) - 1)
+        assert abs(rank - q) <= 0.03, (q, rank)
