@@ -66,6 +66,12 @@ BENCH_QUERIES = [
     # within ~1.5x of the uniform leg (BASELINE.md skew criterion)
     "uniform_dedup_lineitem",
     "skew_dedup_lineitem",
+    # round-4 additions: entropy secret scan (one-sweep stage) and the
+    # one-pass KLL sketch vs the exact ~66-pass rank selection on the same
+    # continuous column (the pass-count argument, measured)
+    "secret_scan_corpus",
+    "kll_quantiles_lineitem",
+    "exact_quantiles_lineitem",
 ]
 
 

@@ -5473,3 +5473,29 @@ def q_uniform_dedup_lineitem(sf_dir: str) -> pd.DataFrame:
 
 CONSTITUENT_QUERIES["skew_dedup_lineitem"] = q_skew_dedup_lineitem
 CONSTITUENT_QUERIES["uniform_dedup_lineitem"] = q_uniform_dedup_lineitem
+
+
+# bench-only: the one-pass KLL sketch vs the exact multi-pass rank-selection
+# on the same continuous column — the scale argument for the sketch is the
+# pass-count ratio, and the bench records both walls side by side.
+def q_kll_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
+    from great_expectations_ray.functions.kll import kll_quantiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    vals = kll_quantiles(ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+    return pd.DataFrame({"q": [0.01, 0.25, 0.5, 0.75, 0.99], "v": vals})
+
+
+def q_exact_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
+    from great_expectations_ray.functions.quantiles import (
+        exact_quantiles_distributed,
+    )
+
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+    vals = exact_quantiles_distributed(
+        ds, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99])
+    return pd.DataFrame({"q": [0.01, 0.25, 0.5, 0.75, 0.99], "v": vals})
+
+
+CONSTITUENT_QUERIES["kll_quantiles_lineitem"] = q_kll_quantiles_lineitem
+CONSTITUENT_QUERIES["exact_quantiles_lineitem"] = q_exact_quantiles_lineitem
