@@ -272,3 +272,98 @@ def kll_quantiles(
     if out.n == 0:
         return [None] * len(quantiles)
     return out.quantiles(quantiles, interpolation=interpolation)
+
+
+def grouped_kll_quantiles(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    *,
+    k: int = 200,
+    interpolation: str = "lower",
+    seed: int = 0,
+    n_buckets: int = 256,
+):
+    """Per-GROUP approximate quantiles at unbounded group cardinality: one
+    sketch per (block, group) built map-side, then ONE bucketed exchange
+    (functions/bucketed.py) merging each group's partials — per-repo /
+    per-language quantiles over 10^8 groups without per-group exact sorts.
+    The exact per-group path (quantiles.grouped_quantiles_disc) pays a full
+    sort of every group's values; here only O(k log(rows/k)) sketch rows
+    move per group.
+
+    Output columns: group_cols + ``p<percent>`` per requested q (same
+    naming as grouped_quantiles_disc).  All-null / empty groups yield None.
+    """
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    group_cols = list(group_cols)
+    names = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in quantiles]
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        import zlib
+
+        df = tbl.select(group_cols + [value_col]).to_pandas()
+        rows = {c: [] for c in group_cols}
+        items, lens, ns = [], [], []
+        for key, g in df.groupby(group_cols, sort=False, dropna=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            vals = pd.to_numeric(g[value_col], errors="coerce").to_numpy(np.float64)
+            vals = vals[~np.isnan(vals)]
+            # stable per-(block, group) seed: crc32 of the key repr, never
+            # Python hash() (process-randomized)
+            block_seed = _splitmix64(
+                seed
+                ^ _splitmix64(len(vals) + 1)
+                ^ zlib.crc32(repr(key).encode("utf-8"))
+            )
+            sk = KLLSketch(k, seed=block_seed)
+            sk.update_many(vals)
+            row = sk.to_row()
+            for c, v in zip(group_cols, key):
+                # pandas encodes a null group key as NaN/NaT; hand Arrow a
+                # real null so non-float key columns round-trip
+                rows[c].append(None if pd.isna(v) else v)
+            items.append(row["items"].tolist())
+            lens.append(row["lens"].tolist())
+            ns.append(row["n"])
+        schema = pa.schema(
+            [tbl.schema.field(c) for c in group_cols]
+            + [("__items", pa.list_(pa.float64())),
+               ("__lens", pa.list_(pa.int64())),
+               ("__n", pa.int64())]
+        )
+        out = {c: rows[c] for c in group_cols}
+        out["__items"] = items
+        out["__lens"] = lens
+        out["__n"] = ns
+        return pa.table(out, schema=schema)
+
+    def bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        recs = []
+        for key, g in df.groupby(group_cols, sort=False, dropna=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            parts = sorted(
+                (
+                    dict(items=np.asarray(it, dtype=np.float64),
+                         lens=np.asarray(ln, dtype=np.int64), n=int(nn), k=k)
+                    for it, ln, nn in zip(g["__items"], g["__lens"], g["__n"])
+                ),
+                key=lambda r: (r["n"], tuple(r["items"][:4].tolist())),
+            )
+            merged = KLLSketch(k, seed=_splitmix64(seed ^ 0xC3C3C3C3))
+            for p in parts:
+                merged.merge(KLLSketch.from_row(p))
+            ests = merged.quantiles(quantiles, interpolation=interpolation)
+            recs.append(dict(zip(group_cols, key)) | dict(zip(names, ests)))
+        return pd.DataFrame(recs, columns=group_cols + names)
+
+    parts_ds = ds.select_columns(group_cols + [value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_apply_bucketed(parts_ds, group_cols, bucket, n_buckets=n_buckets)

@@ -101,3 +101,117 @@ def approx_distinct(ds, column: str) -> float:
         other.registers = pickle.loads(r["sk"])
         merged.merge(other)
     return merged.estimate()
+
+
+class ThetaSketch:
+    """Theta (KMV) distinct-count sketch with SET OPERATIONS — the piece
+    HLL lacks: union, intersection and A-minus-B estimates across corpora
+    (Dasgupta et al., "Theta-Sketch Framework", public; Apache DataSketches
+    semantics).  Keeps the k smallest distinct uint64 value hashes; theta is
+    the sampling threshold (entries are strictly below it), so
+    ``estimate = |retained| / (theta / 2^64)``.
+
+    Fully deterministic and order/partitioning-invariant: no RNG — the
+    retained set is a pure function of the value-hash set, so a merge of
+    per-block partials is BIT-IDENTICAL to a single-pass build.  Day-2 use:
+    sketch yesterday's url/doc-key column once, persist the ~32 KB row, and
+    answer "how many NEW keys today" without touching yesterday's corpus.
+    """
+
+    FULL = 1 << 64
+
+    def __init__(self, k: int = 4096):
+        if k < 16:
+            raise ValueError("theta sketch k must be >= 16")
+        self.k = int(k)
+        self.theta = self.FULL
+        self.hashes = np.empty(0, dtype=np.uint64)  # sorted, distinct, < theta
+
+    def _trim(self, r: np.ndarray) -> None:
+        if len(r) > self.k:
+            self.theta = int(r[self.k])
+            r = r[: self.k]
+        self.hashes = r
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        if not len(h):
+            return
+        h = np.unique(h.astype(np.uint64))
+        if self.theta < self.FULL:
+            h = h[h < np.uint64(self.theta)]
+        self._trim(np.union1d(self.hashes, h))
+
+    def update_column(self, col) -> None:
+        self.update_hashes(_hash_column(col))
+
+    def merge(self, other: "ThetaSketch") -> "ThetaSketch":
+        t = min(self.theta, other.theta)
+        r = np.union1d(self.hashes, other.hashes)
+        if t < self.FULL:
+            r = r[r < np.uint64(t)]
+        self.theta = t
+        self._trim(r)
+        return self
+
+    def estimate(self) -> float:
+        return len(self.hashes) / (self.theta / self.FULL)
+
+    # -- set operations (estimates over the common sampling threshold) ------
+    def _common(self, other: "ThetaSketch") -> tuple[np.ndarray, np.ndarray, int]:
+        t = min(self.theta, other.theta)
+        a, b = self.hashes, other.hashes
+        if t < self.FULL:
+            a = a[a < np.uint64(t)]
+            b = b[b < np.uint64(t)]
+        return a, b, t
+
+    def intersect_estimate(self, other: "ThetaSketch") -> float:
+        a, b, t = self._common(other)
+        return len(np.intersect1d(a, b)) / (t / self.FULL)
+
+    def difference_estimate(self, other: "ThetaSketch") -> float:
+        """Estimated |self \\ other| (e.g. NEW keys today vs a snapshot)."""
+        a, b, t = self._common(other)
+        return len(np.setdiff1d(a, b)) / (t / self.FULL)
+
+    def union_estimate(self, other: "ThetaSketch") -> float:
+        out = ThetaSketch(self.k)
+        out.theta = self.theta
+        out.hashes = self.hashes
+        return ThetaSketch.merge(out, other).estimate()
+
+    # -- serialization (one bounded row) ------------------------------------
+    def to_row(self) -> dict:
+        return {
+            "hashes": self.hashes,
+            "theta_m1": np.uint64(self.theta - 1),
+            "k": self.k,
+        }
+
+    @classmethod
+    def from_row(cls, row: dict) -> "ThetaSketch":
+        sk = cls(int(row["k"]))
+        sk.theta = int(row["theta_m1"]) + 1
+        sk.hashes = np.asarray(row["hashes"], dtype=np.uint64)
+        return sk
+
+
+def theta_sketch_of(ds, column: str, *, k: int = 4096) -> ThetaSketch:
+    """ONE streaming pass -> per-block theta partials (<= 8k bytes each,
+    one row per block) -> driver merge.  The result supports estimate() and
+    cross-dataset union/intersect/difference — persist row via to_row()."""
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        sk = ThetaSketch(k)
+        sk.update_column(tbl.column(column))
+        row = sk.to_row()
+        return pa.table({
+            "hashes": pa.array([row["hashes"].tolist()], pa.list_(pa.uint64())),
+            "theta_m1": pa.array([int(row["theta_m1"])], pa.uint64()),
+            "k": pa.array([k], pa.int64()),
+        })
+
+    merged = ThetaSketch(k)
+    for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        merged.merge(ThetaSketch.from_row(r))
+    return merged

@@ -118,3 +118,46 @@ def test_kll_quantiles_ray_empty():
 def test_kll_k_validation():
     with pytest.raises(ValueError):
         KLLSketch(k=4)
+
+
+def test_grouped_kll_quantiles():
+    import pandas as pd
+    from great_expectations_ray.functions.kll import grouped_kll_quantiles
+
+    rng = np.random.default_rng(31)
+    langs = ["en", "de", "fr", None]
+    n = 40_000
+    lang = rng.choice(4, n)
+    vals = rng.normal(loc=lang * 100.0, scale=10.0, size=n)
+    vals[:50] = np.nan                       # null values inside groups
+    tbl = pa.table({
+        "lang": pa.array([langs[i] for i in lang], pa.string()),
+        "v": pa.array(vals, pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = grouped_kll_quantiles(ds, ["lang"], "v", [0.25, 0.5, 0.75], k=200)
+    df = out.to_pandas().sort_values("lang", na_position="last").reset_index(drop=True)
+    assert set(df.columns) == {"lang", "p25", "p50", "p75"}
+    assert len(df) == 4
+    ref = pd.DataFrame({"lang": [langs[i] for i in lang], "v": vals})
+    for _, row in df.iterrows():
+        g = ref[ref["lang"].isna() if pd.isna(row["lang"]) else (ref["lang"] == row["lang"])]
+        gv = np.sort(g["v"].dropna().to_numpy())
+        for q, name in zip([0.25, 0.5, 0.75], ["p25", "p50", "p75"]):
+            lo = np.searchsorted(gv, row[name], side="left")
+            hi = np.searchsorted(gv, row[name], side="right") - 1
+            t = q * (len(gv) - 1)
+            assert max(0.0, lo - t, t - hi) / len(gv) <= 0.02, (row["lang"], q)
+
+
+def test_grouped_kll_all_null_group():
+    from great_expectations_ray.functions.kll import grouped_kll_quantiles
+
+    tbl = pa.table({
+        "g": pa.array(["a"] * 5 + ["b"] * 5, pa.string()),
+        "v": pa.array([1.0, 2, 3, 4, 5] + [None] * 5, pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl)
+    df = grouped_kll_quantiles(ds, ["g"], "v", [0.5]).to_pandas().sort_values("g")
+    assert df["p50"].tolist()[0] == 3.0
+    assert df["p50"].isna().tolist() == [False, True]

@@ -1,0 +1,91 @@
+"""Theta (KMV) distinct sketch with set operations (functions/sketches.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from great_expectations_ray.functions.sketches import ThetaSketch, theta_sketch_of
+
+
+def _int_ds(values, blocks=4):
+    return ray.data.from_arrow(
+        pa.table({"v": pa.array(values, pa.int64())})
+    ).repartition(blocks)
+
+
+def test_exact_below_k():
+    sk = ThetaSketch(k=256)
+    sk.update_column(pa.array(list(range(100)) * 3, pa.int64()))
+    assert sk.estimate() == 100.0
+
+
+def test_estimate_error_ints_and_strings():
+    n = 200_000
+    sk = ThetaSketch(k=4096)
+    sk.update_column(pa.array(np.arange(n), pa.int64()))
+    assert abs(sk.estimate() - n) / n <= 0.05
+    sks = ThetaSketch(k=4096)
+    sks.update_column(pa.array([f"url_{i}" for i in range(30_000)], pa.string()))
+    assert abs(sks.estimate() - 30_000) / 30_000 <= 0.05
+
+
+def test_partitioning_invariant_bit_exact():
+    vals = np.random.default_rng(3).integers(0, 10**12, 150_000)
+    one = ThetaSketch(k=1024)
+    one.update_hashes(vals.astype(np.uint64))
+    merged = ThetaSketch(k=1024)
+    for part in np.array_split(vals, 7):
+        p = ThetaSketch(k=1024)
+        p.update_hashes(part.astype(np.uint64))
+        merged.merge(ThetaSketch.from_row(p.to_row()))   # serialize across
+    assert merged.theta == one.theta
+    assert np.array_equal(merged.hashes, one.hashes)
+    assert merged.estimate() == one.estimate()
+
+
+def test_set_operations():
+    # A = [0, 120k), B = [60k, 200k): |A∩B| = 60k, |A\B| = 60k, |A∪B| = 200k
+    a = ThetaSketch(k=4096)
+    a.update_column(pa.array(np.arange(0, 120_000), pa.int64()))
+    b = ThetaSketch(k=4096)
+    b.update_column(pa.array(np.arange(60_000, 200_000), pa.int64()))
+    assert abs(a.intersect_estimate(b) - 60_000) / 60_000 <= 0.08
+    assert abs(a.difference_estimate(b) - 60_000) / 60_000 <= 0.08
+    assert abs(a.union_estimate(b) - 200_000) / 200_000 <= 0.05
+    # union must not mutate its operands
+    assert abs(a.estimate() - 120_000) / 120_000 <= 0.05
+
+
+def test_day2_new_keys_via_difference():
+    # yesterday's snapshot sketch persists as one row; today re-crawls 80%
+    # and adds 10k new keys -> difference estimates the new-key count
+    yesterday = ThetaSketch(k=4096)
+    yesterday.update_column(pa.array(np.arange(100_000), pa.int64()))
+    row = yesterday.to_row()
+    today = ThetaSketch(k=4096)
+    today.update_column(
+        pa.array(np.concatenate([np.arange(80_000), np.arange(100_000, 110_000)]),
+                 pa.int64()))
+    new = today.difference_estimate(ThetaSketch.from_row(row))
+    assert abs(new - 10_000) / 10_000 <= 0.25   # small-set estimate, wider bar
+
+
+def test_theta_sketch_of_ray():
+    n = 120_000
+    vals = list(np.arange(n)) + [None] * 500 + list(np.arange(n // 2))  # dups+nulls
+    sk = theta_sketch_of(_int_ds(vals, blocks=8), "v", k=4096)
+    assert abs(sk.estimate() - n) / n <= 0.05
+    # one-pass Ray build == local build, bit-for-bit
+    local = ThetaSketch(k=4096)
+    local.update_column(pa.array(vals, pa.int64()))
+    assert sk.theta == local.theta and np.array_equal(sk.hashes, local.hashes)
+
+
+def test_empty_and_validation():
+    sk = theta_sketch_of(_int_ds([None, None], blocks=1), "v")
+    assert sk.estimate() == 0.0
+    with pytest.raises(ValueError):
+        ThetaSketch(k=2)
