@@ -49,6 +49,7 @@ class ColumnProfile:
     len_max: Optional[int] = None
     value_set: Optional[set] = field(default=None)  # None = overflowed
     hll: Optional[HyperLogLog] = None
+    kll: Optional[Any] = None                       # KLLSketch, numeric cols
 
     @property
     def nonnull_count(self) -> int:
@@ -69,6 +70,9 @@ class ColumnProfile:
             d.update(min=self.agg.min, max=self.agg.max,
                      mean=self.agg.mean,
                      stdev=math.sqrt(self.agg.m2 / (self.agg.n - 1)) if self.agg.n > 1 else 0.0)
+        if self.kll is not None and self.kll.n:
+            q = self.kll.quantiles([0.25, 0.5, 0.75])
+            d["quantiles"] = {"p25": q[0], "p50": q[1], "p75": q[2]}
         if self.len_min is not None:
             d.update(len_min=self.len_min, len_max=self.len_max)
         if self.value_set is not None:
@@ -95,6 +99,26 @@ class _ProfilePartial:
             if _is_numeric(t):
                 p.agg = NumericAggState()
                 p.agg.update(col if isinstance(col, pa.ChunkedArray) else pa.chunked_array([col]))
+                # KLL quantile partial rides the SAME pass (content-derived
+                # seed: deterministic for a fixed block layout)
+                import numpy as np
+
+                from great_expectations_ray.functions.kll import (
+                    KLLSketch,
+                    _splitmix64,
+                )
+
+                vals = np.asarray(
+                    pc.drop_null(pc.cast(col, pa.float64())).combine_chunks()
+                )
+                if len(vals):
+                    p.kll = KLLSketch(
+                        200,
+                        seed=_splitmix64(
+                            len(vals) ^ np.float64(vals[0]).view(np.uint64).item()
+                        ),
+                    )
+                    p.kll.update_many(vals)
             if pa.types.is_string(t) or pa.types.is_large_string(t):
                 lens = pc.utf8_length(pc.drop_null(col))
                 if len(lens):
@@ -140,6 +164,11 @@ def _merge_profiles(parts: list[list[ColumnProfile]]) -> dict[str, ColumnProfile
                     m.value_set = None
             if m.hll is not None and p.hll is not None:
                 m.hll.merge(p.hll)
+            if p.kll is not None:
+                if m.kll is None:
+                    m.kll = p.kll
+                else:
+                    m.kll.merge(p.kll)
     return merged
 
 
@@ -188,6 +217,16 @@ def suggest_suite(
                 "expect_column_mean_to_be_between", column=colname,
                 min_value=p.agg.mean - pad, max_value=p.agg.mean + pad,
             )
+            if p.kll is not None and p.kll.n >= 20:
+                # the KLL p25/p75 estimates bracket the exact median by
+                # construction (their true ranks sit within 25% +- the
+                # sketch's ~1% rank error), so the suggestion validates
+                # green on its own data
+                q25, q75 = p.kll.quantiles([0.25, 0.75])
+                suite.add(
+                    "expect_column_median_to_be_between", column=colname,
+                    min_value=q25, max_value=q75,
+                )
         if p.len_min is not None:
             suite.add(
                 "expect_column_value_lengths_to_be_between", column=colname,

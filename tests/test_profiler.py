@@ -141,3 +141,26 @@ def test_cli_select_top_fraction(ray_session, tmp_path):
     full = pq.read_table(docs).to_pandas()
     cutoff = full["text"].str.len().sort_values().iloc[49]
     assert (inv["text"].str.len() <= cutoff).all()
+
+
+def test_profile_kll_quantiles_and_median_suggestion(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.pipelines.profiler import profile, suggest_suite
+
+    rng = np.random.default_rng(13)
+    vals = rng.normal(100, 15, 20_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})).repartition(6)
+    profs = profile(ds)
+    q = profs["x"].to_json_dict()["quantiles"]
+    sv = np.sort(vals)
+    for frac, key in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75")]:
+        rank = np.searchsorted(sv, q[key]) / (len(sv) - 1)
+        assert abs(rank - frac) <= 0.03, (key, rank)
+    # the suggested median expectation validates green on its own data
+    suite = suggest_suite(profs)
+    med = [c for c in suite.expectations
+           if c.expectation_type == "expect_column_median_to_be_between"]
+    assert len(med) == 1
+    res = validate(ds, suite)
+    assert res.success, [r.expectation_config for r in res.results if not r.success]
