@@ -535,6 +535,62 @@ def cmd_select(args) -> int:
     return 0
 
 
+def cmd_scan(args) -> int:
+    """Secret hygiene for a code/text corpus (CI-gate semantics).
+
+    One streaming sweep (stages/secrets_entropy.py): per file the maximal
+    base64/hex candidate runs, the pure-hex subset and the high-entropy
+    count (truffleHog thresholds).  ``--output`` persists per-file stats
+    (partitioned parquet); ``--fail-on-hit`` exits 1 when any high-entropy
+    candidate survives — the pre-training / pre-publish gate."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from great_expectations_ray.stages.secrets_entropy import scan_secrets
+
+    owned = _init_ray(args.cpus)
+    try:
+        ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        stats = scan_secrets(ds, column=args.text_col).drop_columns(
+            [args.text_col])
+        if args.output:
+            stats.repartition(args.partitions).write_parquet(args.output)
+            stats = rd.read_parquet(args.output)  # summarize the sink, once
+
+        def summ(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cand = tbl.column("n_secret_candidates")
+            hi = tbl.column("n_high_entropy")
+            return pa.table({
+                "files": pa.array([len(tbl)], pa.int64()),
+                "files_with_candidates": pa.array(
+                    [pc.sum(pc.cast(pc.greater(cand, 0), pa.int64())).as_py() or 0],
+                    pa.int64()),
+                "files_with_high_entropy": pa.array(
+                    [pc.sum(pc.cast(pc.greater(hi, 0), pa.int64())).as_py() or 0],
+                    pa.int64()),
+                "total_candidates": pa.array([pc.sum(cand).as_py() or 0], pa.int64()),
+                "total_high_entropy": pa.array([pc.sum(hi).as_py() or 0], pa.int64()),
+            })
+
+        totals = {"files": 0, "files_with_candidates": 0,
+                  "files_with_high_entropy": 0, "total_candidates": 0,
+                  "total_high_entropy": 0}
+        for r in stats.map_batches(
+            summ, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all():
+            for k in totals:
+                totals[k] += int(r[k])
+        totals["output"] = args.output
+        print(json.dumps(totals))
+        if args.fail_on_hit and totals["files_with_high_entropy"]:
+            return 1
+        return 0
+    finally:
+        _maybe_shutdown(owned)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="great_expectations_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -678,6 +734,18 @@ def main(argv=None) -> int:
     inc.add_argument("--ks-alpha", type=float, default=0.001)
     inc.add_argument("--cpus", type=int, default=None)
     inc.set_defaults(fn=cmd_incremental)
+
+    sc = sub.add_parser(
+        "scan", help="entropy secret scan (exit 1 on hits with --fail-on-hit)")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", default=None,
+                    help="write per-file stats parquet here")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.add_argument("--text-col", default="text")
+    sc.add_argument("--partitions", type=int, default=16)
+    sc.add_argument("--cpus", type=int, default=None)
+    sc.add_argument("--fail-on-hit", action="store_true")
+    sc.set_defaults(fn=cmd_scan)
 
     args = p.parse_args(argv)
     return args.fn(args)

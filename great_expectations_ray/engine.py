@@ -1214,7 +1214,14 @@ def _finish_vc_rule(
         ok = observed == set(cfg.kwargs["value_set"])
         return evr(ok, {"observed_value": sorted(observed, key=str)})
     if t == "expect_column_unique_value_count_to_be_between":
-        if cfg.kwargs.get("approximate"):
+        approx = cfg.kwargs.get("approximate")
+        if isinstance(approx, str) and approx.lower() == "theta":
+            # KMV/theta sketch: deterministic, partitioning-invariant, and
+            # the persisted row supports cross-corpus set ops (sketches.py)
+            from great_expectations_ray.functions.sketches import theta_sketch_of
+
+            n = int(round(theta_sketch_of(ds, col).estimate()))
+        elif approx:
             from great_expectations_ray.functions.sketches import approx_distinct
 
             n = int(round(approx_distinct(ds, col)))

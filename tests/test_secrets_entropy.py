@@ -115,3 +115,38 @@ def test_scan_secrets_ray_stage():
     assert out["n_secret_candidates"].tolist() == [w[0] for w in want]
     assert out["n_hex_candidates"].tolist() == [w[1] for w in want]
     assert out["n_high_entropy"].tolist() == [w[2] for w in want]
+
+
+def test_scan_cli(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.__main__ import main
+
+    docs = _docs_fixture()
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(docs))),
+                  "text": pa.array(docs, pa.string())}), src)
+
+    out = str(tmp_path / "scan_out")
+    rc = main(["scan", "--input", src, "--output", out,
+               "--partitions", "2", "--fail-on-hit"])
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1                      # fixture contains real secrets
+    assert summary["files"] == len(docs)
+    want = [_naive(d) for d in docs]
+    assert summary["total_candidates"] == sum(w[0] for w in want)
+    assert summary["total_high_entropy"] == sum(w[2] for w in want)
+    assert summary["files_with_high_entropy"] == sum(1 for w in want if w[2])
+    stats = pq.read_table(out)
+    assert stats.num_rows == len(docs)
+    assert set(stats.schema.names) == {
+        "doc_id", "n_secret_candidates", "n_hex_candidates", "n_high_entropy"}
+
+    # a clean corpus passes the gate
+    clean = str(tmp_path / "clean.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["hello", "world"]}), clean)
+    assert main(["scan", "--input", clean, "--fail-on-hit"]) == 0

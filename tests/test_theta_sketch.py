@@ -89,3 +89,17 @@ def test_empty_and_validation():
     assert sk.estimate() == 0.0
     with pytest.raises(ValueError):
         ThetaSketch(k=2)
+
+
+def test_engine_approximate_theta_knob():
+    from great_expectations_ray import ExpectationSuite, validate
+
+    ds = _int_ds(list(np.arange(50_000)), blocks=6)
+    suite = ExpectationSuite("t").add(
+        "expect_column_unique_value_count_to_be_between", column="v",
+        min_value=47_000, max_value=53_000, approximate="theta",
+    )
+    res = validate(ds, suite)
+    assert res.success
+    obs = res.results[0].result["observed_value"]
+    assert abs(obs - 50_000) / 50_000 <= 0.05
