@@ -2705,6 +2705,52 @@ GROUP BY d.doc_id ORDER BY d.doc_id
 """)
 
 
+def q_code_clone_corpus(sf_dir: str) -> pd.DataFrame:
+    """Type-1 + Type-2-lite code-clone verdicts (stages/code_clone.py):
+    comment/whitespace (+ literal-mask) normalization, keep-first by the
+    smallest doc_id per normalized key, one (id, digest) bucketed exchange."""
+    from great_expectations_ray.stages.code_clone import mark_code_clones
+
+    corpus = _derived_code_corpus(sf_dir)
+    frames = []
+    for level in (1, 2):
+        df = mark_code_clones(corpus, level=level).to_pandas()
+        frames.append(pd.DataFrame({
+            "doc_id": df["doc_id"], "level": np.int64(level),
+            "is_clone": df["is_clone"].astype(np.int64)}))
+    out = pd.concat(frames, ignore_index=True)
+    return out.sort_values(["level", "doc_id"]).reset_index(drop=True)
+
+
+_SQL_CLONE_NORM_1 = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace(content,"
+    r" '/\*[\s\S]*?\*/', '', 'g'), '(?m)(//|#|--).*$', '', 'g'),"
+    r" '[ \t\r\n\f\v]+', ' ', 'g'), ' ')"
+)
+_SQL_CLONE_NORM_2 = (
+    r"trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    r"regexp_replace(content, '/\*[\s\S]*?\*/', '', 'g'),"
+    r" '(?m)(//|#|--).*$', '', 'g'),"
+    r""" '"[^"\n]*"|''[^''\n]*''', '<S>', 'g'),"""
+    r" '\b[0-9]+(\.[0-9]+)?\b', '<N>', 'g'),"
+    r" '[ \t\r\n\f\v]+', ' ', 'g'), ' ')"
+)
+SQL_CODE_CLONE_CORPUS = ("WITH " + _SQL_CODE_CORPUS_CTE + f""",
+n1 AS (SELECT doc_id, {_SQL_CLONE_NORM_1} AS norm FROM code_corpus),
+n2 AS (SELECT doc_id, {_SQL_CLONE_NORM_2} AS norm FROM code_corpus),
+v1 AS (SELECT doc_id, CAST(1 AS BIGINT) AS level,
+         CASE WHEN row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+              THEN 0 ELSE 1 END AS is_clone FROM n1),
+v2 AS (SELECT doc_id, CAST(2 AS BIGINT) AS level,
+         CASE WHEN row_number() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+              THEN 0 ELSE 1 END AS is_clone FROM n2)
+SELECT doc_id, level, CAST(is_clone AS BIGINT) AS is_clone FROM v1
+UNION ALL
+SELECT doc_id, level, CAST(is_clone AS BIGINT) AS is_clone FROM v2
+ORDER BY level, doc_id
+""")
+
+
 def _derived_url_corpus(sf_dir: str):
     """documents -> (doc_id, url) with deterministic 'dirty' URLs (mixed-
     case host, www, utm params in every position, fragments).  Mirrors
@@ -3696,6 +3742,7 @@ QUERIES = {
     "imports_corpus": q_imports_corpus,
     "license_majority_corpus": q_license_majority_corpus,
     "secret_scan_corpus": q_secret_scan_corpus,
+    "code_clone_corpus": q_code_clone_corpus,
     "url_canon_docs": q_url_canon_docs,
     "domain_cap_docs": q_domain_cap_docs,
     "toxicity_docs": q_toxicity_docs,
@@ -3790,6 +3837,7 @@ ORACLE_SQL = {
     "imports_corpus": SQL_IMPORTS_CORPUS,
     "license_majority_corpus": SQL_LICENSE_MAJORITY_CORPUS,
     "secret_scan_corpus": SQL_SECRET_SCAN_CORPUS,
+    "code_clone_corpus": SQL_CODE_CLONE_CORPUS,
     "url_canon_docs": SQL_URL_CANON_DOCS,
     "domain_cap_docs": SQL_DOMAIN_CAP_DOCS,
     "toxicity_docs": SQL_TOXICITY_DOCS,
@@ -5144,6 +5192,7 @@ def q_code_payload_corpus(sf_dir: str) -> pd.DataFrame:
     imp = _run_part("imports_corpus", sf_dir)
     lic = _run_part("license_majority_corpus", sf_dir)
     sec = _run_part("secret_scan_corpus", sf_dir)
+    clo = _run_part("code_clone_corpus", sf_dir)
     frames = [
         pd.DataFrame({"kind": "imports", "key": imp["module"], "label": "",
                       "cnt": imp["cnt"]}),
@@ -5154,6 +5203,10 @@ def q_code_payload_corpus(sf_dir: str) -> pd.DataFrame:
                       "label": (sec["n_secret_candidates"].astype(str) + ":"
                                 + sec["n_hex_candidates"].astype(str)),
                       "cnt": sec["n_high_entropy"]}),
+        pd.DataFrame({"kind": "clone",
+                      "key": (clo["level"].astype(str) + ":"
+                              + clo["doc_id"].astype(str)),
+                      "label": "", "cnt": clo["is_clone"]}),
     ]
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["kind", "key"], kind="mergesort").reset_index(drop=True)
@@ -5273,7 +5326,10 @@ SQL_CODE_PAYLOAD_CORPUS = _union_sql(
       "CAST(doc_id AS VARCHAR) AS key, "
       "CAST(n_secret_candidates AS VARCHAR) || ':' || "
       "CAST(n_hex_candidates AS VARCHAR) AS label, "
-      "n_high_entropy AS cnt", "secret_scan_corpus")],
+      "n_high_entropy AS cnt", "secret_scan_corpus"),
+     ("'clone'",
+      "CAST(level AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS key, "
+      "'' AS label, is_clone AS cnt", "code_clone_corpus")],
     "kind, key",
 )
 SQL_CHUNK_FIM_DOCS = _union_sql(
