@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "secret_scan_corpus",
     "kll_quantiles_lineitem",
     "exact_quantiles_lineitem",
+    "grouped_kll_docs",
+    "code_clone_corpus",
 ]
 
 

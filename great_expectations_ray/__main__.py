@@ -337,6 +337,8 @@ def cmd_dedup(args) -> int:
     minhash    drop LSH near-duplicates (banded MinHash, verified)
     simhash    drop Hamming-blocked near-duplicates
     paragraph  rewrite docs so each paragraph survives once corpus-wide
+    clone1/2   drop code clones (Type-1 comment/whitespace normalization;
+               Type-2 additionally masks string/number literals)
     """
     import ray.data as rd
 
@@ -376,6 +378,21 @@ def cmd_dedup(args) -> int:
                 return df[~m].drop(columns=["is_neardup"])
 
             out = joined.map_batches(keep, batch_format="pandas")
+        elif args.method in ("clone1", "clone2"):
+            from great_expectations_ray.functions.joins import hash_bucket_join
+            from great_expectations_ray.stages.code_clone import mark_code_clones
+
+            marks = mark_code_clones(
+                ds, id_col=args.id_col, content_col=args.text_col,
+                level=int(args.method[-1]),
+            ).filter(expr="is_clone == 1").drop_columns(["clone_key"])
+            joined = hash_bucket_join(ds, marks, on=args.id_col, how="left")
+
+            def keep_originals(df):
+                m = df["is_clone"].fillna(0).astype(int) == 1
+                return df[~m].drop(columns=["is_clone"])
+
+            out = joined.map_batches(keep_originals, batch_format="pandas")
         elif args.method == "paragraph":
             from great_expectations_ray.stages.paragraph_dedup import dedup_paragraphs
 
@@ -640,7 +657,8 @@ def main(argv=None) -> int:
     dd.add_argument("--input", required=True, help="input parquet glob")
     dd.add_argument("--output", required=True, help="output directory")
     dd.add_argument("--method", default="exact",
-                    choices=["exact", "minhash", "simhash", "paragraph"])
+                    choices=["exact", "minhash", "simhash", "paragraph",
+                             "clone1", "clone2"])
     dd.add_argument("--id-col", default="doc_id")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--key-cols",

@@ -5555,3 +5555,26 @@ def q_exact_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
 
 CONSTITUENT_QUERIES["kll_quantiles_lineitem"] = q_kll_quantiles_lineitem
 CONSTITUENT_QUERIES["exact_quantiles_lineitem"] = q_exact_quantiles_lineitem
+
+
+# bench-only: per-group sketch quantiles vs the gate's exact grouped path
+# (grouped_quantiles_docs) on the same (lang, length) grouping.
+def q_grouped_kll_docs(sf_dir: str) -> pd.DataFrame:
+    from great_expectations_ray.functions.kll import grouped_kll_quantiles
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def add_len(tbl: pa.Table) -> pa.Table:
+        s = pc.cast(pc.fill_null(tbl.column("text").combine_chunks(), ""),
+                    pa.large_string())
+        return pa.table({
+            "lang": tbl.column("lang"),
+            "doc_len": pc.cast(pc.utf8_length(s), pa.int64()),
+        })
+
+    lens = ds.map_batches(add_len, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_kll_quantiles(lens, ["lang"], "doc_len", [0.25, 0.5, 0.75])
+    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+
+
+CONSTITUENT_QUERIES["grouped_kll_docs"] = q_grouped_kll_docs

@@ -81,3 +81,32 @@ def test_mark_code_clones_naive_differential():
 def test_level_validation():
     with pytest.raises(ValueError):
         normalize_code(pa.array(["x"]), level=3)
+
+
+def test_dedup_cli_clone_method(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from great_expectations_ray.__main__ import main
+
+    docs = DOCS[:6] * 1  # includes one T1 clone and two extra T2 clones
+    src = str(tmp_path / "code.parquet")
+    pq.write_table(pa.table({
+        "doc_id": list(range(len(docs))),
+        "text": pa.array(docs, pa.string())}), src)
+
+    out1 = str(tmp_path / "c1")
+    assert main(["dedup", "--input", src, "--output", out1,
+                 "--method", "clone1", "--partitions", "2"]) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["rows_dropped"] == 1 and s1["rows_out"] == 5
+
+    out2 = str(tmp_path / "c2")
+    assert main(["dedup", "--input", src, "--output", out2,
+                 "--method", "clone2", "--partitions", "2"]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["rows_dropped"] == 3 and s2["rows_out"] == 3
+    kept = pq.read_table(out2).to_pandas()
+    assert set(kept["doc_id"]) == {0, 3, 5}     # smallest id per clone group
+    assert list(kept.columns) == ["doc_id", "text"]
