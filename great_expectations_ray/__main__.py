@@ -28,8 +28,13 @@ def _init_ray(cpus: int | None) -> bool:
 
     owned = not ray.is_initialized()
     if owned:
-        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
-        if cpus:
+        # No explicit address: ray.init() honors RAY_ADDRESS, so the same
+        # verb attaches to the job's cluster under `ray job submit`
+        # (RAY_ADDRESS set by the job runner) and starts a local instance
+        # otherwise.  num_cpus is only legal when starting locally.
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(include_dashboard=False, logging_level="ERROR")
+        if cpus and addr in ("", "local"):
             kwargs["num_cpus"] = cpus
         ray.init(**kwargs)
     from ray.data import DataContext
@@ -452,9 +457,22 @@ def cmd_pack(args) -> int:
         packed = pack_sequences(enc, order_col=args.id_col,
                                 seq_len=args.seq_len,
                                 drop_last=not args.keep_last)
+        if args.shards:
+            packed = packed.materialize()
         packed.repartition(args.partitions).write_parquet(args.output)
         out = rd.read_parquet(args.output)
         n_seq = out.count()
+        shard_info = None
+        if args.shards:
+            from great_expectations_ray.stages.shards import write_token_shards
+            manifest = write_token_shards(
+                packed, args.shards,
+                seqs_per_shard=args.seqs_per_shard,
+                vocab_size=len(vocab) + 2)  # +UNK id, +EOS id
+            shard_info = {"dir": args.shards,
+                          "n_shards": len(manifest["shards"]),
+                          "dtype": manifest["dtype"],
+                          "total_tokens": manifest["total_tokens"]}
         print(json.dumps({
             "sequences": n_seq,
             "tokens": n_seq * args.seq_len if not args.keep_last else None,
@@ -462,6 +480,7 @@ def cmd_pack(args) -> int:
             "vocab": vocab_src,
             "vocab_size": len(vocab),
             "output": args.output,
+            "shards": shard_info,
         }))
     finally:
         _maybe_shutdown(owned)
@@ -482,8 +501,11 @@ def cmd_embed(args) -> int:
     owned = _init_ray(args.cpus)
     try:
         ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        import ray as _ray
+
+        avail = args.cpus or int(_ray.cluster_resources().get("CPU", 8))
         emb = embed_text(ds, text_col=args.text_col, seed=args.seed,
-                         concurrency=(1, max(2, args.cpus // 2)))
+                         concurrency=(1, max(2, avail // 2)))
         emb.repartition(args.partitions).write_parquet(args.output)
         n = rd.read_parquet(args.output).count()
         print(json.dumps({"rows": n, "dim": 16, "seed": args.seed,
@@ -683,6 +705,9 @@ def main(argv=None) -> int:
     pk.add_argument("--id-col", default="doc_id")
     pk.add_argument("--keep-last", action="store_true",
                     help="keep the trailing partial sequence")
+    pk.add_argument("--shards", help="also export Megatron-layout "
+                    ".bin/.idx training shards to this directory")
+    pk.add_argument("--seqs-per-shard", type=int, default=8192)
     pk.add_argument("--partitions", type=int, default=8)
     pk.add_argument("--cpus", type=int, default=None)
     pk.set_defaults(fn=cmd_pack)
@@ -695,7 +720,7 @@ def main(argv=None) -> int:
     em.add_argument("--id-col", default="doc_id")
     em.add_argument("--seed", type=int, default=41)
     em.add_argument("--partitions", type=int, default=8)
-    em.add_argument("--cpus", type=int, default=8)
+    em.add_argument("--cpus", type=int, default=None)
     em.set_defaults(fn=cmd_embed)
 
     sl = sub.add_parser("select",

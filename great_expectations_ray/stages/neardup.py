@@ -139,13 +139,50 @@ def band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
+def optimal_bands(
+    num_perm: int,
+    threshold: float,
+    *,
+    fp_weight: float = 0.5,
+) -> tuple[int, int]:
+    """Pick the (bands, rows) split of ``num_perm`` minimizing the weighted
+    false-positive + false-negative mass around a target Jaccard
+    ``threshold`` — the standard LSH S-curve tuning (Leskovec/Rajaraman/
+    Ullman, *Mining of Massive Datasets* §3.4; same objective as
+    datasketch's public ``_optimal_param``, re-derived here).
+
+    Collision probability at similarity ``s`` is ``1 − (1 − s^r)^b``;
+    FP mass = ∫₀ᵗ P(s) ds (dissimilar pairs that collide), FN mass =
+    ∫ₜ¹ (1 − P(s)) ds.  Only ``b`` dividing ``num_perm`` are considered, so
+    the returned split always consumes the full signature.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    if not (0.0 <= fp_weight <= 1.0):
+        raise ValueError("fp_weight must be in [0, 1]")
+    s = np.linspace(0.0, 1.0, 1001)
+    below = s <= threshold
+    best, best_err = None, np.inf
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - s**r) ** b
+        fp = np.trapz(p[below], s[below])
+        fn = np.trapz(1.0 - p[~below], s[~below])
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 def minhash_lsh_mark_duplicates(
     ds,
     *,
     text_col: str = "content",
     id_col: str,
     num_perm: int = 128,
-    bands: int = 16,
+    bands: int | str = 16,
     shingle_k: int = 8,
     seed: int = 17,
     jaccard_threshold: float | None = None,
@@ -158,7 +195,14 @@ def minhash_lsh_mark_duplicates(
     ``max_bucket_size`` caps the in-bucket verification work: a degenerate
     bucket (thousands of near-identical docs on one reducer) is verified
     against the bucket REPRESENTATIVE (lowest id) only — O(bucket) instead
-    of O(bucket²) — so a hot bucket cannot go quadratic."""
+    of O(bucket²) — so a hot bucket cannot go quadratic.
+
+    ``bands="auto"`` tunes the (bands, rows) split to ``jaccard_threshold``
+    via :func:`optimal_bands` (requires a threshold)."""
+    if bands == "auto":
+        if jaccard_threshold is None:
+            raise ValueError('bands="auto" requires jaccard_threshold')
+        bands, _ = optimal_bands(num_perm, jaccard_threshold)
     r = num_perm // bands
 
     def explode(tbl: pa.Table) -> pa.Table:

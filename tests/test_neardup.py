@@ -382,3 +382,47 @@ def test_mark_known_neardup_partition_invariance():
     b = run(5, 3)
     assert a.equals(b)
     assert a["is_known"].sum() >= len(new_rows) // 2
+
+
+def test_optimal_bands_properties():
+    """LSH S-curve tuning: sane divisor splits, monotone in threshold,
+    fp_weight pushes toward fewer bands (stricter collision)."""
+    from great_expectations_ray.stages.neardup import optimal_bands
+
+    prev_b = None
+    for t in (0.2, 0.4, 0.6, 0.8, 0.95):
+        b, r = optimal_bands(128, t)
+        assert b * r == 128
+        if prev_b is not None:
+            assert b <= prev_b  # higher threshold -> fewer bands
+        prev_b = b
+    b_bal, _ = optimal_bands(128, 0.5)
+    b_fp, _ = optimal_bands(128, 0.5, fp_weight=0.95)
+    assert b_fp <= b_bal
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        optimal_bands(128, 1.5)
+
+
+def test_minhash_auto_bands(ray_session):
+    """bands="auto" resolves to the tuned split and still marks twins."""
+    import ray
+
+    from great_expectations_ray.stages.neardup import (
+        minhash_lsh_mark_duplicates,
+    )
+
+    docs = [{"doc_id": i,
+             "text": f"totally distinct document body {i} " * 6}
+            for i in range(10)]
+    docs.append({"doc_id": 10, "text": docs[0]["text"]})  # exact twin
+    ds = ray.data.from_items(docs).repartition(3)
+    out = (minhash_lsh_mark_duplicates(
+            ds, text_col="text", id_col="doc_id",
+            bands="auto", jaccard_threshold=0.7)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert bool(out.loc[out.doc_id == 10, "max(is_neardup)"].iloc[0])
+    assert not out.loc[out.doc_id < 10, "max(is_neardup)"].any()
+    with pytest.raises(ValueError, match="auto"):
+        minhash_lsh_mark_duplicates(ds, text_col="text", id_col="doc_id",
+                                    bands="auto")

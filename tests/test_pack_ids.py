@@ -189,3 +189,33 @@ def test_pack_cli_train_then_load(ray_session, tmp_path):
     v = load_vocab(vocab_path)
     assert list(v.columns) == ["rank", "piece", "cnt"]
     assert (v["rank"] == range(len(v))).all()
+
+
+def test_pack_cli_with_shards(ray_session, tmp_path):
+    """`pack --shards`: the parquet output and the Megatron shard export
+    carry the SAME sequences; manifest totals match; loader round-trips."""
+    import json as _json
+
+    import pandas as pd
+
+    from great_expectations_ray.__main__ import main
+    from great_expectations_ray.stages.shards import read_token_shards
+
+    out = str(tmp_path / "seqs")
+    shards = str(tmp_path / "shards")
+    rc = main(["pack", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", out, "--seq-len", "128",
+               "--vocab", str(tmp_path / "v.json"),
+               "--shards", shards, "--seqs-per-shard", "100",
+               "--partitions", "2", "--cpus", "2"])
+    assert rc == 0
+    man = _json.load(open(shards + "/manifest.json"))
+    pq = pd.read_parquet(out).sort_values("seq_id").reset_index(drop=True)
+    assert man["total_seqs"] == len(pq) == 534
+    assert man["dtype"] == "uint16"  # vocab + specials fit
+    assert len(man["shards"]) == 6  # ceil(534/100)
+    back = (read_token_shards(shards, verify=True).to_pandas()
+            .sort_values("seq_id").reset_index(drop=True))
+    assert len(back) == len(pq)
+    for x, y in zip(back["token_ids"], pq["token_ids"]):
+        assert np.asarray(x).tolist() == np.asarray(y).tolist()
