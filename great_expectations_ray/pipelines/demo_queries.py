@@ -5532,7 +5532,8 @@ CONSTITUENT_QUERIES["uniform_dedup_lineitem"] = q_uniform_dedup_lineitem
 
 
 # bench-only: the one-pass KLL sketch vs the exact multi-pass rank-selection
-# on the same continuous column — the scale argument for the sketch is the
+# (sorted-block materialization + ~5 histogram-refinement passes) on the
+# same continuous column — the scale argument for the sketch is the
 # pass-count ratio, and the bench records both walls side by side.
 def q_kll_quantiles_lineitem(sf_dir: str) -> pd.DataFrame:
     from great_expectations_ray.functions.kll import kll_quantiles

@@ -150,3 +150,62 @@ def test_engine_allow_relative_error_kll(highcard_ds):
     for q, got in zip([0.1, 0.5, 0.9], r.result["observed_value"]["values"]):
         rank = np.searchsorted(sv, got) / (len(sv) - 1)
         assert abs(rank - q) <= 0.03, (q, rank)
+
+
+def test_rank_select_histogram_hard_cases():
+    """Histogram-refined rank selection stays EXACT on adversarial
+    distributions: duplicate-heavy, constant runs, extreme dynamic range,
+    negatives, and mixed-sign tiny/huge magnitudes."""
+    import ray.data as rd
+
+    from great_expectations_ray.functions.quantiles import rank_select_values
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.choice([1.0, 1.0 + 1e-12, 2.0, 1e9], size=20_000),  # dup-heavy
+        np.full(5_000, 42.5),                                   # constant
+        np.concatenate([rng.normal(-1e15, 1e12, 3_000),
+                        rng.uniform(-1e-9, 1e-9, 3_000),
+                        rng.normal(1e15, 1e12, 3_000)]),        # wide range
+        np.arange(-500.0, 500.0),                               # integral grid
+    ]
+    for vals in cases:
+        sv = np.sort(vals)
+        targets = np.array([0, len(sv) // 4, len(sv) // 2,
+                            len(sv) - 2, len(sv) - 1], dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})
+                           ).repartition(5)
+        got = rank_select_values(ds, "x", targets)
+        assert got == [float(sv[t]) for t in targets], vals[:4]
+
+
+def test_rank_select_integral_and_bounds():
+    import ray.data as rd
+
+    from great_expectations_ray.functions.quantiles import rank_select_values
+
+    vals = np.repeat(np.arange(1000, dtype=np.float64), 20)
+    sv = np.sort(vals)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+    targets = np.array([0, 9999, 19999], dtype=np.int64)
+    got = rank_select_values(ds, "x", targets, integral=True,
+                             bounds=(0.0, 999.0))
+    assert got == [float(sv[t]) for t in targets]
+
+
+def test_rank_select_matches_duckdb_lineitem():
+    """Gate-adjacent: exact engine quantiles == DuckDB quantile_disc on the
+    real sf0.001 lineitem price column (2-decimal money values)."""
+    import duckdb
+    import ray.data as rd
+
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    got = exact_quantiles_distributed(ds, "l_extendedprice", qs,
+                                      interpolation="lower")
+    exp = duckdb.connect().execute(
+        "SELECT quantile_disc(l_extendedprice, $1) "
+        "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')",
+        [qs]).fetchone()[0]
+    assert got == [float(v) for v in exp]
