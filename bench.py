@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "exact_quantiles_lineitem",
     "grouped_kll_docs",
     "code_clone_corpus",
+    # session-14: terminal training sink — pack + Megatron shard export +
+    # manifest-verified reload (write path timing; resume dir recreated)
+    "shard_export_docs",
 ]
 
 

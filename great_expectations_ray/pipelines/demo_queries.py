@@ -5579,3 +5579,44 @@ def q_grouped_kll_docs(sf_dir: str) -> pd.DataFrame:
 
 
 CONSTITUENT_QUERIES["grouped_kll_docs"] = q_grouped_kll_docs
+
+
+# bench-only: the terminal training sink — encode + pack (same work as
+# wordpiece_pack_docs) then Megatron-layout shard export + manifest-verified
+# reload; reports per-shard totals.  Output dir under /tmp is recreated per
+# run so the timing never measures the resume fast path.
+def q_shard_export_docs(sf_dir: str) -> pd.DataFrame:
+    import shutil
+    import tempfile
+
+    from great_expectations_ray.stages.pack_ids import (
+        encode_token_ids,
+        pack_sequences,
+    )
+    from great_expectations_ray.stages.shards import (
+        read_token_shards,
+        write_token_shards,
+    )
+    from great_expectations_ray.stages.wordpiece import train_wordpiece
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = train_wordpiece(ds, text_col="text", num_merges=60)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1)
+    packed = pack_sequences(enc, order_col="doc_id", seq_len=128)
+    out_dir = tempfile.mkdtemp(prefix="gxr_shards_")
+    try:
+        man = write_token_shards(packed, out_dir, seqs_per_shard=4096,
+                                 vocab_size=len(vocab) + 2)
+        n_back = read_token_shards(out_dir, verify=True).count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame({
+        "n_shards": [len(man["shards"])],
+        "total_seqs": [man["total_seqs"]],
+        "total_tokens": [man["total_tokens"]],
+        "reload_seqs": [n_back],
+    })
+
+
+CONSTITUENT_QUERIES["shard_export_docs"] = q_shard_export_docs
