@@ -20,7 +20,10 @@ from great_expectations_ray.core.results import (
     SuiteValidationResult,
 )
 from great_expectations_ray.engine import validate
-from great_expectations_ray.pipelines.grouped import validate_grouped
+from great_expectations_ray.pipelines.grouped import (
+    validate_grouped,
+    validate_grouped_wide,
+)
 from great_expectations_ray.context import DataContext, get_context
 
 # side-effect import: registers the contrib-expectation ports (hexadecimal,
@@ -39,4 +42,5 @@ __all__ = [
     "get_context",
     "validate",
     "validate_grouped",
+    "validate_grouped_wide",
 ]

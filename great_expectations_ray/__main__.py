@@ -100,6 +100,26 @@ def cmd_validate(args) -> int:
         with open(args.suite) as f:
             suite = ExpectationSuite.from_json(f.read())
         ds = read_batch(args.input)
+        if args.by and args.wide_out:
+            # unbounded key cardinality: verdicts land as parquet, the
+            # driver prints only the rollup
+            from great_expectations_ray.pipelines.grouped import (
+                validate_grouped_wide,
+            )
+
+            wide = validate_grouped_wide(ds, suite, by=args.by,
+                                         result_format=args.result_format,
+                                         include_results=args.wide_results)
+            wide.write_parquet(args.wide_out)
+            import ray.data as rd
+
+            back = rd.read_parquet(args.wide_out,
+                                   columns=["success", "row_count"])
+            n_groups = back.count()
+            n_fail = back.filter(lambda r: not r["success"]).count()
+            print(json.dumps({"groups": n_groups, "failed_groups": n_fail,
+                              "output": args.wide_out}))
+            return 0 if n_fail == 0 else 1
         if args.by:
             from great_expectations_ray.pipelines.grouped import (
                 validate_grouped,
@@ -660,6 +680,13 @@ def main(argv=None) -> int:
     v.add_argument("--by", default=None,
                    help="validate every group of this column in ONE pass "
                         "(exit 1 if any group fails)")
+    v.add_argument("--wide-out", default=None,
+                   help="with --by: unbounded key cardinality — write one "
+                        "verdict row per group as parquet here instead of "
+                        "printing results (exit 1 if any group fails)")
+    v.add_argument("--wide-results", action="store_true",
+                   help="with --wide-out: include the full per-group suite "
+                        "result as a JSON column")
     v.add_argument("--cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
 

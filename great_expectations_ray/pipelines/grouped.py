@@ -16,10 +16,11 @@ and all.
 Scale shape: the corpus streams once; what reaches the driver is bounded by
 (#blocks x groups-per-block) partial rows, each a small pickled state
 (aggregate moments + capped unexpected samples), never corpus rows.  A
-``max_driver_partials`` guard raises with guidance instead of silently
-accumulating an unbounded pull when the key is high-cardinality (use the
-wide dedup/groupby operators for per-key metrics at that cardinality, or
-pre-bucket the key).
+``max_driver_partials`` guard raises with guidance when the key is
+high-cardinality — and :func:`validate_grouped_wide` IS that scale path:
+the same partials are merged and finished per group inside ONE bucketed
+exchange, returning a verdict Dataset (one row per group) the driver never
+collects.  Per-group verdicts are pinned equal between the two by test.
 
 Scope: map rules, aggregate rules and table rules — the families whose
 finish needs only the merged partials.  Families that need a second pass or
@@ -155,8 +156,9 @@ def validate_grouped(
             f"{n_partials} (block x group) partials exceed "
             f"max_driver_partials={max_driver_partials}: the key is too "
             "high-cardinality for per-group suite results on the driver — "
-            "pre-bucket the key, or use the wide per-key operators "
-            "(grouped_apply_bucketed) for per-key metrics at this scale.")
+            "use validate_grouped_wide(), which merges and finishes each "
+            "group inside ONE bucketed exchange and returns a verdict "
+            "Dataset instead of driver-side result objects.")
 
     by_key: dict[Any, list[bytes]] = {}
     for row in mat.take_all():
@@ -176,6 +178,100 @@ def validate_grouped(
         out[key].meta["group_key"] = key
         out[key].meta["group_by"] = by
     return out
+
+
+def validate_grouped_wide(
+    ds,
+    suite: ExpectationSuite,
+    *,
+    by: str,
+    result_format: str | dict = "SUMMARY",
+    partial_unexpected_count: int = PARTIAL_UNEXPECTED_COUNT_DEFAULT,
+    include_results: bool = False,
+    n_buckets: int = 256,
+):
+    """Grouped validation at UNBOUNDED key cardinality — the wide sibling of
+    :func:`validate_grouped`.
+
+    Same one-pass per-(block, group) partials, but instead of pulling them
+    to the driver, groups are merged AND finished inside ONE bucketed
+    exchange (``functions/bucketed.py grouped_apply_bucketed``): each bucket
+    task merges its keys' partials and runs the identical
+    :func:`_finish_group` semantics, emitting one verdict row per group.
+    Returns a Ray Dataset of ``(group_key, success, evaluated_expectations,
+    successful_expectations, unsuccessful_expectations, row_count[,
+    result_json])`` — consume it with ``write_parquet`` / ``filter`` like
+    any other Dataset; the driver never sees per-group state.  Per-group
+    verdicts are pinned equal to :func:`validate_grouped`'s by test.
+
+    ``include_results=True`` adds the full per-group suite result as a JSON
+    column (bounded per group by the suite size and the capped unexpected
+    samples)."""
+    import json as _json
+
+    import pandas as _pd
+
+    if isinstance(result_format, dict):
+        rf = dict(result_format)
+        result_format = rf.get("result_format", "SUMMARY")
+        partial_unexpected_count = rf.get(
+            "partial_unexpected_count", partial_unexpected_count)
+
+    plan = compile_suite(suite)
+    bad = [label for attr, label in _UNSUPPORTED_FAMILIES
+           if getattr(plan, attr)]
+    if bad:
+        raise ValueError(
+            "validate_grouped_wide supports map/aggregate/table rules only; "
+            f"unsupported families in this suite: {', '.join(bad)}. "
+            "Run those expectations through validate() per slice.")
+
+    evaluator = _PartialEvaluator(
+        plan.map_rules, plan.agg_columns, plan.count_columns, set(), None)
+    parts = ds.map_batches(
+        _GroupedEvaluator(by, evaluator),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    schema = _dataset_arrow_schema(ds)
+    configs = suite.resolved_expectations()
+
+    def finish_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
+        rows = []
+        for key, sub in g.groupby("__key", dropna=False, sort=False):
+            if _pd.isna(key):
+                key = None
+            svr = _finish_group(
+                suite, plan, configs,
+                _merge_partials([bytes(p) for p in sub["partial"]]), schema,
+                result_format=result_format,
+                partial_unexpected_count=partial_unexpected_count,
+                catch_exceptions=True,
+            )
+            row = {
+                "group_key": key,
+                "success": bool(svr.success),
+                "evaluated_expectations":
+                    int(svr.statistics["evaluated_expectations"]),
+                "successful_expectations":
+                    int(svr.statistics["successful_expectations"]),
+                "unsuccessful_expectations":
+                    int(svr.statistics["unsuccessful_expectations"]),
+                "row_count": int(svr.meta["row_count"]),
+            }
+            if include_results:
+                svr.meta["group_key"] = key
+                svr.meta["group_by"] = by
+                row["result_json"] = _json.dumps(svr.to_json_dict(),
+                                                 default=str)
+            rows.append(row)
+        return _pd.DataFrame(rows)
+
+    from great_expectations_ray.functions.bucketed import (
+        grouped_apply_bucketed,
+    )
+
+    return grouped_apply_bucketed(parts, ["__key"], finish_bucket,
+                                  n_buckets=n_buckets)
 
 
 def _finish_group(

@@ -124,3 +124,94 @@ def test_validate_cli_by_flag(ray_session, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out)
     assert rc == 1
     assert out["a"]["success"] is True and out["b"]["success"] is False
+
+
+def test_grouped_wide_matches_narrow(ray_session):
+    """validate_grouped_wide: verdict rows equal validate_grouped's
+    per-group statistics, incl. the null-key group; result_json round-trips
+    to the same success flags."""
+    import json
+
+    from great_expectations_ray import validate_grouped_wide
+
+    df = _frame()
+    ds = rd.from_pandas(df).repartition(6)
+    narrow = validate_grouped(ds, _suite(), by="grp")
+    wide = (validate_grouped_wide(ds, _suite(), by="grp",
+                                  include_results=True)
+            .to_pandas())
+    assert len(wide) == len(narrow) == 4
+    for _, row in wide.iterrows():
+        key = row["group_key"]
+        key = None if pd.isna(key) else key
+        ref = narrow[key]
+        assert bool(row["success"]) == ref.success
+        assert row["evaluated_expectations"] == \
+            ref.statistics["evaluated_expectations"]
+        assert row["successful_expectations"] == \
+            ref.statistics["successful_expectations"]
+        assert row["row_count"] == ref.meta["row_count"]
+        j = json.loads(row["result_json"])
+        assert [r["success"] for r in j["results"]] == \
+            [r.success for r in ref.results]
+        assert j["meta"]["group_by"] == "grp"
+
+
+def test_grouped_wide_high_cardinality(ray_session):
+    """5k distinct keys — far past a small max_driver_partials — complete
+    through the bucketed exchange; narrow raises with guidance; spot-checked
+    keys match direct per-slice validate."""
+    from great_expectations_ray import validate_grouped_wide
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = pd.DataFrame({
+        "grp": rng.integers(0, 5000, size=n),
+        "v": rng.integers(0, 80, size=n).astype(float),
+    })
+    df.loc[df.grp == 7, "v"] += 200.0  # one failing group
+    ds = rd.from_pandas(df).repartition(8)
+    suite = (ExpectationSuite("hc")
+             .add("expect_column_values_to_be_between", column="v",
+                  min_value=0, max_value=100))
+    with pytest.raises(ValueError, match="validate_grouped_wide"):
+        validate_grouped(ds, suite, by="grp", max_driver_partials=10)
+    wide = validate_grouped_wide(ds, suite, by="grp").to_pandas()
+    assert len(wide) == df["grp"].nunique()
+    assert int(wide["row_count"].sum()) == n
+    assert not bool(wide.loc[wide.group_key == 7, "success"].iloc[0])
+    for key in (7, int(df.grp.iloc[0]), int(df.grp.iloc[-1])):
+        ref = validate(
+            rd.from_pandas(df[df.grp == key].reset_index(drop=True)), suite)
+        assert bool(wide.loc[wide.group_key == key, "success"].iloc[0]) \
+            == ref.success
+
+
+def test_validate_cli_wide_out(ray_session, tmp_path):
+    """`validate --by --wide-out`: parquet verdict rows + exit code from the
+    group rollup."""
+    import json as _json
+
+    from great_expectations_ray.__main__ import main
+
+    df = _frame().dropna(subset=["grp"])
+    src = str(tmp_path / "in.parquet")
+    df.to_parquet(src)
+    # no not-null expectation: the fixture plants NaNs in every group, so
+    # only 'b' (values +200) should fail here
+    suite = (ExpectationSuite("cli")
+             .add("expect_column_values_to_be_between", column="v",
+                  min_value=0, max_value=100, mostly=0.8)
+             .add("expect_column_mean_to_be_between", column="v",
+                  min_value=10, max_value=60))
+    suite_path = str(tmp_path / "suite.json")
+    with open(suite_path, "w") as f:
+        f.write(_json.dumps(suite.to_json_dict()))
+    out = str(tmp_path / "verdicts")
+    rc = main(["validate", "--input", src, "--suite", suite_path,
+               "--by", "grp", "--wide-out", out, "--cpus", "2"])
+    assert rc == 1  # group 'b' fails by construction
+    got = pd.read_parquet(out).sort_values("group_key")
+    assert list(got["group_key"]) == ["a", "b", "c"]
+    assert not bool(got.loc[got.group_key == "b", "success"].iloc[0])
+    assert bool(got.loc[got.group_key == "a", "success"].iloc[0])
