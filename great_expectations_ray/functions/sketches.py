@@ -215,3 +215,71 @@ def theta_sketch_of(ds, column: str, *, k: int = 4096) -> ThetaSketch:
     for r in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all():
         merged.merge(ThetaSketch.from_row(r))
     return merged
+
+
+def grouped_theta_distinct(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k: int = 4096,
+    n_buckets: int = 256,
+):
+    """Per-GROUP distinct-count estimates at unbounded group cardinality:
+    one theta partial per (block, group) built map-side, then ONE bucketed
+    exchange (functions/bucketed.py) merging each group's partials — the
+    grouped sibling of :func:`theta_sketch_of`, shaped like
+    kll.grouped_kll_quantiles.  Deterministic and partitioning-invariant
+    (no RNG in the sketch); groups with fewer than ``k`` distinct values
+    get EXACT counts (theta never trims).
+
+    Output columns: group_cols + ``distinct_est`` (float64).  Null group
+    keys form their own group."""
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    group_cols = list(group_cols)
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        df = tbl.select(group_cols + [value_col]).to_pandas()
+        rows = {c: [] for c in group_cols}
+        hashes, thetas = [], []
+        for key, g in df.groupby(group_cols, sort=False, dropna=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            sk = ThetaSketch(k)
+            sk.update_column(pa.Array.from_pandas(g[value_col]))
+            row = sk.to_row()
+            for c, v in zip(group_cols, key):
+                rows[c].append(None if pd.isna(v) else v)
+            hashes.append(row["hashes"].tolist())
+            thetas.append(int(row["theta_m1"]))
+        schema = pa.schema(
+            [tbl.schema.field(c) for c in group_cols]
+            + [("__hashes", pa.list_(pa.uint64())), ("__theta_m1", pa.uint64())]
+        )
+        out = {c: rows[c] for c in group_cols}
+        out["__hashes"] = hashes
+        out["__theta_m1"] = thetas
+        return pa.table(out, schema=schema)
+
+    def bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        recs = []
+        for key, g in df.groupby(group_cols, sort=False, dropna=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            merged = ThetaSketch(k)
+            for hs, tm1 in zip(g["__hashes"], g["__theta_m1"]):
+                merged.merge(ThetaSketch.from_row(
+                    {"hashes": np.asarray(hs, dtype=np.uint64),
+                     "theta_m1": np.uint64(tm1), "k": k}))
+            recs.append(dict(zip(group_cols, key))
+                        | {"distinct_est": merged.estimate()})
+        return pd.DataFrame(recs, columns=group_cols + ["distinct_est"])
+
+    parts_ds = ds.select_columns(group_cols + [value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_apply_bucketed(parts_ds, group_cols, bucket,
+                                  n_buckets=n_buckets)

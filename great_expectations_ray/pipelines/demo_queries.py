@@ -3150,20 +3150,30 @@ def q_lm_trained_ppl_docs(sf_dir: str) -> pd.DataFrame:
 def q_grouped_quantiles_docs(sf_dir: str) -> pd.DataFrame:
     """Per-group exact discrete quantiles (functions/quantiles.py
     ``grouped_quantiles_disc``): doc-length p25/p50/p95 per language, one
-    bucketed exchange, exact integer rank arithmetic."""
+    bucketed exchange, exact integer rank arithmetic.  Plus the grouped
+    Theta distinct sketch (functions/sketches.py grouped_theta_distinct):
+    per-lang distinct length counts — EXACT below the sketch's k=4096
+    retained hashes (max observed per-lang distinct lengths: 501 at sf0.1),
+    so the SQL COUNT(DISTINCT) oracle matches bit-for-bit."""
     from great_expectations_ray.functions.quantiles import grouped_quantiles_disc
+    from great_expectations_ray.functions.sketches import grouped_theta_distinct
 
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    out = grouped_quantiles_disc(
+    out = (grouped_quantiles_disc(
         ds, group_cols=["lang"], value_col="n_chars", qs=[0.25, 0.5, 0.95])
-    return out.to_pandas().sort_values("lang").reset_index(drop=True)
+        .to_pandas())
+    th = grouped_theta_distinct(ds, ["lang"], "n_chars").to_pandas()
+    th["n_distinct_chars"] = th["distinct_est"].round().astype("int64")
+    out = out.merge(th[["lang", "n_distinct_chars"]], on="lang")
+    return out.sort_values("lang").reset_index(drop=True)
 
 
 SQL_GROUPED_QUANTILES_DOCS = """
 SELECT lang,
   quantile_disc(n_chars, 0.25) AS p25,
   quantile_disc(n_chars, 0.5)  AS p50,
-  quantile_disc(n_chars, 0.95) AS p95
+  quantile_disc(n_chars, 0.95) AS p95,
+  COUNT(DISTINCT n_chars)      AS n_distinct_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
 

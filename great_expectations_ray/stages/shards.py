@@ -148,6 +148,9 @@ def write_token_shards(
     os.makedirs(out_dir, exist_ok=True)
 
     def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket tasks may land on any node: ensure the (shared-FS) dir
+        # exists locally too, not just where the driver ran makedirs
+        os.makedirs(out_dir, exist_ok=True)
         rows = []
         g = g.sort_values(seq_id_col, kind="mergesort")
         shard_of = (g[seq_id_col].to_numpy() // seqs_per_shard).astype(np.int64)
@@ -279,6 +282,11 @@ def read_token_shards(out_dir: str, *, verify: bool = False):
 
     with open(os.path.join(out_dir, "manifest.json")) as f:
         manifest = json.load(f)
+    if not manifest["shards"]:
+        return ray.data.from_pandas(
+            pd.DataFrame({"seq_id": pd.Series([], dtype="int64"),
+                          "token_ids": pd.Series([], dtype="object"),
+                          "n_tokens": pd.Series([], dtype="int64")}))
     items = [
         {**s, "__dir": out_dir, "__verify": verify} for s in manifest["shards"]
     ]

@@ -195,3 +195,12 @@ def test_pack_to_shards_end_to_end(ray_session, tmp_path):
             .sort_values("seq_id").reset_index(drop=True))
     for a, b in zip(back["token_ids"], exp["token_ids"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_empty_corpus(ray_session, tmp_path):
+    out = str(tmp_path / "empty")
+    man = write_token_shards(rd.from_pandas(_seqs(0)), out)
+    assert man["shards"] == [] and man["total_tokens"] == 0
+    back = read_token_shards(out).to_pandas()
+    assert len(back) == 0
+    assert list(back.columns) == ["seq_id", "token_ids", "n_tokens"]

@@ -103,3 +103,62 @@ def test_engine_approximate_theta_knob():
     assert res.success
     obs = res.results[0].result["observed_value"]
     assert abs(obs - 50_000) / 50_000 <= 0.05
+
+
+def test_grouped_theta_distinct_exact_under_k(ray_session):
+    """Groups with < k distinct values get EXACT counts; null key grouped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.sketches import (
+        grouped_theta_distinct,
+    )
+
+    rng = np.random.default_rng(5)
+    grp = rng.choice(["a", "b", "c"], size=3000).astype(object)
+    grp[::97] = None
+    df = pd.DataFrame({
+        "grp": grp,
+        "v": [f"{g}-{i % (100 if g == 'a' else 500)}"
+              for i, g in enumerate(grp)],
+    })
+    out = (grouped_theta_distinct(rd.from_pandas(df).repartition(5),
+                                  ["grp"], "v", k=4096)
+           .to_pandas())
+    exp = (df.groupby("grp", dropna=False)["v"].nunique())
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        key = row["grp"]
+        want = exp[exp.index.isna()].iloc[0] if pd.isna(key) else exp[key]
+        assert row["distinct_est"] == float(want), key
+
+
+def test_grouped_theta_distinct_partitioning_invariant_and_approx(ray_session):
+    """Past k distinct, estimates stay within ~5% and are IDENTICAL across
+    block layouts (the sketch is partitioning-invariant bit-for-bit)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.sketches import (
+        grouped_theta_distinct,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 60_000
+    df = pd.DataFrame({
+        "grp": rng.choice(["x", "y"], size=n),
+        "v": rng.integers(0, 20_000, size=n),
+    })
+
+    def run(parts):
+        return (grouped_theta_distinct(
+                    rd.from_pandas(df.sample(frac=1, random_state=parts))
+                    .repartition(parts), ["grp"], "v", k=1024)
+                .to_pandas().sort_values("grp").reset_index(drop=True))
+
+    a, b = run(2), run(9)
+    assert a.equals(b)
+    exp = df.groupby("grp")["v"].nunique()
+    for _, row in a.iterrows():
+        assert abs(row["distinct_est"] - exp[row["grp"]]) / exp[row["grp"]] \
+            <= 0.05
