@@ -248,3 +248,82 @@ def pack_sequences(
         })
 
     return grouped_apply_bucketed(frags, ["seq_id"], assemble_bucket)
+
+
+def decode_token_ids(
+    ds_ids,
+    vocab: pd.DataFrame,
+    *,
+    ids_col: str = "token_ids",
+    id_col: str,
+    unk_id: int | None = None,
+    eos_id: int | None = None,
+    unk_token: str = "[UNK]",
+    concurrency=(1, 8),
+):
+    """Inverse of :func:`encode_token_ids` — token-id lists back to text,
+    fully vectorized: one broadcast id→piece table, one numpy gather per
+    batch, prefix logic (``##`` continuation vs space-joined word starts)
+    via boolean masks, and the per-document join done in C by
+    ``pc.binary_join`` over a ListArray.  EOS ids (when given) terminate
+    nothing visible; unknown-word ids render as ``unk_token``.
+
+    Lossy exactly where WordPiece is lossy: runs of whitespace collapse to
+    single spaces and [UNK]-encoded words cannot be recovered — the
+    round-trip ``decode(encode(text)) == " ".join(text.split())`` holds for
+    fully-covered vocabularies (pinned by test).  Inspection / debugging
+    surface for the encode → pack → shard chain."""
+    import ray
+
+    if unk_id is None:
+        unk_id = len(vocab)
+    # dense id -> piece table: ranks are contiguous from 0 by construction
+    n_ids = max(int(vocab["rank"].max()) + 1 if len(vocab) else 0,
+                unk_id + 1, (eos_id + 1) if eos_id is not None else 0)
+    table = np.full(n_ids, unk_token, dtype=object)
+    for r, p in zip(vocab["rank"], vocab["piece"]):
+        table[int(r)] = p
+    table[unk_id] = unk_token
+    if eos_id is not None:
+        table[eos_id] = ""  # document separator: renders as nothing
+    ref = ray.put(table)
+
+    class _Decoder:
+        def __init__(self):
+            # piece prep happens ONCE over the id table; per batch is gathers
+            tab = ray.get(ref)
+            self.cont = np.fromiter((p.startswith("##") for p in tab),
+                                    dtype=bool, count=len(tab))
+            body = [p[2:] if c else p for p, c in zip(tab, self.cont)]
+            self.body = np.array(body, dtype=object)
+            self.spaced = np.array([" " + p for p in body], dtype=object)
+            self.empty = self.body == ""
+
+        def __call__(self, tbl: pa.Table) -> pa.Table:
+            ids = tbl.column(ids_col).combine_chunks()
+            if hasattr(ids, "offsets"):
+                offs = np.asarray(ids.offsets, dtype=np.int64)
+                flat = np.asarray(ids.values, dtype=np.int64)[offs[0]:offs[-1]]
+                offs = offs - offs[0]
+            else:  # equal-length rows repacked as a tensor extension array
+                mat = np.asarray(ids.to_numpy(zero_copy_only=False),
+                                 dtype=np.int64).reshape(len(tbl), -1)
+                flat = mat.reshape(-1)
+                offs = np.arange(len(tbl) + 1, dtype=np.int64) * mat.shape[1]
+            flat = np.clip(flat, 0, len(self.body) - 1)
+            # space before every word START except a document's first piece;
+            # invisible pieces (EOS) never earn a separator
+            starts = np.zeros(len(flat), dtype=bool)
+            starts[offs[:-1][offs[:-1] < len(flat)]] = True
+            no_sep = self.cont[flat] | starts | self.empty[flat]
+            glued = pa.array(
+                np.where(no_sep, self.body[flat], self.spaced[flat]),
+                pa.string())
+            lists = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)), glued)
+            text = pc.binary_join(lists, "")
+            return pa.table({id_col: tbl.column(id_col), "text": text})
+
+    return ds_ids.select_columns([id_col, ids_col]).map_batches(
+        _Decoder, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)

@@ -219,3 +219,49 @@ def test_pack_cli_with_shards(ray_session, tmp_path):
     assert len(back) == len(pq)
     for x, y in zip(back["token_ids"], pq["token_ids"]):
         assert np.asarray(x).tolist() == np.asarray(y).tolist()
+
+
+def test_decode_round_trip(ray_session, vocab):
+    """decode(encode(text)) == whitespace-normalized text for covered
+    vocab; unknown words render as [UNK]; EOS renders as nothing."""
+    from great_expectations_ray.stages.pack_ids import decode_token_ids
+
+    ds = rd.from_items(DOCS).repartition(2)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1, concurrency=(1, 2))
+    dec = (decode_token_ids(enc, vocab, id_col="doc_id",
+                            eos_id=len(vocab) + 1, concurrency=(1, 2))
+           .to_pandas().set_index("doc_id")["text"])
+    for d in DOCS:
+        want = " ".join(
+            w if set(w) <= set("abc") else "[UNK]"
+            for w in d["text"].split())
+        assert dec[d["doc_id"]] == want, d
+
+
+def test_decode_real_docs_round_trip(ray_session):
+    """sf0.001 documents: a corpus-trained vocab covers every word (chars
+    are all in-alphabet), so decode(encode(text)) == normalized text."""
+    import ray.data as rd2
+
+    from great_expectations_ray.stages.pack_ids import decode_token_ids
+    from great_expectations_ray.stages.wordpiece import train_wordpiece
+
+    ds = rd2.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"]).limit(50)
+    vocab = train_wordpiece(ds, text_col="text", num_merges=30)
+    enc = encode_token_ids(ds, vocab, text_col="text", id_col="doc_id",
+                           eos_id=len(vocab) + 1, concurrency=(1, 2))
+    dec = (decode_token_ids(enc, vocab, id_col="doc_id",
+                            eos_id=len(vocab) + 1)
+           .to_pandas().set_index("doc_id")["text"])
+    src = ds.to_pandas().set_index("doc_id")["text"]
+    unk = 0
+    for did, text in src.items():
+        want = " ".join(text.split())
+        got = dec[did]
+        if "[UNK]" in got:
+            unk += 1
+            continue
+        assert got == want, did
+    assert unk <= len(src) * 0.5  # vocab covers most docs fully
