@@ -24,6 +24,10 @@ from great_expectations_ray.pipelines.grouped import (
     validate_grouped,
     validate_grouped_wide,
 )
+from great_expectations_ray.pipelines.incremental_validate import (
+    SuiteValidationState,
+    merge_states,
+)
 from great_expectations_ray.context import DataContext, get_context
 
 # side-effect import: registers the contrib-expectation ports (hexadecimal,
@@ -43,4 +47,6 @@ __all__ = [
     "validate",
     "validate_grouped",
     "validate_grouped_wide",
+    "SuiteValidationState",
+    "merge_states",
 ]
