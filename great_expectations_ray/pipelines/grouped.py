@@ -22,11 +22,15 @@ the same partials are merged and finished per group inside ONE bucketed
 exchange, returning a verdict Dataset (one row per group) the driver never
 collects.  Per-group verdicts are pinned equal between the two by test.
 
-Scope: map rules, aggregate rules and table rules — the families whose
-finish needs only the merged partials.  Families that need a second pass or
-their own exchange over each group (two-phase z-scores, distinct-set /
-uniqueness, KS/chi2/KL, cross-table, queried SQL, ordered) raise a clear
-ValueError; run those through ``validate`` per slice.
+Scope: map, aggregate, table, value-count (distinct-set / most-common /
+unique-count / median / quantile / entropy, knob-free) and single-column
+uniqueness rules — the families whose finish needs only the merged
+partials (uniqueness per group = dup rows from the group's exact value
+counts; a per-group VC overflow fails that EVR with guidance).  Families
+that need a second pass or their own exchange per group (two-phase
+z-scores, KS/chi2/KL, cross-table, queried SQL, ordered, compound
+uniqueness) raise a clear ValueError; run those through ``validate`` per
+slice.
 """
 
 from __future__ import annotations
@@ -62,10 +66,38 @@ from great_expectations_ray.functions.aggregates import (
     validate_metric_value_between,
 )
 
+def _grouped_vc_columns(plan) -> set:
+    """VC columns the grouped evaluators must track: the plan's own plus
+    single-column uniqueness (finished from per-group value counts here —
+    the engine's shuffle phase is per-dataset, not per-group).  Raises on
+    the sub-cases grouped validation cannot finish from merged state."""
+    from great_expectations_ray.engine import CONTRIB_AGG_VC_TYPES
+
+    cols = set(plan.vc_columns)
+    for _, cfg in plan.unique_rules:
+        if cfg.expectation_type != "expect_column_values_to_be_unique":
+            raise ValueError(
+                "grouped validation supports single-column uniqueness only; "
+                f"{cfg.expectation_type} needs the per-dataset shuffle phase "
+                "— run it through validate() per slice.")
+        cols.add(cfg.kwargs["column"])
+    for _, cfg in plan.vc_rules:
+        t = cfg.expectation_type
+        if t in CONTRIB_AGG_VC_TYPES:
+            raise ValueError(
+                f"grouped validation does not support {t} (contrib VC rule "
+                "with its own finishing pass) — run it through validate() "
+                "per slice.")
+        if cfg.kwargs.get("allow_relative_error") or cfg.kwargs.get("approximate"):
+            raise ValueError(
+                f"grouped validation computes {t} EXACTLY from per-group "
+                "value counts; drop the allow_relative_error/approximate "
+                "knob, or run it through validate() per slice.")
+    return cols
+
+
 _UNSUPPORTED_FAMILIES = (
     ("two_phase_rules", "two-phase (z-score / outlier)"),
-    ("vc_rules", "distinct-set / value-count"),
-    ("unique_rules", "uniqueness (shuffle phase)"),
     ("dist_rules", "KL / histogram distribution"),
     ("ks_rules", "KS tests"),
     ("cross_rules", "cross-table"),
@@ -145,7 +177,8 @@ def validate_grouped(
             "Run those expectations through validate() per slice.")
 
     evaluator = _PartialEvaluator(
-        plan.map_rules, plan.agg_columns, plan.count_columns, set(), None)
+        plan.map_rules, plan.agg_columns, plan.count_columns,
+        _grouped_vc_columns(plan), None)
     mat = ds.map_batches(
         _GroupedEvaluator(by, evaluator),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -227,7 +260,8 @@ def validate_grouped_wide(
             "Run those expectations through validate() per slice.")
 
     evaluator = _PartialEvaluator(
-        plan.map_rules, plan.agg_columns, plan.count_columns, set(), None)
+        plan.map_rules, plan.agg_columns, plan.count_columns,
+        _grouped_vc_columns(plan), None)
     parts = ds.map_batches(
         _GroupedEvaluator(by, evaluator),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -335,6 +369,79 @@ def _finish_group(
                 state=ps,
             ),
         )
+
+    # value-count rules: the engine's non-overflow finish needs only the
+    # merged VC state (ds is touched only by the knob / overflow paths,
+    # which _grouped_vc_columns rejects at compile time)
+    from great_expectations_ray.engine import (
+        MAX_RESULT_RECORDS,
+        _finish_vc_rule,
+    )
+    from great_expectations_ray.functions.aggregates import ValueCountsState
+
+    for idx, cfg in plan.vc_rules:
+        err = merged["errors"].get(("vc", cfg.kwargs["column"]))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
+        vc = merged["vcs"].get(cfg.kwargs["column"], ValueCountsState())
+        if vc.overflow:
+            fail_evr(
+                idx, cfg,
+                f"group exceeds {ValueCountsState.CAP} distinct values in "
+                f"'{cfg.kwargs['column']}' — per-group value counts "
+                "overflowed; validate this group through validate() per "
+                "slice (distributed VC fallback)")
+            continue
+        try:
+            evrs[idx] = _finish_vc_rule(None, cfg, merged)
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # single-column uniqueness from per-group value counts (the engine's
+    # per-dataset shuffle phase, recast: dup rows = sum of counts > 1)
+    for idx, cfg in plan.unique_rules:
+        col = cfg.kwargs["column"]
+        err = merged["errors"].get(("vc", col))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
+        vc = merged["vcs"].get(col, ValueCountsState())
+        if vc.overflow:
+            fail_evr(
+                idx, cfg,
+                f"group exceeds {ValueCountsState.CAP} distinct values in "
+                f"'{col}' — validate this group through validate() per "
+                "slice (shuffle-backed uniqueness)")
+            continue
+        try:
+            dup_count = sum(c for c in vc.counts.values() if c > 1)
+            samples = [v for v, c in vc.counts.items()
+                       if c > 1][:MAX_RESULT_RECORDS]
+            total, nonnull = merged["counts"].get(col, (0, 0))
+            ps = MapPartialState(
+                element_count=total,
+                null_count=total - nonnull,
+                unexpected_count=dup_count,
+                unexpected_values=samples,
+            )
+            if ps.element_count == 0 or nonnull == 0:
+                success = cfg.expectation_type not in FAIL_ON_EMPTY_TYPES
+            else:
+                success = mostly_success(
+                    nonnull, dup_count, cfg.kwargs.get("mostly", 1.0))
+            evrs[idx] = ExpectationValidationResult(
+                success=success,
+                expectation_config=cfg.to_json_dict(),
+                result=format_map_result(
+                    result_format=result_format,
+                    partial_unexpected_count=partial_unexpected_count,
+                    success=success,
+                    state=ps,
+                ),
+            )
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 
     for idx, cfg in plan.agg_rules:
         err = merged["errors"].get(("agg", cfg.kwargs["column"]))

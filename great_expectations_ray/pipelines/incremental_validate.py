@@ -10,9 +10,11 @@ story one line: yesterday's corpus-level suite state is a few-KB blob;
 today's new partition validates alone; ``merge`` + ``finish`` yields the
 EVRs the whole corpus would produce, with yesterday's bytes never re-read.
 
-Scope: the same map / aggregate / table families as grouped validation
-(pipelines/grouped.py) — families needing their own exchange per run
-(distinct-set, uniqueness, KS, ordered, …) raise a named ValueError.
+Scope: the same families as grouped validation (pipelines/grouped.py):
+map, aggregate, table, knob-free value-count (distinct-set / most-common /
+unique-count / median / quantile / entropy) and single-column uniqueness —
+families needing their own exchange per run (two-phase, KS, ordered,
+compound uniqueness, …) raise a named ValueError.
 
 Scale shape: one streaming pass per NEW partition; a state blob is bounded
 by the suite size (aggregate moments + capped unexpected samples + capped
@@ -36,6 +38,7 @@ from great_expectations_ray.engine import (
 from great_expectations_ray.pipelines.grouped import (
     _UNSUPPORTED_FAMILIES,
     _finish_group,
+    _grouped_vc_columns,
 )
 
 _STATE_VERSION = 1
@@ -64,7 +67,8 @@ class SuiteValidationState:
                 f"only; unsupported families in this suite: {', '.join(bad)}."
                 " Run those expectations through validate() per run.")
         evaluator = _PartialEvaluator(
-            plan.map_rules, plan.agg_columns, plan.count_columns, set(), None)
+            plan.map_rules, plan.agg_columns, plan.count_columns,
+            _grouped_vc_columns(plan), None)
         parts = [
             r["partial"]
             for r in ds.map_batches(

@@ -85,8 +85,10 @@ def test_grouped_single_pass_vacuous_and_empty_groups(ray_session):
 
 
 def test_grouped_rejects_unsupported_families(ray_session):
+    # two-phase z-scores still need their own second pass per group
     suite = (ExpectationSuite("s")
-             .add("expect_column_values_to_be_unique", column="v"))
+             .add("expect_column_value_z_scores_to_be_less_than",
+                  column="v", threshold=3, double_sided=True))
     ds = rd.from_pandas(pd.DataFrame({"grp": ["a"], "v": [1.0]}))
     with pytest.raises(ValueError, match="unsupported families"):
         validate_grouped(ds, suite, by="grp")
@@ -215,3 +217,94 @@ def test_validate_cli_wide_out(ray_session, tmp_path):
     assert list(got["group_key"]) == ["a", "b", "c"]
     assert not bool(got.loc[got.group_key == "b", "success"].iloc[0])
     assert bool(got.loc[got.group_key == "a", "success"].iloc[0])
+
+
+def test_grouped_vc_and_unique_families(ray_session):
+    """Round-4 expansion: distinct-set / most-common / unique-count /
+    median / uniqueness rules per group, pinned vs per-slice validate in
+    BOTH narrow and wide modes."""
+    from great_expectations_ray import validate_grouped_wide
+
+    rng = np.random.default_rng(13)
+    n = 500
+    grp = rng.choice(["a", "b"], size=n).astype(object)
+    code = rng.choice(["x", "y", "z"], size=n).astype(object)
+    code[(grp == "b") & (np.arange(n) % 7 == 0)] = "w"  # 'b' leaks 'w'
+    ids = np.arange(n)
+    ids[grp == "b"] = ids[grp == "b"] // 2  # 'b' has duplicate ids
+    df = pd.DataFrame({"grp": grp, "code": code,
+                       "uid": ids.astype(float),
+                       "v": rng.integers(0, 50, size=n).astype(float)})
+    suite = (ExpectationSuite("vcfam")
+             .add("expect_column_distinct_values_to_be_in_set",
+                  column="code", value_set=["x", "y", "z"])
+             .add("expect_column_most_common_value_to_be_in_set",
+                  column="code", value_set=["x", "y", "z"], ties_okay=True)
+             .add("expect_column_unique_value_count_to_be_between",
+                  column="code", min_value=1, max_value=4)
+             .add("expect_column_median_to_be_between",
+                  column="v", min_value=5, max_value=45)
+             .add("expect_column_values_to_be_unique", column="uid"))
+    ds = rd.from_pandas(df).repartition(5)
+
+    narrow = validate_grouped(ds, suite, by="grp")
+    assert set(narrow) == {"a", "b"}
+    for key in ("a", "b"):
+        ref = validate(
+            rd.from_pandas(df[df.grp == key].reset_index(drop=True)), suite)
+        got = narrow[key]
+        assert got.statistics == ref.statistics, key
+        for ge, re_ in zip(got.results, ref.results):
+            assert ge.success == re_.success
+            gr, rr = ge.to_json_dict()["result"], re_.to_json_dict()["result"]
+            for fld in ("observed_value", "unexpected_count",
+                        "element_count"):
+                if fld in rr or fld in gr:
+                    assert gr.get(fld) == rr.get(fld), (
+                        key, ge.expectation_config["type"]
+                        if "type" in ge.expectation_config
+                        else ge.expectation_config.get("expectation_type"),
+                        fld)
+    # 'a' passes everything; 'b' fails distinct-set + uniqueness
+    assert narrow["a"].success
+    assert not narrow["b"].success
+
+    wide = (validate_grouped_wide(ds, suite, by="grp").to_pandas()
+            .set_index("group_key"))
+    for key in ("a", "b"):
+        assert bool(wide.loc[key, "success"]) == narrow[key].success
+        assert wide.loc[key, "successful_expectations"] == \
+            narrow[key].statistics["successful_expectations"]
+
+
+def test_grouped_vc_guards_and_overflow(ray_session):
+    from great_expectations_ray.pipelines.grouped import validate_grouped
+
+    df = pd.DataFrame({"grp": ["a"] * 4, "v": [1.0, 2.0, 3.0, 4.0],
+                       "w": [1.0, 1.0, 2.0, 2.0]})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="single-column uniqueness only"):
+        validate_grouped(
+            ds, ExpectationSuite("c").add(
+                "expect_compound_columns_to_be_unique",
+                column_list=["v", "w"]), by="grp")
+    with pytest.raises(ValueError, match="knob"):
+        validate_grouped(
+            ds, ExpectationSuite("k").add(
+                "expect_column_unique_value_count_to_be_between",
+                column="v", min_value=1, max_value=9, approximate=True),
+            by="grp")
+
+    # per-group VC overflow (>100k distinct in one group) fails that EVR
+    # with guidance instead of a wrong verdict
+    big = pd.DataFrame({"grp": ["hot"] * 120_000,
+                        "v": np.arange(120_000, dtype=np.float64)})
+    out = validate_grouped(
+        rd.from_pandas(big).repartition(3),
+        ExpectationSuite("o").add(
+            "expect_column_unique_value_count_to_be_between",
+            column="v", min_value=1, max_value=200_000),
+        by="grp")
+    evr = out["hot"].results[0]
+    assert not evr.success
+    assert "overflowed" in evr.exception_info["exception_message"]

@@ -29,6 +29,12 @@ def _suite() -> ExpectationSuite:
         .add("expect_column_stdev_to_be_between", column="v",
              min_value=0, max_value=50)
         .add("expect_table_row_count_to_be_between", min_value=10)
+        # VC + uniqueness families merge through the state too
+        .add("expect_column_unique_value_count_to_be_between", column="v",
+             min_value=1, max_value=1000)
+        .add("expect_column_median_to_be_between", column="v",
+             min_value=0, max_value=100)
+        .add("expect_column_values_to_be_unique", column="v", mostly=0.01)
     )
 
 
@@ -87,7 +93,8 @@ def test_guards(ray_session):
     with pytest.raises(ValueError, match="unsupported"):
         SuiteValidationState.compute(
             ds, ExpectationSuite("u").add(
-                "expect_column_values_to_be_unique", column="v"))
+                "expect_column_value_z_scores_to_be_less_than",
+                column="v", threshold=3, double_sided=True))
     a = SuiteValidationState.compute(ds, _suite())
     other_suite = ExpectationSuite("other").add(
         "expect_column_values_to_not_be_null", column="v")
