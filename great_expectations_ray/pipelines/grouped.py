@@ -23,14 +23,15 @@ exchange, returning a verdict Dataset (one row per group) the driver never
 collects.  Per-group verdicts are pinned equal between the two by test.
 
 Scope: map, aggregate, table, value-count (distinct-set / most-common /
-unique-count / median / quantile / entropy, knob-free) and single-column
-uniqueness rules — the families whose finish needs only the merged
-partials (uniqueness per group = dup rows from the group's exact value
-counts; a per-group VC overflow fails that EVR with guidance).  Families
-that need a second pass or their own exchange per group (two-phase
-z-scores, KS/chi2/KL, cross-table, queried SQL, ordered, compound
-uniqueness) raise a clear ValueError; run those through ``validate`` per
-slice.
+unique-count / median / quantile / entropy, knob-free), single-column
+uniqueness, and distribution rules (KL divergence discrete + continuous
+histogram, chi-square vs a partition object) — every family whose finish
+needs only the merged partials (uniqueness per group = dup rows from the
+group's exact value counts; a per-group VC overflow fails that EVR with
+guidance).  Families that need a second pass or their own exchange per
+group (two-phase z-scores, KS tests, cross-table, queried SQL, ordered,
+compound uniqueness) raise a clear ValueError; run those through
+``validate`` per slice.
 """
 
 from __future__ import annotations
@@ -98,7 +99,6 @@ def _grouped_vc_columns(plan) -> set:
 
 _UNSUPPORTED_FAMILIES = (
     ("two_phase_rules", "two-phase (z-score / outlier)"),
-    ("dist_rules", "KL / histogram distribution"),
     ("ks_rules", "KS tests"),
     ("cross_rules", "cross-table"),
     ("global_sql_rules", "table-scope SQL"),
@@ -178,7 +178,8 @@ def validate_grouped(
 
     evaluator = _PartialEvaluator(
         plan.map_rules, plan.agg_columns, plan.count_columns,
-        _grouped_vc_columns(plan), None)
+        _grouped_vc_columns(plan), None,
+        hist_specs=plan.hist_specs or None)
     mat = ds.map_batches(
         _GroupedEvaluator(by, evaluator),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -261,7 +262,8 @@ def validate_grouped_wide(
 
     evaluator = _PartialEvaluator(
         plan.map_rules, plan.agg_columns, plan.count_columns,
-        _grouped_vc_columns(plan), None)
+        _grouped_vc_columns(plan), None,
+        hist_specs=plan.hist_specs or None)
     parts = ds.map_batches(
         _GroupedEvaluator(by, evaluator),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -440,6 +442,41 @@ def _finish_group(
                     state=ps,
                 ),
             )
+        except Exception as exc:
+            fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # distribution rules: KL / chi-square finish from VC or histogram
+    # partials alone (engine.py _finish_dist_rule / _finish_continuous_kl
+    # take no dataset)
+    from great_expectations_ray.engine import (
+        _finish_continuous_kl,
+        _finish_dist_rule,
+    )
+
+    for idx, cfg in plan.dist_rules:
+        col = cfg.kwargs["column"]
+        err = (merged["errors"].get(("vc", col))
+               or merged["errors"].get(("count", col))
+               or merged["errors"].get(("hist", idx)))
+        if err:
+            fail_evr(idx, cfg, err)
+            continue
+        po = cfg.kwargs.get("partition_object") or {}
+        try:
+            if (cfg.expectation_type
+                    == "expect_column_kl_divergence_to_be_less_than"
+                    and "bins" in po):
+                evrs[idx] = _finish_continuous_kl(cfg, merged["hists"][idx])
+            else:
+                vc = merged["vcs"].get(col, ValueCountsState())
+                if vc.overflow:
+                    fail_evr(
+                        idx, cfg,
+                        f"group exceeds {ValueCountsState.CAP} distinct "
+                        f"values in '{col}' — validate this group through "
+                        "validate() per slice")
+                    continue
+                evrs[idx] = _finish_dist_rule(cfg, merged)
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
 

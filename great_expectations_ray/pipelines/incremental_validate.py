@@ -68,7 +68,8 @@ class SuiteValidationState:
                 " Run those expectations through validate() per run.")
         evaluator = _PartialEvaluator(
             plan.map_rules, plan.agg_columns, plan.count_columns,
-            _grouped_vc_columns(plan), None)
+            _grouped_vc_columns(plan), None,
+            hist_specs=plan.hist_specs or None)
         parts = [
             r["partial"]
             for r in ds.map_batches(

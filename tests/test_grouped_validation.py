@@ -308,3 +308,42 @@ def test_grouped_vc_guards_and_overflow(ray_session):
     evr = out["hot"].results[0]
     assert not evr.success
     assert "overflowed" in evr.exception_info["exception_message"]
+
+
+def test_grouped_dist_rules(ray_session):
+    """KL (discrete + continuous-bins) and chi-square per group, pinned vs
+    per-slice validate — finish needs only VC / histogram partials."""
+    rng = np.random.default_rng(21)
+    n = 900
+    grp = rng.choice(["a", "b"], size=n).astype(object)
+    cat = rng.choice(["x", "y"], size=n, p=[0.5, 0.5]).astype(object)
+    cat[grp == "b"] = rng.choice(["x", "y"], size=(grp == "b").sum(),
+                                 p=[0.95, 0.05])  # 'b' diverges
+    v = rng.uniform(0, 10, size=n)
+    df = pd.DataFrame({"grp": grp, "cat": cat, "v": v})
+    po_disc = {"values": ["x", "y"], "weights": [0.5, 0.5]}
+    po_cont = {"bins": [0.0, 2.5, 5.0, 7.5, 10.0],
+               "weights": [0.25, 0.25, 0.25, 0.25]}
+    suite = (ExpectationSuite("dist")
+             .add("expect_column_kl_divergence_to_be_less_than",
+                  column="cat", partition_object=po_disc, threshold=0.1)
+             .add("expect_column_kl_divergence_to_be_less_than",
+                  column="v", partition_object=po_cont, threshold=0.1)
+             .add("expect_column_chisquare_test_p_value_to_be_greater_than",
+                  column="cat", partition_object=po_disc, p=0.01))
+    ds = rd.from_pandas(df).repartition(4)
+    got = validate_grouped(ds, suite, by="grp")
+    for key in ("a", "b"):
+        ref = validate(
+            rd.from_pandas(df[df.grp == key].reset_index(drop=True)), suite)
+        assert got[key].statistics == ref.statistics, key
+        for ge, re_ in zip(got[key].results, ref.results):
+            assert ge.success == re_.success
+            a = ge.to_json_dict()["result"].get("observed_value")
+            b = re_.to_json_dict()["result"].get("observed_value")
+            if isinstance(a, float) and isinstance(b, float):
+                assert np.isclose(a, b, rtol=1e-12, atol=0.0)
+            else:
+                assert a == b
+    assert got["a"].success
+    assert not got["b"].success  # discrete KL + chi2 blow up on 'b'
