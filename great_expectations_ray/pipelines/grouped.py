@@ -28,10 +28,14 @@ uniqueness, and distribution rules (KL divergence discrete + continuous
 histogram, chi-square vs a partition object) — every family whose finish
 needs only the merged partials (uniqueness per group = dup rows from the
 group's exact value counts; a per-group VC overflow fails that EVR with
-guidance).  Families that need a second pass or their own exchange per
-group (two-phase z-scores, KS tests, cross-table, queried SQL, ordered,
-compound uniqueness) raise a clear ValueError; run those through
-``validate`` per slice.
+guidance).  Two-phase rules (z-scores, outliers) run in NARROW mode via
+one extra pass: each group's thresholds derive from its phase-1 merge,
+then :func:`_grouped_two_phase` evaluates every group's rows against ITS
+thresholds (wide mode and the mergeable state reject them — no per-group
+second pass there).  Families that need their own exchange per group (KS
+tests, cross-table, queried SQL, ordered, compound uniqueness) raise a
+clear ValueError; run those through ``validate`` per slice (ordered
+checks per group = ``validate`` with partition_by/order_by).
 """
 
 from __future__ import annotations
@@ -98,15 +102,22 @@ def _grouped_vc_columns(plan) -> set:
 
 
 _UNSUPPORTED_FAMILIES = (
-    ("two_phase_rules", "two-phase (z-score / outlier)"),
     ("ks_rules", "KS tests"),
     ("cross_rules", "cross-table"),
     ("global_sql_rules", "table-scope SQL"),
     ("queried_rules", "queried family"),
-    ("ordered_rules", "increasing / decreasing"),
+    ("ordered_rules", "increasing / decreasing (use validate() with "
+     "partition_by/order_by for per-group monotonic checks)"),
     ("paired_stat_rules", "paired statistics (chi2 / paired KS)"),
     ("cramers_rules", "Cramér's phi"),
 )
+
+#: the wide exchange and the mergeable state cannot run a per-group second
+#: pass, so two-phase rules stay narrow-only
+_UNSUPPORTED_WIDE = (
+    ("two_phase_rules", "two-phase (z-score / outlier; needs a per-group "
+     "second pass — supported by validate_grouped, narrow mode)"),
+) + _UNSUPPORTED_FAMILIES
 
 
 class _GroupedEvaluator:
@@ -197,21 +208,122 @@ def validate_grouped(
     by_key: dict[Any, list[bytes]] = {}
     for row in mat.take_all():
         by_key.setdefault(row["__key"], []).append(row["partial"])
+    merged_by_key = {k: _merge_partials(p) for k, p in by_key.items()}
+
+    two_phase = (_grouped_two_phase(ds, by, plan, merged_by_key)
+                 if plan.two_phase_rules else {})
 
     schema = _dataset_arrow_schema(ds)
     configs = suite.resolved_expectations()
     out: dict[Any, SuiteValidationResult] = {}
-    for key, parts in by_key.items():
-        merged = _merge_partials(parts)
+    for key, merged in merged_by_key.items():
         out[key] = _finish_group(
             suite, plan, configs, merged, schema,
             result_format=result_format,
             partial_unexpected_count=partial_unexpected_count,
             catch_exceptions=catch_exceptions,
+            two_phase_states=two_phase.get(key),
         )
         out[key].meta["group_key"] = key
         out[key].meta["group_by"] = by
     return out
+
+
+def _grouped_two_phase(ds, by: str, plan, merged_by_key: dict) -> dict:
+    """Per-group phase 2 for z-score / outlier rules: derive each group's
+    thresholds (mean/std, and median/IQR from the group's exact VC) from
+    the phase-1 merges, then ONE more pass evaluates every group's rows
+    against ITS thresholds.  Returns {key: {idx: MapPartialState | str}}
+    (str = phase-1 failure message for that rule).  Narrow mode only — the
+    per-group threshold table lives on the driver, bounded exactly like
+    the phase-1 partials."""
+    from great_expectations_ray.core.suite import (
+        ExpectationConfiguration as _EC,
+    )
+    from great_expectations_ray.functions.aggregates import ValueCountsState
+    from great_expectations_ray.functions.contrib_aggregates import (
+        percentile_linear_from_vc,
+    )
+
+    rules_by_key: dict[Any, list] = {}
+    states: dict[Any, dict] = {k: {} for k in merged_by_key}
+    for key, merged in merged_by_key.items():
+        for idx, cfg in plan.two_phase_rules:
+            col = cfg.kwargs["column"]
+            err = merged["errors"].get(("agg", col))
+            if err:
+                states[key][idx] = str(err)
+                continue
+            ag = merged["aggs"].get(col, NumericAggState())
+            k = dict(cfg.kwargs)
+            k["_mean"] = ag.metric("column.mean")
+            k["_std"] = ag.metric("column.standard_deviation")
+            if (cfg.expectation_type
+                    == "expect_column_values_to_not_be_outliers"
+                    and cfg.kwargs.get("method", "iqr") == "iqr"):
+                vc = merged["vcs"].get(col, ValueCountsState())
+                if vc.overflow:
+                    states[key][idx] = (
+                        f"group exceeds {ValueCountsState.CAP} distinct "
+                        f"values in '{col}' — validate this group through "
+                        "validate() per slice (distributed IQR)")
+                    continue
+                q25 = percentile_linear_from_vc(vc, 0.25)
+                q75 = percentile_linear_from_vc(vc, 0.75)
+                k["_median"] = percentile_linear_from_vc(vc, 0.50)
+                k["_iqr"] = (q75 - q25) if q75 is not None else None
+            rules_by_key.setdefault(key, []).append(
+                (idx, _EC(cfg.expectation_type, k, cfg.meta)))
+
+    if not rules_by_key:
+        return states
+
+    def phase2(tbl: pa.Table) -> pa.Table:
+        keys = tbl.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        ind = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        key_parts, partials = [], []
+        groups = [(g, enc.dictionary[g].as_py()) for g in
+                  range(len(enc.dictionary))]
+        if (ind == -1).any():
+            groups.append((-1, None))
+        for g, kval in groups:
+            rules = rules_by_key.get(kval)
+            if not rules:
+                continue
+            sub = tbl.filter(pa.array(ind == g))
+            ev = _PartialEvaluator(rules, set(), set(), set(), None)
+            partials.append(ev(sub).column("partial")[0].as_py())
+            key_parts.append(
+                pa.nulls(1, keys.type) if g == -1
+                else enc.dictionary.slice(g, 1))
+        key_arr = (pa.concat_arrays(key_parts) if key_parts
+                   else pa.nulls(0, keys.type))
+        return pa.table({
+            "__key": key_arr,
+            "partial": pa.array(partials, pa.large_binary()),
+        })
+
+    p2_by_key: dict[Any, list[bytes]] = {}
+    for row in ds.map_batches(
+            phase2, batch_format="pyarrow", zero_copy_batch=True).take_all():
+        p2_by_key.setdefault(row["__key"], []).append(row["partial"])
+    for key, parts in p2_by_key.items():
+        m2 = _merge_partials(parts)
+        for idx, _ in rules_by_key.get(key, []):
+            if idx in m2["errors"]:
+                states[key][idx] = str(m2["errors"][idx])
+            else:
+                states[key][idx] = m2["maps"].get(idx, MapPartialState())
+    # a group whose rows never reached phase 2 (shouldn't happen) or whose
+    # rules all failed phase 1 keeps its message entries; fill any absent
+    # rule with an empty state (vacuous truth semantics in the finisher)
+    for key in merged_by_key:
+        for idx, _ in rules_by_key.get(key, []):
+            states[key].setdefault(idx, MapPartialState())
+    return states
 
 
 def validate_grouped_wide(
@@ -252,7 +364,7 @@ def validate_grouped_wide(
             "partial_unexpected_count", partial_unexpected_count)
 
     plan = compile_suite(suite)
-    bad = [label for attr, label in _UNSUPPORTED_FAMILIES
+    bad = [label for attr, label in _UNSUPPORTED_WIDE
            if getattr(plan, attr)]
     if bad:
         raise ValueError(
@@ -320,6 +432,7 @@ def _finish_group(
     result_format: str,
     partial_unexpected_count: int,
     catch_exceptions: bool,
+    two_phase_states: Optional[dict] = None,
 ) -> SuiteValidationResult:
     """Build one group's suite result from its merged partials — the same
     finish semantics as engine.validate's map/agg/table sections (vacuous
@@ -479,6 +592,36 @@ def _finish_group(
                 evrs[idx] = _finish_dist_rule(cfg, merged)
         except Exception as exc:
             fail_evr(idx, cfg, f"{type(exc).__name__}: {exc}")
+
+    # two-phase rules (narrow grouped mode): phase-2 map states computed by
+    # _grouped_two_phase arrive here; a str entry is a phase-1 failure
+    for idx, cfg in plan.two_phase_rules:
+        info = (two_phase_states or {}).get(idx)
+        if info is None:
+            fail_evr(idx, cfg,
+                     "two-phase rules need the per-group second pass "
+                     "(validate_grouped narrow mode)")
+            continue
+        if isinstance(info, str):
+            fail_evr(idx, cfg, info)
+            continue
+        ps = info
+        nonnull = ps.element_count - ps.null_count
+        if ps.element_count == 0 or nonnull == 0:
+            success = cfg.expectation_type not in FAIL_ON_EMPTY_TYPES
+        else:
+            success = mostly_success(
+                nonnull, ps.unexpected_count, cfg.kwargs.get("mostly", 1.0))
+        evrs[idx] = ExpectationValidationResult(
+            success=success,
+            expectation_config=cfg.to_json_dict(),
+            result=format_map_result(
+                result_format=result_format,
+                partial_unexpected_count=partial_unexpected_count,
+                success=success,
+                state=ps,
+            ),
+        )
 
     for idx, cfg in plan.agg_rules:
         err = merged["errors"].get(("agg", cfg.kwargs["column"]))

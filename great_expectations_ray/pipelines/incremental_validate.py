@@ -36,7 +36,7 @@ from great_expectations_ray.engine import (
     compile_suite,
 )
 from great_expectations_ray.pipelines.grouped import (
-    _UNSUPPORTED_FAMILIES,
+    _UNSUPPORTED_WIDE as _UNSUPPORTED_FAMILIES,
     _finish_group,
     _grouped_vc_columns,
 )

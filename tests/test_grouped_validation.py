@@ -85,10 +85,10 @@ def test_grouped_single_pass_vacuous_and_empty_groups(ray_session):
 
 
 def test_grouped_rejects_unsupported_families(ray_session):
-    # two-phase z-scores still need their own second pass per group
+    # KS tests still need their own sort exchange per group
     suite = (ExpectationSuite("s")
-             .add("expect_column_value_z_scores_to_be_less_than",
-                  column="v", threshold=3, double_sided=True))
+             .add("expect_column_parameterized_distribution_ks_test_p_value_"
+                  "to_be_greater_than", column="v", distribution="norm"))
     ds = rd.from_pandas(pd.DataFrame({"grp": ["a"], "v": [1.0]}))
     with pytest.raises(ValueError, match="unsupported families"):
         validate_grouped(ds, suite, by="grp")
@@ -347,3 +347,46 @@ def test_grouped_dist_rules(ray_session):
                 assert a == b
     assert got["a"].success
     assert not got["b"].success  # discrete KL + chi2 blow up on 'b'
+
+
+def test_grouped_two_phase_rules(ray_session):
+    """z-scores + IQR outliers per group (narrow mode): each group's
+    thresholds come from ITS mean/std/median/IQR; pinned vs per-slice
+    validate.  Wide mode and mergeable state reject with a named error."""
+    from great_expectations_ray import (
+        SuiteValidationState,
+        validate_grouped_wide,
+    )
+
+    rng = np.random.default_rng(33)
+    n = 800
+    grp = rng.choice(["a", "b"], size=n).astype(object)
+    v = rng.normal(50, 5, size=n)
+    v[grp == "b"] = rng.normal(500, 50, size=(grp == "b").sum())
+    # plant outliers in 'b' only — 'a' stays within its own z-range
+    b_idx = np.flatnonzero(grp == "b")[:6]
+    v[b_idx] = 5000.0
+    df = pd.DataFrame({"grp": grp, "v": v})
+    suite = (ExpectationSuite("tp")
+             .add("expect_column_value_z_scores_to_be_less_than",
+                  column="v", threshold=4, double_sided=True, mostly=0.99)
+             .add("expect_column_values_to_not_be_outliers",
+                  column="v", method="iqr", multiplier=3.0, mostly=0.99))
+    ds = rd.from_pandas(df).repartition(5)
+    got = validate_grouped(ds, suite, by="grp")
+    for key in ("a", "b"):
+        ref = validate(
+            rd.from_pandas(df[df.grp == key].reset_index(drop=True)), suite)
+        assert got[key].statistics == ref.statistics, key
+        for ge, re_ in zip(got[key].results, ref.results):
+            assert ge.success == re_.success
+            gr = ge.to_json_dict()["result"]
+            rr = re_.to_json_dict()["result"]
+            assert gr.get("unexpected_count") == rr.get("unexpected_count")
+            assert gr.get("element_count") == rr.get("element_count")
+    assert got["a"].success
+    assert not got["b"].success
+    with pytest.raises(ValueError, match="two-phase"):
+        validate_grouped_wide(ds, suite, by="grp")
+    with pytest.raises(ValueError, match="two-phase"):
+        SuiteValidationState.compute(ds, suite)
