@@ -4213,12 +4213,67 @@ _VERDICT_COLS["grouped_validate_lineitem"] = [
 ]
 
 
+def q_grouped_wide_validate_lineitem(sf_dir: str) -> pd.DataFrame:
+    """WIDE grouped validation (pipelines/grouped.py validate_grouped_wide):
+    one suite x every l_suppkey group of lineitem, merged AND finished
+    inside ONE bucketed exchange — the unbounded-cardinality path; the
+    driver sees only verdict rows.  Summary is integer-only; the mostly
+    comparison is float-division in the exact engine order, mirrored
+    operation-for-operation in the oracle (both IEEE double), so the
+    verdict cannot drift at ratio boundaries."""
+    from great_expectations_ray.core.suite import ExpectationSuite as _ES
+    from great_expectations_ray.pipelines.grouped import validate_grouped_wide
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity"])
+    suite = (
+        _ES("grouped_wide_gate")
+        .add("expect_column_values_to_be_between", column="l_quantity",
+             min_value=1, max_value=49, mostly=0.98)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    wide = validate_grouped_wide(ds, suite, by="l_suppkey").to_pandas()
+    return pd.DataFrame([{
+        "n_groups": len(wide),
+        "failed_groups": int((~wide["success"].astype(bool)).sum()),
+        "total_rows": int(wide["row_count"].sum()),
+        "ok_expectations": int(wide["successful_expectations"].sum()),
+    }]).astype("int64")
+
+
+CONSTITUENT_QUERIES["grouped_wide_validate_lineitem"] = (
+    q_grouped_wide_validate_lineitem)
+CONSTITUENT_ORACLE_SQL["grouped_wide_validate_lineitem"] = """
+WITH g AS (
+  SELECT l_suppkey,
+    COUNT(*) AS n,
+    COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 49) AS unexp
+  FROM lineitem GROUP BY l_suppkey
+), v AS (
+  SELECT n, unexp,
+    ((CAST(n AS DOUBLE) - CAST(unexp AS DOUBLE)) / CAST(n AS DOUBLE)
+     >= CAST(0.98 AS DOUBLE)) AS between_ok
+  FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(COUNT(*) FILTER (WHERE NOT between_ok) AS BIGINT) AS failed_groups,
+  CAST(SUM(n) AS BIGINT) AS total_rows,
+  CAST(SUM(CASE WHEN between_ok THEN 2 ELSE 1 END) AS BIGINT)
+    AS ok_expectations
+FROM v
+"""
+_VERDICT_COLS["grouped_wide_validate_lineitem"] = [
+    ("n_groups", "num"), ("failed_groups", "num"),
+    ("total_rows", "num"), ("ok_expectations", "num"),
+]
+
+
 _AGG_STATS_VERDICT_PARTS = [
     "agg_quantity", "distinct_mktsegment", "most_common_returnflag",
     "quantiles_price", "unique_prefix_violations", "compound_unique_orders",
     "zscore_quantity", "kl_event_types", "cramers_events",
     "ks_uniform_quantity", "exact_n_sample_docs", "psi_quantity_halves",
     "pct_rank_quantity", "grouped_validate_lineitem",
+    "grouped_wide_validate_lineitem",
 ]
 
 
