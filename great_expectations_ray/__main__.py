@@ -99,7 +99,34 @@ def cmd_validate(args) -> int:
     try:
         with open(args.suite) as f:
             suite = ExpectationSuite.from_json(f.read())
+        if args.states:
+            # finish corpus-level results from persisted partition states —
+            # no data is read (day-2 rollup path)
+            from great_expectations_ray.pipelines.incremental_validate import (
+                SuiteValidationState,
+                merge_states,
+            )
+
+            merged = merge_states(
+                [SuiteValidationState.load(p) for p in args.states])
+            res = merged.finish(result_format=args.result_format)
+            print(json.dumps(res.to_json_dict(), indent=1, default=str))
+            return 0 if res.success else 1
+        if not args.input:
+            raise SystemExit("validate: --input is required unless --states")
         ds = read_batch(args.input)
+        if args.state_out:
+            # one streaming pass -> persisted mergeable state + finished
+            # result for THIS partition
+            from great_expectations_ray.pipelines.incremental_validate import (
+                SuiteValidationState,
+            )
+
+            st = SuiteValidationState.compute(ds, suite)
+            st.save(args.state_out)
+            res = st.finish(result_format=args.result_format)
+            print(json.dumps(res.to_json_dict(), indent=1, default=str))
+            return 0 if res.success else 1
         if args.by and args.wide_out:
             # unbounded key cardinality: verdicts land as parquet, the
             # driver prints only the rollup
@@ -673,7 +700,8 @@ def main(argv=None) -> int:
     d.set_defaults(fn=cmd_docs)
 
     v = sub.add_parser("validate", help="validate one table against a suite")
-    v.add_argument("--input", required=True)
+    v.add_argument("--input", default=None,
+                   help="input table (required unless --states)")
     v.add_argument("--suite", required=True)
     v.add_argument("--result-format", default="SUMMARY",
                    choices=["BOOLEAN_ONLY", "BASIC", "SUMMARY", "COMPLETE"])
@@ -687,6 +715,13 @@ def main(argv=None) -> int:
     v.add_argument("--wide-results", action="store_true",
                    help="with --wide-out: include the full per-group suite "
                         "result as a JSON column")
+    v.add_argument("--state-out", default=None,
+                   help="also persist this partition's MERGEABLE validation "
+                        "state (suite-bounded blob) for later --states "
+                        "rollups")
+    v.add_argument("--states", nargs="+", default=None,
+                   help="finish corpus-level results by merging persisted "
+                        "states — no data is read (--input ignored)")
     v.add_argument("--cpus", type=int, default=None)
     v.set_defaults(fn=cmd_validate)
 

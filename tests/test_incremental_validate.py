@@ -106,3 +106,34 @@ def test_guards(ray_session):
     with pytest.raises(ValueError, match="schemas"):
         a.merge(c)
     assert merge_states([]) is None
+
+
+def test_validate_cli_state_flow(ray_session, tmp_path, capsys):
+    """`validate --state-out` per partition, then `validate --states A B`
+    rolls up corpus-level results WITHOUT reading data."""
+    import json as _json
+
+    from great_expectations_ray.__main__ import main
+
+    d1, d2 = _frame(300, seed=4), _frame(200, seed=5)
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    d1.to_parquet(p1)
+    d2.to_parquet(p2)
+    suite_p = str(tmp_path / "suite.json")
+    with open(suite_p, "w") as f:
+        f.write(_suite().to_json())
+    s1, s2 = str(tmp_path / "a.state"), str(tmp_path / "b.state")
+    rc1 = main(["validate", "--input", p1, "--suite", suite_p,
+                "--state-out", s1, "--cpus", "2"])
+    capsys.readouterr()
+    rc2 = main(["validate", "--input", p2, "--suite", suite_p,
+                "--state-out", s2, "--cpus", "2"])
+    capsys.readouterr()
+    rc = main(["validate", "--suite", suite_p, "--states", s1, s2,
+               "--cpus", "2"])
+    out = _json.loads(capsys.readouterr().out)
+    ref = validate(
+        rd.from_pandas(pd.concat([d1, d2], ignore_index=True)), _suite())
+    assert out["statistics"] == ref.statistics
+    assert rc == (0 if ref.success else 1)
+    assert out["meta"]["n_partitions"] == 2
