@@ -338,3 +338,63 @@ def _ks_2samp_from_tagged(tagged) -> dict:
 
     return {"d_statistic": d, "p_value": ks_2samp_p_asymptotic(d, n_a, n_b),
             "n_a": n_a, "n_b": n_b}
+
+
+def grouped_parameterized_ks(
+    ds,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    distribution: str,
+    params: dict,
+    n_buckets: int = 256,
+):
+    """Exact one-sample KS per GROUP at unbounded group cardinality: rows
+    bucket by ``hash(key)`` in ONE exchange, each bucket sorts its groups'
+    values (C-level per group) and computes D = sup|ECDF − F| exactly plus
+    the Stephens-corrected p-value — the per-group form of
+    :func:`parameterized_ks_test`.
+
+    Unlike the partial-state families (pipelines/grouped.py), KS needs the
+    group's full order statistics, so group VALUES move through the
+    exchange — inherent to an exact per-group test; a group's cost is
+    O(its rows log its rows), vectorized.  Empty / all-null groups yield
+    null D and p.
+
+    Output: group_cols + ``(n int64, ks_statistic float64, p_value
+    float64)``."""
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    group_cols = list(group_cols)
+    cdf = make_cdf(distribution, params)
+
+    def bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        recs = []
+        for key, gg in g.groupby(group_cols, dropna=False, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            vals = pd.to_numeric(gg[value_col], errors="coerce").to_numpy(
+                np.float64)
+            vals = np.sort(vals[~np.isnan(vals)])
+            n = len(vals)
+            rec = dict(zip(group_cols,
+                           (None if pd.isna(k) else k for k in key)))
+            rec["n"] = n
+            if n == 0:
+                rec["ks_statistic"] = None
+                rec["p_value"] = None
+            else:
+                f = np.asarray(cdf(vals), dtype=np.float64)
+                j = np.arange(1, n + 1, dtype=np.float64)
+                d = float(max((j / n - f).max(), (f - (j - 1) / n).max()))
+                rec["ks_statistic"] = d
+                rec["p_value"] = ks_p_value(d, n)
+            recs.append(rec)
+        return pd.DataFrame(
+            recs, columns=group_cols + ["n", "ks_statistic", "p_value"])
+
+    return grouped_apply_bucketed(
+        ds.select_columns(group_cols + [value_col]), group_cols, bucket,
+        n_buckets=n_buckets)

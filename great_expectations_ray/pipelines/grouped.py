@@ -102,7 +102,8 @@ def _grouped_vc_columns(plan) -> set:
 
 
 _UNSUPPORTED_FAMILIES = (
-    ("ks_rules", "KS tests"),
+    ("ks_rules", "KS tests (per-group exact KS: functions/ks.py "
+     "grouped_parameterized_ks)"),
     ("cross_rules", "cross-table"),
     ("global_sql_rules", "table-scope SQL"),
     ("queried_rules", "queried family"),

@@ -142,3 +142,50 @@ def test_ks_nulls_are_ignored(ray_session):
     r = validate(ds, suite).results[0]
     assert r.success
     assert r.result["details"]["n"] == 2_000
+
+
+def test_grouped_parameterized_ks(ray_session):
+    """Per-group exact KS == the global operator run on each slice; null
+    keys and empty groups handled; partitioning-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.ks import (
+        grouped_parameterized_ks,
+        parameterized_ks_test,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    grp = rng.choice(["u", "g", "bad"], size=n).astype(object)
+    grp[::151] = None
+    v = rng.uniform(0.0, 1.0, size=n)
+    v[grp == "g"] = rng.normal(0.5, 0.15, size=(grp == "g").sum())
+    v[grp == "bad"] = rng.uniform(0.5, 1.0, size=(grp == "bad").sum())
+    df = pd.DataFrame({"grp": grp, "v": v})
+
+    def run(parts):
+        return (grouped_parameterized_ks(
+                    rd.from_pandas(df).repartition(parts), ["grp"], "v",
+                    distribution="uniform", params={"min": 0.0, "max": 1.0})
+                .to_pandas().sort_values("grp", na_position="last")
+                .reset_index(drop=True))
+
+    out = run(5)
+    assert out.equals(run(2))  # partitioning-invariant
+    assert len(out) == 4
+    for _, row in out.iterrows():
+        key = row["grp"]
+        mask = df["grp"].isna() if pd.isna(key) else (df["grp"] == key)
+        sub = df[mask.fillna(False)]
+        ref = parameterized_ks_test(
+            rd.from_pandas(sub.reset_index(drop=True)), "v",
+            distribution="uniform", params={"min": 0.0, "max": 1.0},
+            n=len(sub))
+        assert row["n"] == ref["n"]
+        assert np.isclose(row["ks_statistic"], ref["ks_statistic"],
+                          rtol=1e-12, atol=0)
+        assert np.isclose(row["p_value"], ref["p_value"], rtol=1e-12, atol=0)
+    # the uniform group passes, the shifted-uniform group is rejected
+    p = out.set_index(out["grp"].astype(str))["p_value"]
+    assert p["u"] > 0.05 and p["bad"] < 1e-6
