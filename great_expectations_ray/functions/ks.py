@@ -398,3 +398,83 @@ def grouped_parameterized_ks(
     return grouped_apply_bucketed(
         ds.select_columns(group_cols + [value_col]), group_cols, bucket,
         n_buckets=n_buckets)
+
+
+def grouped_ks_2samp(
+    ds_a,
+    ds_b,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    n_buckets: int = 256,
+):
+    """Exact two-sample KS per GROUP between two corpora — the per-domain
+    drift-monitoring form of :func:`distributed_ks_2samp_datasets`.  Both
+    sides are tagged and bucketed by the group key in ONE exchange; each
+    bucket computes every group's exact D over the merged order statistics
+    (per-group C-level sort + cumulative side counts, sup evaluated at
+    value-change points — right-continuous ECDF semantics, ties handled
+    like the global operator) and the asymptotic Smirnov p-value.
+
+    Output: group_cols + ``(n_a, n_b int64, d_statistic, p_value float64)``
+    — groups empty on EITHER side yield nulls (no drift verdict without
+    both samples)."""
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+    from great_expectations_ray.functions.stats_math import ks_2samp_p_asymptotic
+
+    group_cols = list(group_cols)
+
+    def tag(side: int):
+        def f(tbl: pa.Table) -> pa.Table:
+            cols = {c: tbl.column(c) for c in group_cols}
+            col = tbl.column(value_col).combine_chunks()
+            cols["__v"] = pc.cast(col, pa.float64())
+            cols["__side"] = pa.array(np.full(len(tbl), side, dtype=np.int8))
+            return pa.table(cols)
+
+        return f
+
+    tagged = (
+        ds_a.select_columns(group_cols + [value_col])
+        .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(ds_b.select_columns(group_cols + [value_col])
+               .map_batches(tag(1), batch_format="pyarrow",
+                            zero_copy_batch=True)))
+
+    def bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        recs = []
+        for key, gg in g.groupby(group_cols, dropna=False, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            v = gg["__v"].to_numpy(np.float64)
+            w = gg["__side"].to_numpy(np.int8)
+            ok = ~np.isnan(v)
+            v, w = v[ok], w[ok]
+            order = np.lexsort((w, v))
+            v, w = v[order], w[order]
+            n_a = int((w == 0).sum())
+            n_b = len(w) - n_a
+            rec = dict(zip(group_cols,
+                           (None if pd.isna(k) else k for k in key)))
+            rec["n_a"], rec["n_b"] = n_a, n_b
+            if n_a == 0 or n_b == 0:
+                rec["d_statistic"] = None
+                rec["p_value"] = None
+            else:
+                dloc = np.cumsum(w == 0) / n_a - np.cumsum(w == 1) / n_b
+                # sup at value-change points + the final position
+                boundary = np.empty(len(v), dtype=bool)
+                boundary[:-1] = v[1:] != v[:-1]
+                boundary[-1] = True
+                d = float(np.abs(dloc[boundary]).max())
+                rec["d_statistic"] = d
+                rec["p_value"] = ks_2samp_p_asymptotic(d, n_a, n_b)
+            recs.append(rec)
+        return pd.DataFrame(
+            recs,
+            columns=group_cols + ["n_a", "n_b", "d_statistic", "p_value"])
+
+    return grouped_apply_bucketed(tagged, group_cols, bucket,
+                                  n_buckets=n_buckets)

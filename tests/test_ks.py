@@ -189,3 +189,46 @@ def test_grouped_parameterized_ks(ray_session):
     # the uniform group passes, the shifted-uniform group is rejected
     p = out.set_index(out["grp"].astype(str))["p_value"]
     assert p["u"] > 0.05 and p["bad"] < 1e-6
+
+
+def test_grouped_ks_2samp(ray_session):
+    """Per-group two-sample KS == the global two-dataset operator per
+    slice; one-sided-empty groups yield nulls."""
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.functions.ks import (
+        distributed_ks_2samp_datasets,
+        grouped_ks_2samp,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 2400
+    grp_a = rng.choice(["s", "d", "only_a"], size=n).astype(object)
+    grp_b = rng.choice(["s", "d"], size=n).astype(object)
+    a = pd.DataFrame({"grp": grp_a, "v": rng.normal(0, 1, size=n)})
+    b = pd.DataFrame({"grp": grp_b, "v": rng.normal(0, 1, size=n)})
+    b.loc[b.grp == "d", "v"] += 1.5  # drifted group
+    # tie-heavy values exercise the boundary semantics
+    a.loc[::7, "v"] = 0.25
+    b.loc[::7, "v"] = 0.25
+
+    out = (grouped_ks_2samp(
+            rd.from_pandas(a).repartition(4),
+            rd.from_pandas(b).repartition(3), ["grp"], "v")
+           .to_pandas().set_index("grp"))
+    assert set(out.index) == {"s", "d", "only_a"}
+    assert pd.isna(out.loc["only_a", "d_statistic"])
+    assert out.loc["only_a", "n_b"] == 0
+    for key in ("s", "d"):
+        ref = distributed_ks_2samp_datasets(
+            rd.from_pandas(a[a.grp == key].reset_index(drop=True)),
+            rd.from_pandas(b[b.grp == key].reset_index(drop=True)), "v")
+        assert out.loc[key, "n_a"] == ref["n_a"]
+        assert out.loc[key, "n_b"] == ref["n_b"]
+        assert np.isclose(out.loc[key, "d_statistic"], ref["d_statistic"],
+                          rtol=1e-12, atol=0)
+        assert np.isclose(out.loc[key, "p_value"], ref["p_value"],
+                          rtol=1e-12, atol=0)
+    assert out.loc["s", "p_value"] > 0.05
+    assert out.loc["d", "p_value"] < 1e-9
