@@ -270,6 +270,26 @@ def cmd_drift(args) -> int:
                             psi_threshold=args.psi_threshold,
                             ks_columns=args.ks_columns,
                             ks_alpha=args.ks_alpha)
+        if args.by and args.ks_columns:
+            # per-group drift: exact two-sample KS per (group, column) —
+            # one bucketed exchange per column, bounded verdict rows
+            from great_expectations_ray.functions.ks import grouped_ks_2samp
+
+            import pandas as _pd
+
+            by_rep = {}
+            for col in args.ks_columns.split(","):
+                col = col.strip()
+                gdf = grouped_ks_2samp(base, cur, [args.by], col).to_pandas()
+                gdf["drifted"] = gdf["p_value"] < args.ks_alpha  # NaN -> False
+                gdf = gdf.sort_values(args.by)
+                by_rep[col] = gdf.astype(object).where(
+                    _pd.notna(gdf), None).to_dict("records")
+            rep["ks_by_group"] = by_rep
+            rep["drifted"] = bool(
+                rep["drifted"] or any(
+                    bool(r["drifted"]) for rows in by_rep.values()
+                    for r in rows))
         print(json.dumps(rep, indent=1, default=str))
     finally:
         _maybe_shutdown(owned)
@@ -811,6 +831,9 @@ def main(argv=None) -> int:
                          "two-sample KS test")
     dr.add_argument("--ks-alpha", type=float, default=0.001,
                     help="KS drift p-value threshold")
+    dr.add_argument("--by", default=None,
+                    help="with --ks-columns: ALSO run the exact two-sample "
+                         "KS per group of this column (per-domain drift)")
     dr.add_argument("--cpus", type=int, default=None)
     dr.set_defaults(fn=cmd_drift)
 

@@ -232,3 +232,32 @@ def test_grouped_ks_2samp(ray_session):
                           rtol=1e-12, atol=0)
     assert out.loc["s", "p_value"] > 0.05
     assert out.loc["d", "p_value"] < 1e-9
+
+
+def test_drift_cli_by_group(ray_session, tmp_path, capsys):
+    """`drift --ks-columns v --by grp`: per-group KS verdicts in the
+    report; exit 1 driven by the drifted group only."""
+    import json as _json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.__main__ import main
+
+    rng = np.random.default_rng(31)
+    n = 1600
+    base = pd.DataFrame({"grp": rng.choice(["s", "d"], size=n),
+                         "v": rng.normal(0, 1, size=n)})
+    cur = pd.DataFrame({"grp": rng.choice(["s", "d"], size=n),
+                        "v": rng.normal(0, 1, size=n)})
+    cur.loc[cur.grp == "d", "v"] += 2.0
+    pb, pc_ = str(tmp_path / "b.parquet"), str(tmp_path / "c.parquet")
+    base.to_parquet(pb)
+    cur.to_parquet(pc_)
+    rc = main(["drift", "--baseline", pb, "--current", pc_,
+               "--ks-columns", "v", "--by", "grp", "--cpus", "2"])
+    rep = _json.loads(capsys.readouterr().out)
+    assert rc == 1
+    rows = {r["grp"]: r for r in rep["ks_by_group"]["v"]}
+    assert rows["d"]["drifted"] is True
+    assert rows["s"]["drifted"] is False
