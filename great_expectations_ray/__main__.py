@@ -154,6 +154,13 @@ def cmd_validate(args) -> int:
 
             grouped = validate_grouped(ds, suite, by=args.by,
                                        result_format=args.result_format)
+            if args.html_out:
+                from great_expectations_ray.pipelines.data_docs import (
+                    render_grouped_page,
+                )
+
+                with open(args.html_out, "w") as f:
+                    f.write(render_grouped_page(grouped, by=args.by))
             print(json.dumps(
                 {str(k): r.to_json_dict() for k, r in sorted(
                     grouped.items(), key=lambda kv: str(kv[0]))},
@@ -735,6 +742,9 @@ def main(argv=None) -> int:
     v.add_argument("--wide-results", action="store_true",
                    help="with --wide-out: include the full per-group suite "
                         "result as a JSON column")
+    v.add_argument("--html-out", default=None,
+                   help="with --by: also write one grouped-summary Data "
+                        "Docs HTML page here")
     v.add_argument("--state-out", default=None,
                    help="also persist this partition's MERGEABLE validation "
                         "state (suite-bounded blob) for later --states "

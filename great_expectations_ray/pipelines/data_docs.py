@@ -598,3 +598,52 @@ def build_site(root: str, site_dir: Optional[str] = None) -> str:
     with open(path, "w") as f:
         f.write(index)
     return path
+
+
+def render_grouped_page(
+    grouped: dict,
+    *,
+    by: str,
+    title: str = "Grouped validation",
+) -> str:
+    """HTML page for a ``validate_grouped`` result: a per-group summary
+    table (status / rule counts / row count, anchor-linked) followed by
+    each group's full EVR table — the Data Docs face of the one-pass
+    grouped run (one page where the reference renders N separate
+    validation pages for N batch slices)."""
+    keys = sorted(grouped, key=lambda k: (k is None, str(k)))
+    n_fail = sum(1 for k in keys if not grouped[k].success)
+    banner_cls = "ok" if n_fail == 0 else "fail"
+    head = (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{_esc(title)}</title><style>{_CSS}</style></head><body>"
+        f"<h1>{_esc(title)}</h1>"
+        f"<h2>Grouped by <code>{_esc(by)}</code> — {len(keys)} groups</h2>"
+        f"<p class='banner {banner_cls}'>"
+        f"{len(keys) - n_fail}/{len(keys)} groups succeeded</p>"
+    )
+    rows = []
+    for i, k in enumerate(keys):
+        r = grouped[k]
+        st = r.statistics
+        label = "(null)" if k is None else str(k)
+        badge = "✓" if r.success else "✗"
+        rows.append(
+            f"<tr><td><a href='#grp-{i}'>{_esc(label)}</a></td>"
+            f"<td>{badge}</td>"
+            f"<td>{st.get('successful_expectations')}/"
+            f"{st.get('evaluated_expectations')}</td>"
+            f"<td>{r.meta.get('row_count')}</td></tr>")
+    summary = (
+        "<table><tr><th>group</th><th>status</th><th>rules ok</th>"
+        "<th>rows</th></tr>" + "".join(rows) + "</table>")
+    sections = []
+    for i, k in enumerate(keys):
+        r = grouped[k].to_json_dict()
+        label = "(null)" if k is None else str(k)
+        sections.append(
+            f"<h3 id='grp-{i}'>Group <code>{_esc(label)}</code></h3>")
+        if r.get("results"):
+            sections.append(_render_exception_list(r["results"]))
+            sections.append(_evr_rows(r["results"]))
+    return head + summary + "".join(sections) + "</body></html>"

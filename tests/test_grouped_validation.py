@@ -390,3 +390,34 @@ def test_grouped_two_phase_rules(ray_session):
         validate_grouped_wide(ds, suite, by="grp")
     with pytest.raises(ValueError, match="two-phase"):
         SuiteValidationState.compute(ds, suite)
+
+
+def test_grouped_docs_page(ray_session, tmp_path, capsys):
+    """`validate --by --html-out`: one Data Docs page with the per-group
+    summary table and per-group EVR sections."""
+    from great_expectations_ray.__main__ import main
+    from great_expectations_ray.pipelines.data_docs import (
+        render_grouped_page,
+    )
+
+    df = _frame()
+    got = validate_grouped(rd.from_pandas(df), _suite(), by="grp")
+    html = render_grouped_page(got, by="grp")
+    assert "Grouped by <code>grp</code>" in html
+    assert "(null)" in html                 # the null-key group renders
+    assert html.count("<h3 id='grp-") == 4  # one section per group
+    n_ok = sum(1 for r in got.values() if r.success)
+    assert f"{n_ok}/4 groups succeeded" in html
+
+    inp = str(tmp_path / "t.parquet")
+    df.dropna(subset=["grp"]).to_parquet(inp)
+    suite_p = str(tmp_path / "s.json")
+    with open(suite_p, "w") as f:
+        f.write(_suite().to_json())
+    out_html = str(tmp_path / "grouped.html")
+    main(["validate", "--input", inp, "--suite", suite_p, "--by", "grp",
+          "--html-out", out_html, "--cpus", "2"])
+    capsys.readouterr()
+    page = open(out_html).read()
+    assert page.startswith("<!doctype html>")
+    assert "rules ok" in page
