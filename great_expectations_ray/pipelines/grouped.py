@@ -184,8 +184,8 @@ def validate_grouped(
            if getattr(plan, attr)]
     if bad:
         raise ValueError(
-            "validate_grouped supports map/aggregate/table rules only; "
-            f"unsupported families in this suite: {', '.join(bad)}. "
+            "validate_grouped cannot finish these families from merged "
+            f"partials — unsupported families in this suite: {', '.join(bad)}. "
             "Run those expectations through validate() per slice.")
 
     evaluator = _PartialEvaluator(
@@ -369,8 +369,8 @@ def validate_grouped_wide(
            if getattr(plan, attr)]
     if bad:
         raise ValueError(
-            "validate_grouped_wide supports map/aggregate/table rules only; "
-            f"unsupported families in this suite: {', '.join(bad)}. "
+            "validate_grouped_wide cannot finish these families inside the "
+            f"bucketed exchange — unsupported families: {', '.join(bad)}. "
             "Run those expectations through validate() per slice.")
 
     evaluator = _PartialEvaluator(

@@ -63,9 +63,9 @@ class SuiteValidationState:
                if getattr(plan, attr)]
         if bad:
             raise ValueError(
-                "SuiteValidationState supports map/aggregate/table rules "
-                f"only; unsupported families in this suite: {', '.join(bad)}."
-                " Run those expectations through validate() per run.")
+                "SuiteValidationState cannot finish these families from "
+                f"merged state — unsupported families: {', '.join(bad)}. "
+                "Run those expectations through validate() per run.")
         evaluator = _PartialEvaluator(
             plan.map_rules, plan.agg_columns, plan.count_columns,
             _grouped_vc_columns(plan), None,
