@@ -99,6 +99,21 @@ def cmd_validate(args) -> int:
     try:
         with open(args.suite) as f:
             suite = ExpectationSuite.from_json(f.read())
+        # reject silent flag combinations up front: each mode is exclusive
+        if args.state_out and args.by:
+            raise SystemExit(
+                "validate: --state-out cannot be combined with --by "
+                "(mergeable state is per-partition, not per-group)")
+        if args.wide_out and not args.by:
+            raise SystemExit("validate: --wide-out requires --by")
+        if args.html_out and args.wide_out:
+            raise SystemExit(
+                "validate: --html-out renders the narrow --by mode; with "
+                "--wide-out consume the verdict parquet instead")
+        if args.states and (args.input or args.by or args.state_out):
+            raise SystemExit(
+                "validate: --states is a pure rollup — it takes only "
+                "--suite (cross-checked against the states)")
         if args.states:
             # finish corpus-level results from persisted partition states —
             # no data is read (day-2 rollup path)
@@ -107,8 +122,13 @@ def cmd_validate(args) -> int:
                 merge_states,
             )
 
-            merged = merge_states(
-                [SuiteValidationState.load(p) for p in args.states])
+            loaded = [SuiteValidationState.load(p) for p in args.states]
+            if any(st.suite_json != suite.to_json_dict() for st in loaded):
+                raise SystemExit(
+                    "validate: --suite does not match the suite embedded in "
+                    "the state files — results would reflect the states' "
+                    "suite, not yours; re-compute states with this suite")
+            merged = merge_states(loaded)
             res = merged.finish(result_format=args.result_format)
             print(json.dumps(res.to_json_dict(), indent=1, default=str))
             return 0 if res.success else 1
@@ -137,6 +157,12 @@ def cmd_validate(args) -> int:
             wide = validate_grouped_wide(ds, suite, by=args.by,
                                          result_format=args.result_format,
                                          include_results=args.wide_results)
+            # Ray write_parquet APPENDS into an existing dir: stale verdict
+            # rows from a previous run would poison the rollup and the exit
+            # code, so the output dir is replaced
+            import shutil
+
+            shutil.rmtree(args.wide_out, ignore_errors=True)
             wide.write_parquet(args.wide_out)
             import ray.data as rd
 

@@ -1766,9 +1766,15 @@ def _finish_quantile_distributed(ds, cfg: ExpectationConfiguration) -> Expectati
     col = cfg.kwargs["column"]
     t = cfg.expectation_type
     if t == "expect_column_median_to_be_between":
+        from great_expectations_ray.functions.quantiles import _sorted_blocks
+
+        sds = _sorted_blocks(ds, col)  # one cast/sort for both interpolations
         lo_hi = exact_quantiles_distributed(ds, col, [0.5, 0.5],
-                                            interpolation="lower")
-        hi2 = exact_quantiles_distributed(ds, col, [0.5], interpolation="higher")
+                                            interpolation="lower",
+                                            _presorted=sds)
+        hi2 = exact_quantiles_distributed(ds, col, [0.5],
+                                          interpolation="higher",
+                                          _presorted=sds)
         median = None
         if lo_hi[0] is not None:
             median = (float(lo_hi[0]) + float(hi2[0])) / 2.0

@@ -63,13 +63,18 @@ def percentile_linear_distributed_multi(ds, column: str, qs: list, n: int) -> li
     rank selections total (functions/quantiles.py binary-searches all ranks
     simultaneously), not two per quantile."""
     from great_expectations_ray.functions.quantiles import (
+        _sorted_blocks,
         exact_quantiles_distributed,
     )
 
     if n == 0:
         return [None] * len(qs)
-    lows = exact_quantiles_distributed(ds, column, qs, interpolation="lower")
-    highs = exact_quantiles_distributed(ds, column, qs, interpolation="higher")
+    sds = _sorted_blocks(ds, column)  # ONE cast/sort shared by both calls
+    lows = exact_quantiles_distributed(ds, column, qs, interpolation="lower",
+                                       _presorted=sds)
+    highs = exact_quantiles_distributed(ds, column, qs,
+                                        interpolation="higher",
+                                        _presorted=sds)
     out = []
     for q, v_lo, v_hi in zip(qs, lows, highs):
         x = q * (n - 1)

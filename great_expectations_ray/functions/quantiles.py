@@ -113,6 +113,12 @@ def _sorted_blocks(ds, column: str):
         vals = np.asarray(
             pc.drop_null(pc.cast(tbl.column(column), pa.float64())).combine_chunks()
         )
+        # NaN is not null in Arrow: drop it here too, else a block's sorted
+        # max is NaN and the stats/refinement passes silently corrupt
+        # (matches the engine's numeric-aggregate NaN convention).  -0.0
+        # canonicalizes to +0.0 (x + 0.0) so data keys have a single zero
+        # and float order == key order on every stored value.
+        vals = vals[~np.isnan(vals)] + 0.0
         return pa.table({"v": pa.array(np.sort(vals))})
 
     return ds.select_columns([column]).map_batches(
@@ -143,22 +149,51 @@ def _sorted_stats(sds) -> tuple[float | None, float, int]:
     return vmin, vmax, n
 
 
+def _counts_le(sv: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """#values per threshold with KEY(value) <= KEY(threshold) over a
+    float-sorted, -0.0-free array.  Equals ``searchsorted(side="right")``
+    except at a -0.0 threshold (a key strictly below +0.0), where the
+    zeros must NOT count — float comparison cannot see the difference, so
+    that case drops to ``side="left"`` at 0.0."""
+    counts = np.searchsorted(sv, e, side="right").astype(np.int64)
+    neg_zero = (e == 0.0) & np.signbit(e)
+    if neg_zero.any():
+        counts[neg_zero] = np.searchsorted(sv, 0.0, side="left")
+    return counts
+
+
 def _edge_counts_pass(sds, edges: np.ndarray) -> np.ndarray:
-    """F(edge) = #values <= edge, for every edge, in ONE pass over the
-    presorted blocks — each block emits a single row carrying its count
-    vector (list<int64>), so the driver pull is O(#blocks x #edges)."""
+    """F(edge) = #values with key <= key(edge), for every edge, in ONE pass
+    over the presorted blocks — each block emits a single row carrying its
+    count vector (list<int64>), so the driver pull is O(#blocks x #edges)."""
     e = np.asarray(edges, dtype=np.float64)
 
     def partial(tbl: pa.Table) -> pa.Table:
         v = np.asarray(tbl.column("v").combine_chunks())
-        counts = np.searchsorted(v, e, side="right").astype(np.int64)
-        return pa.table({"c": pa.array([counts])})
+        return pa.table({"c": pa.array([_counts_le(v, e)])})
 
     totals = np.zeros(len(e), dtype=np.int64)
     for r in sds.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True).take_all():
         totals += np.asarray(r["c"], dtype=np.int64)
     return totals
+
+
+def _f2u(x: np.ndarray) -> np.ndarray:
+    """Monotone bijection float64 -> uint64 (IEEE total-order trick: flip
+    the sign bit for non-negatives, invert all bits for negatives) — equal
+    float spacing in KEY space regardless of exponent, so interval
+    refinement cannot stall near 0 / denormals / huge sentinels."""
+    b = np.asarray(x, dtype=np.float64).view(np.uint64)
+    neg = (b >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~b, b | np.uint64(1 << 63))
+
+
+def _u2f(u: np.ndarray) -> np.ndarray:
+    u = np.asarray(u, dtype=np.uint64)
+    neg = ~(u >> np.uint64(63)).astype(bool)
+    b = np.where(neg, ~u, u & np.uint64((1 << 63) - 1))
+    return b.view(np.float64)
 
 
 def rank_select_values(
@@ -177,19 +212,28 @@ def rank_select_values(
     Strategy (replaces the original per-bit binary search, which cost ~64
     count passes): sort each block ONCE (:func:`_sorted_blocks`), then
     refine every target's half-open interval with a ``refine_bins``-ary
-    histogram pass — each pass shrinks the interval by 4096x (12 bits), so
-    float64 resolution is reached in <=6 passes instead of ~64, and every
-    pass is a zero-copy ``searchsorted`` over presorted data.  All targets
-    share each pass (their edge vectors are concatenated).
+    histogram pass until the interval holds at most ``collect_cap`` rows —
+    typically ONE round (n/4096 rows after it) — then collect those
+    candidate rows in a final pass and select the rank exactly on the
+    driver.  Selecting from the COLLECTED rows (not from float geometry)
+    makes the result exact for any value distribution.  Refinement happens
+    in the monotone uint64 bit-image of float64 (:func:`_f2u`), where the
+    grid subdivides uniformly — 12 bits per round, so ANY interval is
+    row-collectable or single-ulp within ceil(64/12) = 6 rounds (a linear
+    float grid stalls for ~90 rounds when values sit at subnormal scale).
+    Every pass is a zero-copy ``searchsorted`` over presorted data; all
+    targets share each pass.
 
     Invariant per target t (0-based): F(lo) <= t and t+1 <= F(hi) where
-    F(v) = #values <= v; the snap pass takes the smallest data value
-    strictly greater than lo once the interval isolates one distinct value.
+    F(v) = #values <= v, so the target value lies in (lo, hi] at rank
+    t - F(lo) among that interval's ascending rows.
 
-    ``bounds`` short-circuits the min/max scan; ``integral=True`` (all
-    values integer-valued) stops a target's refinement as soon as its
-    interval is shorter than 1 — the half-open interval then contains
-    exactly one integer, which the snap pass recovers."""
+    A target whose interval reaches key resolution (the massive-tie case:
+    one value fills the interval past the cap) or, with ``integral=True``,
+    float width < 1, short-circuits to the snap pass (smallest data value
+    > lo), which the invariant makes exact there.
+
+    ``bounds`` short-circuits the min/max scan."""
     targets = np.asarray(targets, dtype=np.int64)
     sds = _presorted if _presorted is not None else _sorted_blocks(ds, column)
     if bounds is None:
@@ -203,42 +247,89 @@ def rank_select_values(
 
     T = len(targets)
     B = max(2, int(refine_bins))
-    los = np.full(T, np.nextafter(vmin, -np.inf))
-    his = np.full(T, float(vmax))
-    active = np.ones(T, dtype=bool)
+    collect_cap = max(B, 4096)
+    # uint-key interval (lo, hi]; lo starts one key below vmin
+    lo_u = np.full(T, _f2u(np.array([vmin]))[0] - np.uint64(1))
+    hi_u = np.full(T, _f2u(np.array([vmax]))[0])
+    flos = np.zeros(T, dtype=np.int64)      # F(lo) per target
+    cnts = np.full(T, np.iinfo(np.int64).max)  # F(hi) - F(lo), unmeasured=max
     for _ in range(max_iter):
-        active &= np.nextafter(los, his) < his
+        active = (cnts > collect_cap) & (hi_u - lo_u > np.uint64(1))
         if integral:
-            active &= (his - los) >= 1.0
+            active &= (_u2f(hi_u) - _u2f(lo_u)) >= 1.0
         idx = np.flatnonzero(active)
         if len(idx) == 0:
             break
-        # per-active-target edge grid over (lo, hi]; last edge pinned to hi
-        frac = np.arange(1, B + 1, dtype=np.float64) / B
-        edges = los[idx, None] + (his[idx] - los[idx])[:, None] * frac[None, :]
-        edges[:, -1] = his[idx]
+        # per-active-target edge grid over (lo, hi] in KEY space: uniform
+        # integer subdivision, exact, overflow-free (edges <= hi by
+        # construction), last edge == hi
+        diff = hi_u[idx] - lo_u[idx]
+        k = np.arange(1, B + 1, dtype=np.uint64)
+        edges_u = (lo_u[idx, None] + (diff // np.uint64(B))[:, None] * k
+                   + np.minimum(k, (diff % np.uint64(B))[:, None]))
+        edges = _u2f(edges_u)
         F = _edge_counts_pass(sds, edges.ravel()).reshape(len(idx), B)
         # first bin j with F(edge_j) >= t+1 (exists: F(hi) >= t+1)
         j = np.argmax(F >= (targets[idx] + 1)[:, None], axis=1)
         pick = np.arange(len(idx))
-        his[idx] = edges[pick, j]
-        new_lo = np.where(j > 0, edges[pick, np.maximum(j - 1, 0)], los[idx])
-        los[idx] = new_lo
+        hi_u[idx] = edges_u[pick, j]
+        lo_u[idx] = np.where(j > 0, edges_u[pick, np.maximum(j - 1, 0)],
+                             lo_u[idx])
+        flos[idx] = np.where(j > 0, F[pick, np.maximum(j - 1, 0)], flos[idx])
+        cnts[idx] = F[pick, j] - flos[idx]
+    los, his = _u2f(lo_u), _u2f(hi_u)
 
-    # smallest data value strictly greater than lo == the target value
-    def snap(tbl: pa.Table) -> pa.Table:
-        sv = np.asarray(tbl.column("v").combine_chunks())
-        out = np.full(len(los), np.inf)
-        if len(sv):
-            k = np.searchsorted(sv, los, side="right")
-            ok = k < len(sv)
-            out[ok] = sv[k[ok]]
-        return pa.table({"v": pa.array([out])})
+    best = np.full(T, np.inf)
+    collectable = cnts <= collect_cap
+    if collectable.any():
+        # final exact pass: gather each collectable target's (lo, hi] rows
+        # (<= collect_cap each, bounded driver pull) and take rank t - F(lo)
+        c_idx = np.flatnonzero(collectable)
+        c_lo, c_hi = los[c_idx], his[c_idx]
 
-    best = np.full(len(los), np.inf)
-    for r in sds.map_batches(snap, batch_format="pyarrow",
-                             zero_copy_batch=True).take_all():
-        best = np.minimum(best, np.asarray(r["v"], dtype=np.float64))
+        def gather(tbl: pa.Table) -> pa.Table:
+            sv = np.asarray(tbl.column("v").combine_chunks())
+            bounds_ = _counts_le(sv, np.concatenate([c_lo, c_hi]))
+            rows = []
+            for a, b in zip(bounds_[: len(c_lo)], bounds_[len(c_lo):]):
+                rows.append(sv[a:b].tolist())
+            # ONE row per block: list-of-lists, one inner list per target
+            return pa.table({"vals": pa.array(
+                [rows], pa.list_(pa.list_(pa.float64())))})
+
+        gathered: list[list[np.ndarray]] = [[] for _ in c_idx]
+        for r in sds.map_batches(gather, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all():
+            for i, part in enumerate(r["vals"]):
+                gathered[i].append(np.asarray(part, dtype=np.float64))
+        for i, ti in enumerate(c_idx):
+            vals = np.sort(np.concatenate(gathered[i])) if gathered[i] \
+                else np.array([], dtype=np.float64)
+            k = int(targets[ti] - flos[ti])
+            if 0 <= k < len(vals):
+                best[ti] = vals[k]
+
+    rest = np.flatnonzero(~collectable | ~np.isfinite(best))
+    if len(rest):
+        # ulp-resolved / integral-resolved / massive-tie intervals: smallest
+        # data value strictly greater than lo IS the target value
+        r_lo = los[rest]
+
+        def snap(tbl: pa.Table) -> pa.Table:
+            sv = np.asarray(tbl.column("v").combine_chunks())
+            out = np.full(len(r_lo), np.inf)
+            if len(sv):
+                k = _counts_le(sv, r_lo)
+                ok = k < len(sv)
+                out[ok] = sv[k[ok]]
+            return pa.table({"v": pa.array([out])})
+
+        sub_best = np.full(len(r_lo), np.inf)
+        for r in sds.map_batches(snap, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all():
+            sub_best = np.minimum(sub_best, np.asarray(r["v"],
+                                                       dtype=np.float64))
+        best[rest] = sub_best
     return [float(v) for v in best]
 
 
@@ -249,12 +340,14 @@ def exact_quantiles_distributed(
     *,
     interpolation: str = "lower",
     max_iter: int = 64,
+    _presorted=None,
 ) -> list:
     """Exact quantile values via histogram-refined rank selection (rank
     index over q*(n-1), same definition as the engine's value-count path).
     The sorted-block materialization is shared between the n-count and the
-    selection passes."""
-    sds = _sorted_blocks(ds, column)
+    selection passes; pass ``_presorted=_sorted_blocks(ds, col)`` to share
+    it across CALLS too (e.g. the lower+higher interpolation pair)."""
+    sds = _presorted if _presorted is not None else _sorted_blocks(ds, column)
     vmin, vmax, n = _sorted_stats(sds)
     if n == 0:
         return [None] * len(quantiles)

@@ -122,14 +122,31 @@ _UNSUPPORTED_WIDE = (
 
 
 class _GroupedEvaluator:
-    """Per-block: dictionary-encode the key column, run the fused evaluator
-    on each group's sub-table, emit one (key, partial) row per group present
-    in the block.  Null keys form their own group (GX has no opinion here;
-    SQL GROUP BY semantics)."""
+    """Per-block: dictionary-encode the key column, run an evaluator on each
+    group's sub-table, emit one (key, partial) row per group present in the
+    block.  Null keys form their own group (GX has no opinion here; SQL
+    GROUP BY semantics).
 
-    def __init__(self, by: str, evaluator: _PartialEvaluator):
+    Two modes share the group-iteration machinery: a FIXED ``evaluator``
+    (phase 1 — every group runs the same fused rules), or ``per_key_rules``
+    (phase 2 of the two-phase family — each group gets ITS threshold-baked
+    rule list; groups absent from the map are skipped)."""
+
+    def __init__(self, by: str, evaluator: Optional[_PartialEvaluator] = None,
+                 *, per_key_rules: Optional[dict] = None):
+        if (evaluator is None) == (per_key_rules is None):
+            raise ValueError("exactly one of evaluator / per_key_rules")
         self.by = by
         self.evaluator = evaluator
+        self.per_key_rules = per_key_rules
+
+    def _evaluator_for(self, kval):
+        if self.evaluator is not None:
+            return self.evaluator
+        rules = self.per_key_rules.get(kval)
+        if not rules:
+            return None
+        return _PartialEvaluator(rules, set(), set(), set(), None)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         keys = tbl.column(self.by)
@@ -137,18 +154,20 @@ class _GroupedEvaluator:
             keys = keys.combine_chunks()
         enc = keys.dictionary_encode()
         ind = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        groups = [(g, enc.dictionary[g].as_py())
+                  for g in range(len(enc.dictionary))]
+        if (ind == -1).any():
+            groups.append((-1, None))
         key_parts: list[pa.Array] = []
         partials: list[bytes] = []
-        for g in range(len(enc.dictionary)):
+        for g, kval in groups:
+            ev = self._evaluator_for(kval)
+            if ev is None:
+                continue
             sub = tbl.filter(pa.array(ind == g))
-            partials.append(
-                self.evaluator(sub).column("partial")[0].as_py())
-            key_parts.append(enc.dictionary.slice(g, 1))
-        if (ind == -1).any():
-            sub = tbl.filter(pa.array(ind == -1))
-            partials.append(
-                self.evaluator(sub).column("partial")[0].as_py())
-            key_parts.append(pa.nulls(1, keys.type))
+            partials.append(ev(sub).column("partial")[0].as_py())
+            key_parts.append(pa.nulls(1, keys.type) if g == -1
+                             else enc.dictionary.slice(g, 1))
         key_arr = (pa.concat_arrays(key_parts) if key_parts
                    else pa.nulls(0, keys.type))
         return pa.table({
@@ -279,37 +298,10 @@ def _grouped_two_phase(ds, by: str, plan, merged_by_key: dict) -> dict:
     if not rules_by_key:
         return states
 
-    def phase2(tbl: pa.Table) -> pa.Table:
-        keys = tbl.column(by)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        enc = keys.dictionary_encode()
-        ind = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
-        key_parts, partials = [], []
-        groups = [(g, enc.dictionary[g].as_py()) for g in
-                  range(len(enc.dictionary))]
-        if (ind == -1).any():
-            groups.append((-1, None))
-        for g, kval in groups:
-            rules = rules_by_key.get(kval)
-            if not rules:
-                continue
-            sub = tbl.filter(pa.array(ind == g))
-            ev = _PartialEvaluator(rules, set(), set(), set(), None)
-            partials.append(ev(sub).column("partial")[0].as_py())
-            key_parts.append(
-                pa.nulls(1, keys.type) if g == -1
-                else enc.dictionary.slice(g, 1))
-        key_arr = (pa.concat_arrays(key_parts) if key_parts
-                   else pa.nulls(0, keys.type))
-        return pa.table({
-            "__key": key_arr,
-            "partial": pa.array(partials, pa.large_binary()),
-        })
-
     p2_by_key: dict[Any, list[bytes]] = {}
     for row in ds.map_batches(
-            phase2, batch_format="pyarrow", zero_copy_batch=True).take_all():
+            _GroupedEvaluator(by, per_key_rules=rules_by_key),
+            batch_format="pyarrow", zero_copy_batch=True).take_all():
         p2_by_key.setdefault(row["__key"], []).append(row["partial"])
     for key, parts in p2_by_key.items():
         m2 = _merge_partials(parts)

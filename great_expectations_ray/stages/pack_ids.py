@@ -310,7 +310,10 @@ def decode_token_ids(
                                  dtype=np.int64).reshape(len(tbl), -1)
                 flat = mat.reshape(-1)
                 offs = np.arange(len(tbl) + 1, dtype=np.int64) * mat.shape[1]
-            flat = np.clip(flat, 0, len(self.body) - 1)
+            # out-of-range ids (shards from a DIFFERENT vocab) surface as
+            # [UNK] — never silently clip to the top slot (usually EOS="")
+            flat = np.where((flat < 0) | (flat >= len(self.body)),
+                            unk_id, flat)
             # space before every word START except a document's first piece;
             # invisible pieces (EOS) never earn a separator
             starts = np.zeros(len(flat), dtype=bool)

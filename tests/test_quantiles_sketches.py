@@ -209,3 +209,57 @@ def test_rank_select_matches_duckdb_lineitem():
         "FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')",
         [qs]).fetchone()[0]
     assert got == [float(v) for v in exp]
+
+
+def test_rank_select_float_geometry_pathologies():
+    """Key-space refinement handles what float grids cannot: NaN payloads
+    (excluded from ranks), full-double-range sentinels (lo+(hi-lo)*f
+    overflows to inf), subnormal-scale values (a linear grid stalls for ~90
+    rounds above them), and massive ties."""
+    import ray.data as rd
+
+    from great_expectations_ray.functions.quantiles import rank_select_values
+
+    # NaN excluded: ranks over the 9 real values only
+    ds = rd.from_arrow(pa.table({"x": pa.array(
+        [float(i) for i in range(1, 10)] + [float("nan")], pa.float64())}))
+    assert exact_quantiles_distributed(ds, "x", [0.5, 0.9]) == [5.0, 8.0]
+
+    # +-1.6e308 sentinels: every rank exact
+    vals = [-1.6e308, -1.0, 0.0, 1.0, 1.6e308]
+    ds2 = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})
+                        ).repartition(2)
+    assert rank_select_values(ds2, "x", np.array(range(5))) == vals
+
+    # subnormal cluster under a normal outlier
+    dv = np.array([5e-324, 1e-323, 1.5e-323, 2e-323] * 2000 + [1.0])
+    sv = np.sort(dv)
+    ds3 = rd.from_arrow(pa.table({"x": pa.array(dv)})).repartition(3)
+    got = rank_select_values(ds3, "x", np.array([0, 4000, 8000]))
+    assert got == [float(sv[0]), float(sv[4000]), float(sv[8000])]
+
+    # massive tie: interval never drops under the collect cap; snap exact
+    tv = np.array([3.5] * 100000 + [1.0, 9.0])
+    ds4 = rd.from_arrow(pa.table({"x": pa.array(tv)})).repartition(4)
+    assert rank_select_values(ds4, "x", np.array([0, 50000, 100001])) \
+        == [1.0, 3.5, 9.0]
+
+
+def test_rank_select_signed_zero():
+    """Data containing -0.0 (canonicalized to +0.0 at the sort) and
+    key-space interval bounds landing on -0.0 both resolve exactly."""
+    import ray.data as rd
+
+    from great_expectations_ray.functions.quantiles import rank_select_values
+
+    vals = [-1.0, -0.0, 0.0, -0.0, 1.0, 2.0]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())})
+                       ).repartition(2)
+    got = rank_select_values(ds, "x", np.array(range(6)))
+    assert got == [-1.0, 0.0, 0.0, 0.0, 1.0, 2.0]
+    # bounds pinned at 0.0 (the failing init: key(0.0)-1 == key(-0.0))
+    reps = rd.from_arrow(pa.table({"x": pa.array(
+        np.repeat(np.arange(1000, dtype=np.float64), 2))}))
+    got = rank_select_values(reps, "x", np.array([0, 1999]), integral=True,
+                             bounds=(0.0, 999.0))
+    assert got == [0.0, 999.0]
