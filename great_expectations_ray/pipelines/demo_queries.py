@@ -4400,14 +4400,47 @@ ORDER BY kind, user_id, window_start, window_end
 """
 
 
+def q_keep_best_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Keep-BEST dedup (stages/dedup.py dedup_keep_best): per 30-char
+    prefix class keep the longest doc (max n_chars, ties -> min doc_id) —
+    the curation form of keep-first; same pre-combined bucketed exchange."""
+    from great_expectations_ray.stages.dedup import dedup_keep_best
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def add_prefix(tbl: pa.Table) -> pa.Table:
+        return tbl.append_column(
+            "prefix",
+            pc.utf8_slice_codeunits(tbl.column("text").combine_chunks(), 0, 30))
+
+    keyed = ds.map_batches(add_prefix, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    kept = dedup_keep_best(keyed, ["prefix"], "n_chars", tie_break="doc_id")
+    ids = sorted(r["doc_id"] for r in kept.select_columns(["doc_id"]).take_all())
+    return pd.DataFrame({"doc_id": ids})
+
+
+SQL_KEEP_BEST_DEDUP_DOCS = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY substr(text, 1, 30)
+    ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn = 1 ORDER BY doc_id
+"""
+CONSTITUENT_QUERIES["keep_best_dedup_docs"] = q_keep_best_dedup_docs
+CONSTITUENT_ORACLE_SQL["keep_best_dedup_docs"] = SQL_KEEP_BEST_DEDUP_DOCS
+
+
 def q_dedup_docs(sf_dir: str) -> pd.DataFrame:
     """Exact dedup survivors by both key paths: 64-char text prefix and
     sha256-of-prefix — same keep-first engine, two key derivations."""
     pre = _run_part("dedup_docs_prefix", sf_dir)
     sha = _run_part("sha_prefix_dedup", sf_dir)
+    best = _run_part("keep_best_dedup_docs", sf_dir)
     pre.insert(0, "method", "prefix")
     sha.insert(0, "method", "sha")
-    out = pd.concat([pre, sha], ignore_index=True)
+    best.insert(0, "method", "best")
+    out = pd.concat([pre, sha, best], ignore_index=True)
     return out.sort_values(["method", "doc_id"], kind="mergesort").reset_index(drop=True)
 
 
@@ -4415,6 +4448,8 @@ SQL_DEDUP_DOCS = f"""
 SELECT 'prefix' AS method, doc_id FROM ({SQL_DEDUP_DOCS_PREFIX.strip()})
 UNION ALL
 SELECT 'sha', doc_id FROM ({SQL_SHA_PREFIX_DEDUP.strip()})
+UNION ALL
+SELECT 'best', doc_id FROM ({SQL_KEEP_BEST_DEDUP_DOCS.strip()})
 ORDER BY method, doc_id
 """
 

@@ -140,3 +140,54 @@ def sample_using_mod(ds, column: str, mod: int, value: int):
         return tbl.filter(pc.equal(rem, value))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_keep_best(
+    ds,
+    key_columns: list[str],
+    score_col: str,
+    *,
+    tie_break: str,
+    higher_is_better: bool = True,
+    n_buckets: int = 256,
+):
+    """Keep the BEST row of every duplicate class, not the first: per key,
+    the row with the max (or min) ``score_col``, ties broken by minimum
+    ``tie_break`` (deterministic).  The curation form of
+    :func:`dedup_exact` — when a crawl carries near-identical copies at
+    different quality levels, the survivor should be the best one, not the
+    lexicographically first.
+
+    Same scale shape as keep-first: a map-side per-batch combine leaves at
+    most one row per key per batch, then ONE bucketed exchange finishes
+    each key vectorized — a hot key costs the reducer #batches rows."""
+    import pandas as pd
+
+    from great_expectations_ray.functions.bucketed import grouped_apply_bucketed
+
+    ascending = [not higher_is_better, True]
+    sort_cols = [score_col, tie_break]
+
+    def best_of(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort").drop_duplicates(
+            "__dedup_key", keep="first")
+
+    def add_key_and_prereduce(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.append_column(
+            "__dedup_key", composite_key_column(tbl, key_columns))
+        return pa.Table.from_pandas(best_of(tbl.to_pandas()),
+                                    preserve_index=False)
+
+    def keep_best_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # per-key sort inside the bucket: key first so drop_duplicates sees
+        # each key's best-sorted run
+        g = g.sort_values(["__dedup_key"] + sort_cols,
+                          ascending=[True] + ascending, kind="mergesort")
+        g = g.drop_duplicates("__dedup_key", keep="first")
+        return g.drop(columns=["__dedup_key", "__bucket"])
+
+    keyed = ds.map_batches(
+        add_key_and_prereduce, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_apply_bucketed(
+        keyed, ["__dedup_key"], keep_best_bucket, n_buckets=n_buckets)

@@ -180,3 +180,29 @@ def test_result_format_dict_with_unexpected_rows(fixture_ds):
     assert 0 < len(rows) <= 5
     assert all(row["s_mixed"] == "NOPE" for row in rows)
     assert "n_int" in rows[0]  # full row dicts
+
+
+def test_dedup_keep_best(ray_session):
+    """Keep-BEST dedup: per key the max-score row survives (ties -> min
+    tie_break); partitioning-invariant; lower_is_better flips."""
+    import pandas as pd
+    import ray.data as rd
+
+    from great_expectations_ray.stages.dedup import dedup_keep_best
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "score": [2.0, 5.0, 5.0, 1.0, 0.5, 3.0],
+        "id": [10, 11, 12, 20, 21, 30],
+    })
+
+    def run(parts, **kw):
+        return (dedup_keep_best(rd.from_pandas(df).repartition(parts),
+                                ["k"], "score", tie_break="id", **kw)
+                .to_pandas().sort_values("k").reset_index(drop=True))
+
+    out = run(3)
+    assert out["id"].tolist() == [11, 20, 30]  # max score, tie -> min id
+    assert out.equals(run(1))
+    low = run(2, higher_is_better=False)
+    assert low["id"].tolist() == [10, 21, 30]  # min score wins
