@@ -147,6 +147,8 @@ def cmd_validate(args) -> int:
             res = st.finish(result_format=args.result_format)
             print(json.dumps(res.to_json_dict(), indent=1, default=str))
             return 0 if res.success else 1
+        by_arg = (args.by.split(",") if args.by and "," in args.by
+                  else args.by)
         if args.by and args.wide_out:
             # unbounded key cardinality: verdicts land as parquet, the
             # driver prints only the rollup
@@ -154,7 +156,7 @@ def cmd_validate(args) -> int:
                 validate_grouped_wide,
             )
 
-            wide = validate_grouped_wide(ds, suite, by=args.by,
+            wide = validate_grouped_wide(ds, suite, by=by_arg,
                                          result_format=args.result_format,
                                          include_results=args.wide_results)
             # Ray write_parquet APPENDS into an existing dir: stale verdict
@@ -178,7 +180,7 @@ def cmd_validate(args) -> int:
                 validate_grouped,
             )
 
-            grouped = validate_grouped(ds, suite, by=args.by,
+            grouped = validate_grouped(ds, suite, by=by_arg,
                                        result_format=args.result_format)
             if args.html_out:
                 from great_expectations_ray.pipelines.data_docs import (
@@ -760,7 +762,8 @@ def main(argv=None) -> int:
                    choices=["BOOLEAN_ONLY", "BASIC", "SUMMARY", "COMPLETE"])
     v.add_argument("--by", default=None,
                    help="validate every group of this column in ONE pass "
-                        "(exit 1 if any group fails)")
+                        "(exit 1 if any group fails); comma-separate for a "
+                        "multi-column key, e.g. --by repo,lang")
     v.add_argument("--wide-out", default=None,
                    help="with --by: unbounded key cardinality — write one "
                         "verdict row per group as parquet here instead of "

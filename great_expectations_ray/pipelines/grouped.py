@@ -121,22 +121,43 @@ _UNSUPPORTED_WIDE = (
 ) + _UNSUPPORTED_FAMILIES
 
 
+def _norm_by(by) -> tuple[list[str], bool]:
+    """Normalize the ``by`` argument: a column name or a list of names
+    (multi-column partition keys — the reference's batch definitions
+    partition by e.g. year+month).  Returns (columns, single_flag)."""
+    if isinstance(by, str):
+        return [by], True
+    cols = list(by)
+    if not cols or not all(isinstance(c, str) for c in cols):
+        raise ValueError("by must be a column name or a non-empty list of "
+                         "column names")
+    return cols, False
+
+
+def _key_col_names(by_cols: list[str], single: bool) -> list[str]:
+    return ["__key"] if single else [f"__key{j}" for j in range(len(by_cols))]
+
+
 class _GroupedEvaluator:
-    """Per-block: dictionary-encode the key column, run an evaluator on each
-    group's sub-table, emit one (key, partial) row per group present in the
-    block.  Null keys form their own group (GX has no opinion here; SQL
-    GROUP BY semantics).
+    """Per-block: dictionary-encode the key column(s), run an evaluator on
+    each group's sub-table, emit one (key, partial) row per group present in
+    the block.  Null keys form their own group (GX has no opinion here; SQL
+    GROUP BY semantics).  Multi-column keys combine the per-column dictionary
+    codes with one ``np.unique(axis=0)`` — no string concatenation, no
+    composite-radix overflow.
 
     Two modes share the group-iteration machinery: a FIXED ``evaluator``
     (phase 1 — every group runs the same fused rules), or ``per_key_rules``
     (phase 2 of the two-phase family — each group gets ITS threshold-baked
-    rule list; groups absent from the map are skipped)."""
+    rule list; groups absent from the map are skipped).  Group keys are the
+    column value for a single ``by``, a tuple of values for a list."""
 
-    def __init__(self, by: str, evaluator: Optional[_PartialEvaluator] = None,
+    def __init__(self, by, evaluator: Optional[_PartialEvaluator] = None,
                  *, per_key_rules: Optional[dict] = None):
         if (evaluator is None) == (per_key_rules is None):
             raise ValueError("exactly one of evaluator / per_key_rules")
-        self.by = by
+        self.by, self.single = _norm_by(by)
+        self.key_names = _key_col_names(self.by, self.single)
         self.evaluator = evaluator
         self.per_key_rules = per_key_rules
 
@@ -149,31 +170,44 @@ class _GroupedEvaluator:
         return _PartialEvaluator(rules, set(), set(), set(), None)
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
-        keys = tbl.column(self.by)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        enc = keys.dictionary_encode()
-        ind = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
-        groups = [(g, enc.dictionary[g].as_py())
-                  for g in range(len(enc.dictionary))]
-        if (ind == -1).any():
-            groups.append((-1, None))
-        key_parts: list[pa.Array] = []
+        ncol = len(self.by)
+        keys = []
+        for c in self.by:
+            k = tbl.column(c)
+            keys.append(k.combine_chunks() if isinstance(k, pa.ChunkedArray)
+                        else k)
+        encs = [k.dictionary_encode() for k in keys]
+        inds = np.stack(
+            [pc.fill_null(e.indices, -1).to_numpy(zero_copy_only=False)
+             .astype(np.int64) for e in encs],
+            axis=1,
+        )
+        uniq, inverse = np.unique(inds, axis=0, return_inverse=True)
+        inverse = np.asarray(inverse).reshape(-1)
+        key_parts: list[list[pa.Array]] = [[] for _ in range(ncol)]
         partials: list[bytes] = []
-        for g, kval in groups:
+        for ui in range(len(uniq)):
+            kval = tuple(
+                None if uniq[ui, j] < 0
+                else encs[j].dictionary[int(uniq[ui, j])].as_py()
+                for j in range(ncol))
+            if self.single:
+                kval = kval[0]
             ev = self._evaluator_for(kval)
             if ev is None:
                 continue
-            sub = tbl.filter(pa.array(ind == g))
+            sub = tbl.filter(pa.array(inverse == ui))
             partials.append(ev(sub).column("partial")[0].as_py())
-            key_parts.append(pa.nulls(1, keys.type) if g == -1
-                             else enc.dictionary.slice(g, 1))
-        key_arr = (pa.concat_arrays(key_parts) if key_parts
-                   else pa.nulls(0, keys.type))
-        return pa.table({
-            "__key": key_arr,
-            "partial": pa.array(partials, pa.large_binary()),
-        })
+            for j in range(ncol):
+                key_parts[j].append(
+                    pa.nulls(1, keys[j].type) if uniq[ui, j] < 0
+                    else encs[j].dictionary.slice(int(uniq[ui, j]), 1))
+        cols = {}
+        for j, name in enumerate(self.key_names):
+            cols[name] = (pa.concat_arrays(key_parts[j]) if key_parts[j]
+                          else pa.nulls(0, keys[j].type))
+        cols["partial"] = pa.array(partials, pa.large_binary())
+        return pa.table(cols)
 
 
 def validate_grouped(
@@ -188,9 +222,13 @@ def validate_grouped(
 ) -> dict[Any, SuiteValidationResult]:
     """Validate every ``by``-group of ``ds`` against ``suite`` in ONE pass.
 
-    Returns ``{group_key: SuiteValidationResult}`` — per group, the same
-    result ``validate(ds.filter(key == k), suite)`` produces for the
-    supported rule families (pinned by tests).  Null keys map to ``None``.
+    ``by`` is a column name or a LIST of names (multi-column partition keys,
+    e.g. ``["repo", "lang"]`` — the reference's multi-column batch
+    definitions).  Returns ``{group_key: SuiteValidationResult}`` — per
+    group, the same result ``validate(ds.filter(key == k), suite)`` produces
+    for the supported rule families (pinned by tests).  Null keys map to
+    ``None`` (single column) / ``None`` tuple elements (multi-column; the
+    dict key is a tuple).
     """
     if isinstance(result_format, dict):
         rf = dict(result_format)
@@ -225,9 +263,13 @@ def validate_grouped(
             "group inside ONE bucketed exchange and returns a verdict "
             "Dataset instead of driver-side result objects.")
 
+    by_cols, single = _norm_by(by)
+    key_names = _key_col_names(by_cols, single)
     by_key: dict[Any, list[bytes]] = {}
     for row in mat.take_all():
-        by_key.setdefault(row["__key"], []).append(row["partial"])
+        key = (row["__key"] if single
+               else tuple(row[n] for n in key_names))
+        by_key.setdefault(key, []).append(row["partial"])
     merged_by_key = {k: _merge_partials(p) for k, p in by_key.items()}
 
     two_phase = (_grouped_two_phase(ds, by, plan, merged_by_key)
@@ -298,11 +340,15 @@ def _grouped_two_phase(ds, by: str, plan, merged_by_key: dict) -> dict:
     if not rules_by_key:
         return states
 
+    by_cols, single = _norm_by(by)
+    key_names = _key_col_names(by_cols, single)
     p2_by_key: dict[Any, list[bytes]] = {}
     for row in ds.map_batches(
             _GroupedEvaluator(by, per_key_rules=rules_by_key),
             batch_format="pyarrow", zero_copy_batch=True).take_all():
-        p2_by_key.setdefault(row["__key"], []).append(row["partial"])
+        key = (row["__key"] if single
+               else tuple(row[n] for n in key_names))
+        p2_by_key.setdefault(key, []).append(row["partial"])
     for key, parts in p2_by_key.items():
         m2 = _merge_partials(parts)
         for idx, _ in rules_by_key.get(key, []):
@@ -376,11 +422,20 @@ def validate_grouped_wide(
     schema = _dataset_arrow_schema(ds)
     configs = suite.resolved_expectations()
 
+    by_cols, single = _norm_by(by)
+    key_names = _key_col_names(by_cols, single)
+    # verdict key columns: back-compat "group_key" for a single by; the
+    # original column names prefixed "group_" for multi-column keys
+    out_names = (["group_key"] if single
+                 else [f"group_{c}" for c in by_cols])
+
     def finish_bucket(g: _pd.DataFrame) -> _pd.DataFrame:
         rows = []
-        for key, sub in g.groupby("__key", dropna=False, sort=False):
-            if _pd.isna(key):
-                key = None
+        gb = key_names[0] if single else key_names
+        for key, sub in g.groupby(gb, dropna=False, sort=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            key = tuple(None if _pd.isna(k) else k for k in key)
             svr = _finish_group(
                 suite, plan, configs,
                 _merge_partials([bytes(p) for p in sub["partial"]]), schema,
@@ -388,8 +443,8 @@ def validate_grouped_wide(
                 partial_unexpected_count=partial_unexpected_count,
                 catch_exceptions=True,
             )
-            row = {
-                "group_key": key,
+            row = dict(zip(out_names, key))
+            row.update({
                 "success": bool(svr.success),
                 "evaluated_expectations":
                     int(svr.statistics["evaluated_expectations"]),
@@ -398,9 +453,9 @@ def validate_grouped_wide(
                 "unsuccessful_expectations":
                     int(svr.statistics["unsuccessful_expectations"]),
                 "row_count": int(svr.meta["row_count"]),
-            }
+            })
             if include_results:
-                svr.meta["group_key"] = key
+                svr.meta["group_key"] = key[0] if single else list(key)
                 svr.meta["group_by"] = by
                 row["result_json"] = _json.dumps(svr.to_json_dict(),
                                                  default=str)
@@ -411,7 +466,7 @@ def validate_grouped_wide(
         grouped_apply_bucketed,
     )
 
-    return grouped_apply_bucketed(parts, ["__key"], finish_bucket,
+    return grouped_apply_bucketed(parts, key_names, finish_bucket,
                                   n_buckets=n_buckets)
 
 
