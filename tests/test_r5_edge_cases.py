@@ -1,0 +1,134 @@
+"""Round-5 adversarial edge cases over the round-4 modules — constant /
+single-value / ±inf / all-NaN sketches, theta set-ops against empty
+sketches, unicode + empty-doc tokenizer corpora, a bigram-free KN corpus,
+empty-doc packing, and null-ish secret-scanner inputs.  Each probes a
+boundary the per-module fixture differentials don't reach."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_kll_constant_single_inf_nan(ray_session):
+    from great_expectations_ray.functions.kll import KLLSketch, kll_quantiles
+
+    sk = KLLSketch(k=16, seed=1)
+    sk.update_many(np.full(100_000, 7.0))
+    assert sk.quantiles([0.0, 0.5, 1.0]) == [7.0, 7.0, 7.0]
+
+    sk2 = KLLSketch()
+    sk2.update_many(np.array([3.5]))
+    assert sk2.quantiles([0.0, 1.0]) == [3.5, 3.5]
+
+    sk3 = KLLSketch()
+    sk3.update_many(np.array([1.0, np.inf, -np.inf]))
+    q = sk3.quantiles([0.0, 1.0])
+    assert q[0] == -np.inf and q[1] == np.inf
+
+    ds = rd.from_pandas(pd.DataFrame({"x": [np.nan] * 10}))
+    assert kll_quantiles(ds, "x", [0.5]) == [None]
+
+
+def test_kll_grouped_null_key_group(ray_session):
+    from great_expectations_ray.functions.kll import grouped_kll_quantiles
+
+    df = pd.DataFrame({"g": ["a", None, "a", None],
+                       "x": [1.0, 10.0, 3.0, 30.0]})
+    out = grouped_kll_quantiles(
+        rd.from_pandas(df), ["g"], "x", [0.5]).to_pandas()
+    assert len(out) == 2  # 'a' and the null-key group
+
+
+def test_theta_set_ops_vs_empty():
+    from great_expectations_ray.functions.sketches import ThetaSketch
+
+    a, b = ThetaSketch(k=64), ThetaSketch(k=64)
+    a.update_hashes(
+        np.arange(1, 5000, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    assert a.intersect_estimate(b) == 0.0
+    assert abs(a.difference_estimate(b) - a.estimate()) < 1e-9
+    assert abs(a.union_estimate(b) - a.estimate()) < 1e-9
+    assert b.estimate() == 0.0
+    assert ThetaSketch(k=16).union_estimate(ThetaSketch(k=16)) == 0.0
+
+
+def test_wordpiece_unicode_empty_and_long_word(ray_session):
+    from great_expectations_ray.stages.wordpiece import (
+        apply_wordpiece,
+        train_wordpiece,
+    )
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "content": ["héllo wörld héllo", "", "a" * 64 + " b", "héllo"],
+    })
+    ds = rd.from_pandas(df)
+    vocab = train_wordpiece(ds, num_merges=10)
+    out = apply_wordpiece(ds, vocab, id_col="id").to_pandas()
+    assert len(out) == 4
+
+    # a corpus of only empty docs still trains (empty vocab) without raising
+    empty = rd.from_pandas(pd.DataFrame({"id": [1], "content": [""]}))
+    assert len(train_wordpiece(empty, num_merges=5)) >= 0
+
+
+def test_unigram_tiny_and_empty_docs(ray_session):
+    from great_expectations_ray.stages.unigram import (
+        apply_unigram,
+        train_unigram,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"id": [1, 2], "content": ["abc abc ab", ""]}))
+    v = train_unigram(ds, vocab_size=8)
+    assert len(apply_unigram(ds, v, id_col="id").to_pandas()) == 2
+
+
+def test_kn_perplexity_bigram_free_corpus(ray_session):
+    from great_expectations_ray.stages.kn_lm import kn_perplexity
+
+    # every doc is a single token: the corpus has NO bigrams at all — the
+    # model must still score every doc with a finite value
+    df = pd.DataFrame({"id": [1, 2], "content": ["a", "b"]})
+    out = kn_perplexity(rd.from_pandas(df), column="content").to_pandas()
+    assert len(out) == 2 and out["kn_ppl"].notna().all()
+
+    # empty docs and unseen-word docs coexist
+    df2 = pd.DataFrame({"id": [1, 2, 3], "content": ["a b c a b", "", "z"]})
+    out2 = kn_perplexity(rd.from_pandas(df2), column="content").to_pandas()
+    assert len(out2) == 3
+
+
+def test_pack_sequences_empty_docs_between_full_ones(ray_session):
+    from great_expectations_ray.stages.pack_ids import pack_sequences
+
+    df = pd.DataFrame({
+        "order": [1, 2, 3],
+        "ids": [[1, 2, 3, 4], [], [5, 6, 7, 8, 9, 10, 11, 12]],
+    })
+    out = pack_sequences(rd.from_pandas(df), ids_col="ids",
+                         order_col="order", seq_len=4).to_pandas()
+    flat = [int(t) for r in out.sort_values("seq_id")["token_ids"]
+            for t in np.asarray(r).ravel().tolist()]
+    assert flat == list(range(1, 13))
+
+    all_empty = pd.DataFrame({"order": [1, 2], "ids": [[], []]})
+    out2 = pack_sequences(rd.from_pandas(all_empty), ids_col="ids",
+                          order_col="order", seq_len=4).to_pandas()
+    assert len(out2) == 0
+
+
+def test_secret_scanner_null_empty_nonascii():
+    from great_expectations_ray.stages.secrets_entropy import (
+        secret_stats_table,
+    )
+
+    arr = pa.array(["", None, "x" * 25, "päyload " + "A1b2" * 6,
+                    "0123456789abcdef0123"])
+    out = secret_stats_table(arr)
+    n = out["n_secret_candidates"].to_pylist()
+    assert n[:3] == [0, 0, 1]
+    assert out["n_hex_candidates"].to_pylist()[4] == 1
