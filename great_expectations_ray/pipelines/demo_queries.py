@@ -4267,13 +4267,73 @@ _VERDICT_COLS["grouped_wide_validate_lineitem"] = [
 ]
 
 
+def q_grouped_multicol_validate_lineitem(sf_dir: str) -> pd.DataFrame:
+    """MULTI-COLUMN grouped validation (pipelines/grouped.py, by=[...]):
+    one suite x every (l_returnflag, l_linestatus) cell of lineitem through
+    the wide bucketed-exchange path — tuple keys surface as one
+    ``group_<col>`` verdict column per key column (``n_groups_rf_a`` counts
+    groups via ``group_l_returnflag``, pinning the per-column key split).
+    The mostly comparison mirrors the engine's exact float-division order
+    (core/results.py mostly_success), IEEE-identical in DuckDB."""
+    from great_expectations_ray.core.suite import ExpectationSuite as _ES
+    from great_expectations_ray.pipelines.grouped import validate_grouped_wide
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    suite = (
+        _ES("grouped_multicol_gate")
+        .add("expect_column_values_to_be_between", column="l_quantity",
+             min_value=1, max_value=49, mostly=0.98)
+        .add("expect_table_row_count_to_be_between", min_value=1)
+    )
+    wide = validate_grouped_wide(
+        ds, suite, by=["l_returnflag", "l_linestatus"], n_buckets=8
+    ).to_pandas()
+    return pd.DataFrame([{
+        "n_groups": len(wide),
+        "failed_groups": int((~wide["success"].astype(bool)).sum()),
+        "total_rows": int(wide["row_count"].sum()),
+        "ok_expectations": int(wide["successful_expectations"].sum()),
+        "n_groups_rf_a": int((wide["group_l_returnflag"] == "A").sum()),
+    }]).astype("int64")
+
+
+CONSTITUENT_QUERIES["grouped_multicol_validate_lineitem"] = (
+    q_grouped_multicol_validate_lineitem)
+CONSTITUENT_ORACLE_SQL["grouped_multicol_validate_lineitem"] = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+    COUNT(*) AS n,
+    COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 49) AS unexp
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+), v AS (
+  SELECT l_returnflag, n, unexp,
+    ((CAST(n AS DOUBLE) - CAST(unexp AS DOUBLE)) / CAST(n AS DOUBLE)
+     >= CAST(0.98 AS DOUBLE)) AS between_ok
+  FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(COUNT(*) FILTER (WHERE NOT between_ok) AS BIGINT) AS failed_groups,
+  CAST(SUM(n) AS BIGINT) AS total_rows,
+  CAST(SUM(CASE WHEN between_ok THEN 2 ELSE 1 END) AS BIGINT)
+    AS ok_expectations,
+  CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_groups_rf_a
+FROM v
+"""
+_VERDICT_COLS["grouped_multicol_validate_lineitem"] = [
+    ("n_groups", "num"), ("failed_groups", "num"),
+    ("total_rows", "num"), ("ok_expectations", "num"),
+    ("n_groups_rf_a", "num"),
+]
+
+
 _AGG_STATS_VERDICT_PARTS = [
     "agg_quantity", "distinct_mktsegment", "most_common_returnflag",
     "quantiles_price", "unique_prefix_violations", "compound_unique_orders",
     "zscore_quantity", "kl_event_types", "cramers_events",
     "ks_uniform_quantity", "exact_n_sample_docs", "psi_quantity_halves",
     "pct_rank_quantity", "grouped_validate_lineitem",
-    "grouped_wide_validate_lineitem",
+    "grouped_wide_validate_lineitem", "grouped_multicol_validate_lineitem",
 ]
 
 
