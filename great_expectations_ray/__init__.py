@@ -19,7 +19,7 @@ from great_expectations_ray.core.results import (
     ExpectationValidationResult,
     SuiteValidationResult,
 )
-from great_expectations_ray.engine import validate
+from great_expectations_ray.engine import validate, validate_many
 from great_expectations_ray.pipelines.grouped import (
     validate_grouped,
     validate_grouped_wide,
@@ -45,6 +45,7 @@ __all__ = [
     "SuiteValidationResult",
     "get_context",
     "validate",
+    "validate_many",
     "validate_grouped",
     "validate_grouped_wide",
     "SuiteValidationState",

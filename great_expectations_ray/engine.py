@@ -1136,6 +1136,65 @@ def validate(
     )
 
 
+def validate_many(
+    ds,
+    suites: list[ExpectationSuite],
+    *,
+    result_format: str | dict = "SUMMARY",
+    partial_unexpected_count: int = PARTIAL_UNEXPECTED_COUNT_DEFAULT,
+    catch_exceptions: bool = True,
+    other_tables: Optional[dict[str, Any]] = None,
+) -> dict[str, SuiteValidationResult]:
+    """Validate SEVERAL suites against one Dataset in ONE fused pass.
+
+    The reference's checkpoint runs each (batch, suite) validation
+    definition separately (checkpoint/checkpoint.py:274-304) — N suites
+    over the same asset cost N passes over the data.  Here the suites'
+    resolved expectations are concatenated into one synthetic suite,
+    :func:`validate` runs once (every rule family shares the single fused
+    evaluator pass, shuffle phase, and DuckDB stream), and the per-suite
+    results are split back out by index span — ``validate()`` emits exactly
+    one EVR per expectation in suite order, so the slices are exact.
+
+    Returns ``{suite.name: SuiteValidationResult}`` with per-suite
+    statistics recomputed over the suite's own EVRs (identical to running
+    ``validate(ds, suite)`` per suite — pinned by test).
+    """
+    names = [s.name for s in suites]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"validate_many needs distinct suite names, got {names}")
+    combined = ExpectationSuite("__validate_many__")
+    spans: list[tuple[ExpectationSuite, int, int]] = []
+    for s in suites:
+        start = len(combined.expectations)
+        combined.expectations.extend(s.resolved_expectations())
+        spans.append((s, start, len(combined.expectations)))
+    res = validate(
+        ds, combined,
+        result_format=result_format,
+        partial_unexpected_count=partial_unexpected_count,
+        catch_exceptions=catch_exceptions,
+        other_tables=other_tables,
+    )
+    if len(res.results) != len(combined.expectations):
+        raise RuntimeError(
+            "validate() returned a result count different from the combined "
+            "expectation count — per-suite spans cannot be split")
+    out: dict[str, SuiteValidationResult] = {}
+    for s, a, b in spans:
+        sub = res.results[a:b]
+        stats = calc_validation_statistics(sub)
+        out[s.name] = SuiteValidationResult(
+            success=stats["success"],
+            results=sub,
+            statistics=stats,
+            suite_name=s.name,
+            meta=dict(res.meta),
+        )
+    return out
+
+
 def _finish_vc_rule(
     ds, cfg: ExpectationConfiguration, merged: dict,
     vc_ds_cache: Optional[dict] = None,
