@@ -56,7 +56,7 @@ def encode_token_ids(
     id_col: str,
     unk_id: int | None = None,
     eos_id: int | None = None,
-    concurrency=(1, 8),
+    concurrency=(1, 16),
 ):
     """Per-document token-id lists under a trained WordPiece vocab.
 
@@ -259,7 +259,7 @@ def decode_token_ids(
     unk_id: int | None = None,
     eos_id: int | None = None,
     unk_token: str = "[UNK]",
-    concurrency=(1, 8),
+    concurrency=(1, 16),
 ):
     """Inverse of :func:`encode_token_ids` — token-id lists back to text,
     fully vectorized: one broadcast id→piece table, one numpy gather per

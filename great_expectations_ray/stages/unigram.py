@@ -210,7 +210,7 @@ def apply_unigram(
     id_col: str,
     keep_cols: tuple[str, ...] = (),
     max_piece_len: int = 5,
-    concurrency=(1, 8),
+    concurrency=(1, 16),
 ):
     """Per-doc token counts under the learned unigram vocab: broadcast the
     (piece, cnt) table once via ``ray.put``, segment inside an actor pool

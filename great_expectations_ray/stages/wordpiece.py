@@ -297,7 +297,7 @@ def apply_wordpiece(
     text_col: str = "content",
     id_col: str,
     keep_cols: tuple[str, ...] = (),
-    concurrency=(1, 8),
+    concurrency=(1, 16),
 ):
     """Per-doc WordPiece token counts: broadcast the vocab once (``ray.put``),
     encode inside an actor pool with a per-actor word cache.  Returns
