@@ -48,6 +48,39 @@ from great_expectations_ray.stages.bpe_train import _WS_SPLIT
 from great_expectations_ray.stages.wordpiece import encode_word
 
 
+def ensure_list_int32(ids, n_rows: int) -> pa.Array:
+    """Return an id-list column as a plain ``list<int32>`` array.
+
+    Ray stores list rows that crossed a pandas hop (``batch_format="pandas"``
+    stages, ``map_groups``) as ArrowTensorArray extension arrays — fixed-shape
+    when every row has equal length, variable-shaped otherwise.  Arrow's list
+    kernels (``list_value_length``, ``.offsets``/``.values``) have no tensor
+    kernels, so every list-consuming stage normalizes through this helper
+    (loud ``ArrowNotImplementedError`` otherwise)."""
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if hasattr(ids, "offsets"):
+        return ids
+    if n_rows == 0:
+        return pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array([], pa.int32()))[:0]
+    vals = ids.to_numpy(zero_copy_only=False)
+    if getattr(vals, "dtype", None) == object:  # variable-shaped tensor rows
+        rows = [np.asarray(v, dtype=np.int32).ravel() for v in vals]
+        lens = np.fromiter((len(v) for v in rows), dtype=np.int64,
+                           count=len(rows))
+        flat = (np.concatenate(rows) if rows
+                else np.array([], dtype=np.int32))
+    else:  # fixed-shape tensor rows
+        mat = np.asarray(vals, dtype=np.int32).reshape(n_rows, -1)
+        lens = np.full(n_rows, mat.shape[1], dtype=np.int64)
+        flat = mat.reshape(-1)
+    offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    return pa.ListArray.from_arrays(
+        pa.array(offs.astype(np.int32)), pa.array(flat, pa.int32()))
+
+
 def encode_token_ids(
     ds,
     vocab: pd.DataFrame,
@@ -142,8 +175,16 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
-    sorted_ds = ds_ids.select_columns([order_col, ids_col]).sort(
-        order_col).materialize()
+    def _norm_layout(tbl: pa.Table) -> pa.Table:
+        # tensor-extension id columns (pandas-hop / map_groups inputs) back
+        # to plain list<int32> so the two list passes below stay Arrow-native
+        fixed = ensure_list_int32(tbl.column(ids_col), len(tbl))
+        return tbl.set_column(
+            tbl.schema.get_field_index(ids_col), ids_col, fixed)
+
+    sorted_ds = ds_ids.select_columns([order_col, ids_col]).map_batches(
+        _norm_layout, batch_format="pyarrow", zero_copy_batch=True,
+    ).sort(order_col).materialize()
 
     def block_summary(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
@@ -300,16 +341,13 @@ def decode_token_ids(
             self.empty = self.body == ""
 
         def __call__(self, tbl: pa.Table) -> pa.Table:
-            ids = tbl.column(ids_col).combine_chunks()
-            if hasattr(ids, "offsets"):
-                offs = np.asarray(ids.offsets, dtype=np.int64)
-                flat = np.asarray(ids.values, dtype=np.int64)[offs[0]:offs[-1]]
-                offs = offs - offs[0]
-            else:  # equal-length rows repacked as a tensor extension array
-                mat = np.asarray(ids.to_numpy(zero_copy_only=False),
-                                 dtype=np.int64).reshape(len(tbl), -1)
-                flat = mat.reshape(-1)
-                offs = np.arange(len(tbl) + 1, dtype=np.int64) * mat.shape[1]
+            # tensor-extension inputs (fixed OR variable shaped) normalize
+            # to plain list<int32> first
+            ids = ensure_list_int32(tbl.column(ids_col), len(tbl))
+            offs = np.asarray(ids.offsets, dtype=np.int64)
+            flat = np.asarray(ids.values, dtype=np.int64)[offs[0]:offs[-1]] \
+                if len(tbl) else np.empty(0, dtype=np.int64)
+            offs = offs - offs[0] if len(offs) else offs
             # out-of-range ids (shards from a DIFFERENT vocab) surface as
             # [UNK] — never silently clip to the top slot (usually EOS="")
             flat = np.where((flat < 0) | (flat >= len(self.body)),

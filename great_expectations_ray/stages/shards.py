@@ -214,30 +214,13 @@ def write_token_shards(
     def add_shard(tbl) -> "pd.DataFrame":
         import pyarrow as pa
 
+        from great_expectations_ray.stages.pack_ids import ensure_list_int32
+
         sid = np.asarray(tbl.column(seq_id_col).combine_chunks(), dtype=np.int64)
-        ids = tbl.column(ids_col).combine_chunks()
-        if len(tbl) == 0:
-            ids = pa.ListArray.from_arrays(
-                pa.array([0], pa.int32()), pa.array([], pa.int32()))[:0]
-        elif not hasattr(ids, "offsets"):
-            # Ray packs list rows as (variable-shaped) tensor extension
-            # arrays, which do not survive the arrow->pandas hop in
-            # map_groups — rebuild as a plain list<int32>
-            vals = ids.to_numpy(zero_copy_only=False)
-            if getattr(vals, "dtype", None) == object:
-                rows = [np.asarray(v, dtype=np.int32).ravel() for v in vals]
-                lens = np.fromiter((len(v) for v in rows), dtype=np.int64,
-                                   count=len(rows))
-                flat = (np.concatenate(rows) if rows
-                        else np.array([], dtype=np.int32))
-            else:
-                mat = np.asarray(vals, dtype=np.int32).reshape(len(tbl), -1)
-                lens = np.full(len(tbl), mat.shape[1], dtype=np.int64)
-                flat = mat.reshape(-1)
-            offs = np.zeros(len(tbl) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            ids = pa.ListArray.from_arrays(
-                pa.array(offs.astype(np.int32)), pa.array(flat, pa.int32()))
+        # Ray packs list rows as (possibly variable-shaped) tensor extension
+        # arrays after the arrow->pandas hop in map_groups — normalize to a
+        # plain list<int32>
+        ids = ensure_list_int32(tbl.column(ids_col), len(tbl))
         return pa.table(
             {
                 seq_id_col: pa.array(sid, pa.int64()),

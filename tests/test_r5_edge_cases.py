@@ -132,3 +132,53 @@ def test_secret_scanner_null_empty_nonascii():
     n = out["n_secret_candidates"].to_pylist()
     assert n[:3] == [0, 0, 1]
     assert out["n_hex_candidates"].to_pylist()[4] == 1
+
+
+def test_pack_sequences_tensor_extension_input(ray_session):
+    """Ray repacks list rows as tensor extension arrays after a pandas hop
+    (fixed-shape when rows are equal length, variable-shaped otherwise);
+    pack_sequences must normalize both back to list<int32>."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.pack_ids import pack_sequences
+
+    # fixed-shape: every doc exactly 4 tokens
+    df = pd.DataFrame({"order": range(10),
+                       "ids": [np.array([1, 2, 3, 4], np.int32)] * 10})
+    ds = rd.from_pandas(df).map_batches(lambda d: d, batch_format="pandas")
+    # the pandas hop produced a tensor-typed column, not list<int32>
+    assert not str(ds.schema().types[1]).startswith("list"), ds.schema()
+    out = pack_sequences(ds, ids_col="ids", order_col="order",
+                         seq_len=8).to_pandas()
+    flat = [int(t) for r in out.sort_values("seq_id")["token_ids"]
+            for t in np.asarray(r).ravel().tolist()]
+    assert flat == [1, 2, 3, 4] * 10
+
+    # variable-shaped: ragged docs through the same pandas hop
+    df2 = pd.DataFrame({"order": range(3),
+                        "ids": [np.array([1, 2, 3], np.int32),
+                                np.array([4], np.int32),
+                                np.array([5, 6, 7, 8], np.int32)]})
+    ds2 = rd.from_pandas(df2).map_batches(lambda d: d, batch_format="pandas")
+    out2 = pack_sequences(ds2, ids_col="ids", order_col="order",
+                          seq_len=4).to_pandas()
+    flat2 = [int(t) for r in out2.sort_values("seq_id")["token_ids"]
+             for t in np.asarray(r).ravel().tolist()]
+    assert flat2 == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_decode_token_ids_tensor_extension_input(ray_session):
+    import ray.data as rd
+
+    from great_expectations_ray.stages.pack_ids import decode_token_ids
+
+    vocab = pd.DataFrame({"rank": [0, 1], "piece": ["hi", "##!"],
+                          "cnt": [5, 4]})
+    # ragged id rows through a pandas hop -> variable-shaped tensor array
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "token_ids": [np.array([0, 1], np.int32),
+                                     np.array([0], np.int32)]})
+    ds = rd.from_pandas(df).map_batches(lambda d: d, batch_format="pandas")
+    out = decode_token_ids(ds, vocab, id_col="doc_id").to_pandas()
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == {1: "hi!", 2: "hi"}
