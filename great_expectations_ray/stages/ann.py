@@ -19,11 +19,22 @@ import pyarrow as pa
 
 
 def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) float64 matrix from an embedding column — plain ``list<float>``
+    (``flatten()`` honors list offsets, unlike ``.values`` on a sliced
+    array) or Ray's tensor-extension layout (pandas-hop inputs)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    values = np.asarray(col.values, dtype=np.float64)
     n = len(col)
-    return values.reshape(n, -1) if n else values.reshape(0, 0)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if hasattr(col, "flatten") and hasattr(col, "offsets"):
+        values = np.asarray(col.flatten(), dtype=np.float64)
+        return values.reshape(n, -1)
+    vals = col.to_numpy(zero_copy_only=False)
+    if getattr(vals, "dtype", None) == object:  # variable-shaped tensor rows
+        return np.stack([np.asarray(v, dtype=np.float64).ravel()
+                         for v in vals])
+    return np.asarray(vals, dtype=np.float64).reshape(n, -1)
 
 
 def brute_force_topk(

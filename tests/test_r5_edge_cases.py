@@ -182,3 +182,28 @@ def test_decode_token_ids_tensor_extension_input(ray_session):
     out = decode_token_ids(ds, vocab, id_col="doc_id").to_pandas()
     got = dict(zip(out["doc_id"], out["text"]))
     assert got == {1: "hi!", 2: "hi"}
+
+
+def test_emb_matrix_tensor_layout_and_sliced_list(ray_session):
+    """_emb_matrix (shared by ANN / k-means / PCA / PQ / SemDeDup /
+    embedding-near-dup) must read tensor-extension embedding columns
+    (pandas-hop inputs) and sliced list arrays (offsets != 0)."""
+    import ray.data as rd
+
+    from great_expectations_ray.stages.ann import _emb_matrix, brute_force_topk
+
+    # tensor-extension input end-to-end
+    df = pd.DataFrame({"vec_id": [1, 2, 3],
+                       "embedding": [np.array([1.0, 0.0], np.float64),
+                                     np.array([0.0, 1.0], np.float64),
+                                     np.array([1.0, 1.0], np.float64)]})
+    ds = rd.from_pandas(df).map_batches(lambda d: d, batch_format="pandas")
+    assert not str(ds.schema().types[1]).startswith("list"), ds.schema()
+    top = brute_force_topk(ds, np.array([1.0, 0.0]), k=1)
+    assert top[0][0] == 1
+
+    # sliced list array: .values would return the FULL child buffer
+    lst = pa.array([[9.0, 9.0], [1.0, 2.0], [3.0, 4.0]],
+                   pa.list_(pa.float64()))
+    m = _emb_matrix(lst.slice(1, 2))
+    assert m.tolist() == [[1.0, 2.0], [3.0, 4.0]]
