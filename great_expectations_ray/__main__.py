@@ -97,8 +97,30 @@ def cmd_validate(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        with open(args.suite) as f:
-            suite = ExpectationSuite.from_json(f.read())
+        suite_paths = (args.suite if isinstance(args.suite, list)
+                       else [args.suite])
+        suites = []
+        for p in suite_paths:
+            with open(p) as f:
+                suites.append(ExpectationSuite.from_json(f.read()))
+        suite = suites[0]
+        if len(suites) > 1:
+            # fused multi-suite pass (engine.validate_many) — plain mode only
+            if args.by or args.states or args.state_out or args.wide_out:
+                raise SystemExit(
+                    "validate: several --suite paths run the fused "
+                    "multi-suite pass, which combines only with --input "
+                    "(not --by/--states/--state-out/--wide-out)")
+            if not args.input:
+                raise SystemExit("validate: --input is required")
+            from great_expectations_ray.engine import validate_many
+
+            many = validate_many(read_batch(args.input), suites,
+                                 result_format=args.result_format)
+            print(json.dumps(
+                {name: r.to_json_dict() for name, r in many.items()},
+                indent=1, default=str))
+            return 0 if all(r.success for r in many.values()) else 1
         # reject silent flag combinations up front: each mode is exclusive
         if args.state_out and args.by:
             raise SystemExit(
@@ -757,7 +779,10 @@ def main(argv=None) -> int:
     v = sub.add_parser("validate", help="validate one table against a suite")
     v.add_argument("--input", default=None,
                    help="input table (required unless --states)")
-    v.add_argument("--suite", required=True)
+    v.add_argument("--suite", required=True, nargs="+",
+                   help="suite JSON path; several paths = ONE fused pass "
+                        "over the data validating every suite "
+                        "(validate_many; plain mode only)")
     v.add_argument("--result-format", default="SUMMARY",
                    choices=["BOOLEAN_ONLY", "BASIC", "SUMMARY", "COMPLETE"])
     v.add_argument("--by", default=None,

@@ -97,3 +97,28 @@ def test_validate_many_suite_parameters_resolved_per_suite(ray_session):
     # each suite saw ITS OWN parameter binding
     assert many["p1"].success
     assert not many["p2"].success
+
+
+def test_validate_many_cli_multi_suite(ray_session, tmp_path, capsys):
+    import json
+
+    from great_expectations_ray.__main__ import main as cli_main
+
+    df = _frame()
+    inp = tmp_path / "d.parquet"
+    df.to_parquet(inp)
+    paths = []
+    for s in _suites():
+        p = tmp_path / f"{s.name}.json"
+        p.write_text(s.to_json())
+        paths.append(str(p))
+    rc = cli_main(["validate", "--input", str(inp), "--suite", *paths])
+    out = json.loads(capsys.readouterr().out)
+    assert set(out) == {"a", "b", "c"}
+    assert rc == 1  # suite 'c' fails
+
+    # mode exclusivity: multi-suite + --by rejected loudly
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="multi-suite"):
+        cli_main(["validate", "--input", str(inp), "--suite", *paths,
+                  "--by", "s"])
