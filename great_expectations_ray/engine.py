@@ -355,6 +355,14 @@ class _PartialEvaluator:
         self.include_rows = include_rows
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
+        # dictionary-encoded inputs (read_csv inference, from_arrow, parquet
+        # read_dictionary) break exact-type kernels like pc.is_in — decode
+        # once per batch so every kernel sees plain value types (no-op for
+        # non-dictionary columns)
+        for i, f in enumerate(tbl.schema):
+            if pa.types.is_dictionary(f.type):
+                tbl = tbl.set_column(
+                    i, f.name, pc.cast(tbl.column(f.name), f.type.value_type))
         state: dict[Any, Any] = {"row_count": tbl.num_rows, "maps": {}, "aggs": {},
                                  "counts": {}, "vcs": {}, "errors": {}}
         for idx, cfg, kernel, mask_fn in self.map_rules:

@@ -207,3 +207,28 @@ def test_emb_matrix_tensor_layout_and_sliced_list(ray_session):
                    pa.list_(pa.float64()))
     m = _emb_matrix(lst.slice(1, 2))
     assert m.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+
+def test_validate_dictionary_encoded_columns(ray_session):
+    """Dictionary-encoded input columns (read_csv inference / from_arrow /
+    parquet read_dictionary) must validate like their plain value types —
+    pc.is_in in particular rejects dictionary arrays against a plain
+    value_set."""
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    tbl = pa.table({"d": pa.array(["a", "b", "a"]).dictionary_encode(),
+                    "v": pa.array([1.0, 2.0, 3.0]).dictionary_encode()})
+    ds = rd.from_arrow(tbl)
+    s = (ExpectationSuite("d")
+         .add("expect_column_values_to_be_in_set", column="d",
+              value_set=["a", "b"])
+         .add("expect_column_distinct_values_to_be_in_set", column="d",
+              value_set=["a", "b"])
+         .add("expect_column_mean_to_be_between", column="v",
+              min_value=1.5, max_value=2.5)
+         .add("expect_column_values_to_match_regex", column="d",
+              regex="^[ab]$"))
+    r = validate(ds, s)
+    assert r.success, r.to_json_dict()
