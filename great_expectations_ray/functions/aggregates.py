@@ -38,6 +38,10 @@ class NumericAggState:
     m2: float = 0.0
     m3: float = 0.0
     m4: float = 0.0
+    #: temporal columns accumulate in epoch int64 ("D" for date32, the
+    #: timestamp's own unit otherwise); min/max/mean convert back to
+    #: datetime in metric() so string bounds compare naturally
+    temporal_unit: Optional[str] = None
 
     def _combine(self, n_b: int, mean_b: float, m2_b: float,
                  m3_b: float, m4_b: float) -> None:
@@ -69,7 +73,29 @@ class NumericAggState:
 
     def update(self, col: pa.ChunkedArray) -> None:
         self.total += len(col)
-        vals = np.asarray(pc.drop_null(pc.cast(col, pa.float64())).combine_chunks())
+        t = col.type
+        if pa.types.is_date(t) or pa.types.is_timestamp(t):
+            # accumulate in epoch int64 (days for date32/64, the column's
+            # own unit for timestamps); mean/min/max convert back in metric()
+            # tz-aware columns accumulate the same UTC epoch; metric()
+            # renders naive UTC datetimes so parsed string bounds compare
+            self.temporal_unit = "D" if pa.types.is_date(t) else t.unit
+            if pa.types.is_date64(t):
+                col = pc.cast(col, pa.date32())
+            elif pa.types.is_timestamp(t) and t.tz is not None:
+                col = pc.cast(col, pa.timestamp(t.unit))
+            if pa.types.is_date32(col.type):
+                # date32 has no int cast kernel; its storage IS int32 days
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                col = col.view(pa.int32())
+            ints = pc.drop_null(pc.cast(col, pa.int64()))
+            if isinstance(ints, pa.ChunkedArray):
+                ints = ints.combine_chunks()
+            vals = np.asarray(ints).astype(np.float64)
+        else:
+            vals = np.asarray(
+                pc.drop_null(pc.cast(col, pa.float64())).combine_chunks())
         if len(vals) == 0:
             return
         b_mean = float(vals.mean())
@@ -85,6 +111,8 @@ class NumericAggState:
     def merge(self, o: "NumericAggState") -> "NumericAggState":
         self.total += o.total
         self.sum += o.sum
+        if o.temporal_unit is not None:
+            self.temporal_unit = o.temporal_unit
         if o.min is not None:
             self.min = o.min if self.min is None else min(self.min, o.min)
         if o.max is not None:
@@ -92,8 +120,24 @@ class NumericAggState:
         self._combine(o.n, o.mean, o.m2, o.m3, o.m4)
         return self
 
+    def _from_epoch(self, v: Optional[float]):
+        """Epoch float back to a naive UTC datetime per temporal_unit."""
+        if v is None:
+            return None
+        import datetime as _dt
+
+        scale = {"D": 86400.0, "s": 1.0, "ms": 1e-3, "us": 1e-6, "ns": 1e-9}
+        return (_dt.datetime(1970, 1, 1)
+                + _dt.timedelta(seconds=v * scale[self.temporal_unit]))
+
     # ---- finalized metrics ------------------------------------------------ #
     def metric(self, name: str) -> Optional[float]:
+        if self.temporal_unit is not None and name in (
+                "column.mean", "column.min", "column.max"):
+            v = {"column.mean": self.mean if self.n else None,
+                 "column.min": self.min,
+                 "column.max": self.max}[name]
+            return self._from_epoch(v)
         if name == "column.mean":
             return self.mean if self.n else None
         if name == "column.sum":

@@ -75,10 +75,21 @@ def _coerce_bound(value: Any, col_type: pa.DataType) -> Any:
     (reference parses bound strings with dateutil, ``expectation.py:1609-1636``)."""
     if value is None:
         return None
-    if pa.types.is_timestamp(col_type) and isinstance(value, str):
+    if isinstance(value, str) and pa.types.is_timestamp(col_type):
         from dateutil import parser as _p
 
-        return _p.parse(value)
+        parsed = _p.parse(value)
+        if col_type.tz is not None and parsed.tzinfo is None:
+            # naive bound against a tz column: treat as UTC (the epoch the
+            # naive string denotes) so pa.scalar comparison is well-typed
+            import datetime as _dt
+
+            parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+        return parsed
+    if isinstance(value, str) and pa.types.is_date(col_type):
+        from dateutil import parser as _p
+
+        return _p.parse(value).date()
     return value
 
 

@@ -232,3 +232,61 @@ def test_validate_dictionary_encoded_columns(ray_session):
               regex="^[ab]$"))
     r = validate(ds, s)
     assert r.success, r.to_json_dict()
+
+
+def test_date_and_timestamp_bounds(ray_session):
+    """ISO-string bounds (the only representation a JSON suite can carry)
+    must work against date32 and timestamp columns — both the map kernel
+    (between) and the temporal aggregate path (min/max/mean)."""
+    import datetime
+
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    tbl = pa.table({
+        "d": pa.array([datetime.date(2024, 1, 1), datetime.date(2024, 6, 1),
+                       None]),
+        "t": pa.array([datetime.datetime(2024, 1, 1, 12),
+                       datetime.datetime(2024, 6, 1, 12), None]),
+    })
+    ds = rd.from_arrow(tbl)
+    s = (ExpectationSuite("dt")
+         .add("expect_column_values_to_be_between", column="d",
+              min_value="2023-12-31", max_value="2024-12-31")
+         .add("expect_column_values_to_be_between", column="t",
+              min_value="2023-12-31", max_value="2024-12-31")
+         .add("expect_column_min_to_be_between", column="d",
+              min_value="2023-01-01", max_value="2024-02-01")
+         .add("expect_column_max_to_be_between", column="t",
+              min_value="2024-06-01", max_value="2024-06-02")
+         .add("expect_column_mean_to_be_between", column="d",
+              min_value="2024-01-01", max_value="2024-12-31"))
+    r = validate(ds, s)
+    assert r.success, r.to_json_dict()
+    # observed_value for temporal min is a real datetime, not an epoch float
+    obs = r.results[2].to_json_dict()["result"]["observed_value"]
+    assert "2024-01-01" in str(obs)
+    # and a violated bound actually fails (not vacuous)
+    bad = ExpectationSuite("bad").add(
+        "expect_column_values_to_be_between", column="d",
+        min_value="2024-05-01")
+    assert not validate(ds, bad).success
+
+
+def test_date_bounds_merge_across_blocks(ray_session):
+    import datetime
+
+    import ray.data as rd
+
+    from great_expectations_ray import ExpectationSuite, validate
+
+    days = [datetime.date(2024, 1, 1) + datetime.timedelta(days=i)
+            for i in range(50)]
+    ds = rd.from_arrow(pa.table({"d": pa.array(days)})).repartition(7)
+    s = (ExpectationSuite("m")
+         .add("expect_column_min_to_be_between", column="d",
+              min_value="2024-01-01", max_value="2024-01-01")
+         .add("expect_column_max_to_be_between", column="d",
+              min_value="2024-02-19", max_value="2024-02-19"))
+    assert validate(ds, s).success
