@@ -20,6 +20,21 @@ import os
 import sys
 
 
+def _expand_input(path: str | list[str]) -> str | list[str]:
+    """Glob-expand a CLI input path (``corpus/*.parquet``) — Ray's
+    ``read_parquet`` takes literal files/dirs, not patterns (``run`` globs
+    via the checkpoint; every other verb funnels through here).  Plain
+    paths pass through untouched; an unmatched pattern fails loudly."""
+    import glob as _glob
+
+    if not isinstance(path, str) or not any(c in path for c in "*?["):
+        return path
+    matches = sorted(_glob.glob(path))
+    if not matches:
+        raise SystemExit(f"no input files match {path!r}")
+    return matches
+
+
 def _init_ray(cpus: int | None) -> bool:
     """Init Ray if nobody has; returns True iff WE own the session (callers
     must only shut down a session they own — killing a host application's
@@ -115,7 +130,7 @@ def cmd_validate(args) -> int:
                 raise SystemExit("validate: --input is required")
             from great_expectations_ray.engine import validate_many
 
-            many = validate_many(read_batch(args.input), suites,
+            many = validate_many(read_batch(_expand_input(args.input)), suites,
                                  result_format=args.result_format)
             print(json.dumps(
                 {name: r.to_json_dict() for name, r in many.items()},
@@ -156,7 +171,7 @@ def cmd_validate(args) -> int:
             return 0 if res.success else 1
         if not args.input:
             raise SystemExit("validate: --input is required unless --states")
-        ds = read_batch(args.input)
+        ds = read_batch(_expand_input(args.input))
         if args.state_out:
             # one streaming pass -> persisted mergeable state + finished
             # result for THIS partition
@@ -241,7 +256,7 @@ def cmd_profile(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        profs = profile(read_batch(args.input))
+        profs = profile(read_batch(_expand_input(args.input)))
         print(json.dumps({c: p.to_json_dict() for c, p in profs.items()},
                          indent=1, default=str))
         if args.suggest_suite:
@@ -321,8 +336,8 @@ def cmd_drift(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        base = read_batch(args.baseline)
-        cur = read_batch(args.current)
+        base = read_batch(_expand_input(args.baseline))
+        cur = read_batch(_expand_input(args.current))
         rep = _drift_report(base, cur, psi_columns=args.psi_columns,
                             psi_threshold=args.psi_threshold,
                             ks_columns=args.ks_columns,
@@ -387,8 +402,8 @@ def cmd_incremental(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        snap = rd.read_parquet(args.snapshot)
-        today = rd.read_parquet(args.input)
+        snap = rd.read_parquet(_expand_input(args.snapshot))
+        today = rd.read_parquet(_expand_input(args.input))
         n_in = today.count()
 
         # 1. corpus diff
@@ -473,7 +488,7 @@ def cmd_dedup(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        ds = rd.read_parquet(args.input)
+        ds = rd.read_parquet(_expand_input(args.input))
         n_in = ds.count()
         if args.method == "exact":
             from great_expectations_ray.stages.dedup import dedup_exact
@@ -563,7 +578,7 @@ def cmd_pack(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        ds = rd.read_parquet(args.input,
+        ds = rd.read_parquet(_expand_input(args.input),
                              columns=[args.id_col, args.text_col])
         if args.vocab and os.path.exists(args.vocab):
             vocab, vocab_src = load_vocab(args.vocab), "loaded"
@@ -624,7 +639,7 @@ def cmd_embed(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        ds = rd.read_parquet(_expand_input(args.input), columns=[args.id_col, args.text_col])
         import ray as _ray
 
         avail = args.cpus or int(_ray.cluster_resources().get("CPU", 8))
@@ -656,7 +671,7 @@ def cmd_select(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        ds = rd.read_parquet(args.input)
+        ds = rd.read_parquet(_expand_input(args.input))
         n_in = ds.count()
         if args.score == "zlib":
             from great_expectations_ray.stages.compressratio import (
@@ -713,7 +728,7 @@ def cmd_scan(args) -> int:
 
     owned = _init_ray(args.cpus)
     try:
-        ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        ds = rd.read_parquet(_expand_input(args.input), columns=[args.id_col, args.text_col])
         stats = scan_secrets(ds, column=args.text_col).drop_columns(
             [args.text_col])
         if args.output:

@@ -290,3 +290,29 @@ def test_date_bounds_merge_across_blocks(ray_session):
          .add("expect_column_max_to_be_between", column="d",
               min_value="2024-02-19", max_value="2024-02-19"))
     assert validate(ds, s).success
+
+
+def test_cli_glob_inputs(ray_session, tmp_path, capsys):
+    """Every CLI verb funnels its input through _expand_input — a quoted
+    glob pattern (the documented `run` input form) must work for the other
+    verbs too, and an unmatched pattern must fail loudly."""
+    import json
+
+    import pytest as _pytest
+
+    from great_expectations_ray.__main__ import _expand_input, main as cli_main
+
+    df = pd.DataFrame({"doc_id": range(20), "content": ["hello world"] * 20})
+    for i in range(3):
+        df.iloc[i * 7:(i + 1) * 7].to_parquet(tmp_path / f"part{i}.parquet")
+    pattern = str(tmp_path / "*.parquet")
+
+    assert len(_expand_input(pattern)) == 3
+    assert _expand_input("plain/path.parquet") == "plain/path.parquet"
+    with _pytest.raises(SystemExit, match="no input files match"):
+        _expand_input(str(tmp_path / "nope*.parquet"))
+
+    rc = cli_main(["scan", "--input", pattern, "--text-col", "content",
+                   "--id-col", "doc_id"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["files"] == 20 and rc == 0
