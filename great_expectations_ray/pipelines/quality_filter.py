@@ -417,6 +417,16 @@ def run_quality_filter(
     only tiny rollup partials flow back.  Without: returns the materialized
     scored dataset + rollup (test scale only)."""
     config = config or QualityFilterConfig()
+    schema = ds.schema()
+    if schema is not None:
+        missing = [c for c in ("repo", "lang", "content")
+                   if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"quality filter input is missing column(s) {missing}: "
+                f"got {schema.names}.  Expected the source-code corpus "
+                "schema (repo, path, commit, lang, content) — see "
+                "corpus.write_corpus_parquet for the reference layout.")
     model_ref = _prepare_model_ref(ds, config)
     conc = (
         (1, config.actor_concurrency) if config.autoscale_actors
