@@ -1,0 +1,173 @@
+"""Property-based tests (hypothesis) over the pure-python core kernels —
+invariants that hold for ALL inputs, not just the fixtures: KLL rank-error
+and merge determinism, theta-sketch exactness under k and partitioning
+invariance, polynomial string-hash determinism/injectivity-in-practice,
+greedy WordPiece reconstruction, and the mostly_success ratio boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+# Ray-free targets only — property sweeps run hundreds of examples and must
+# not pay a Dataset round-trip per example.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e12, max_value=1e12,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=2000),
+    q=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_kll_rank_error_bound(vals, q):
+    from great_expectations_ray.functions.kll import KLLSketch
+
+    sk = KLLSketch(k=200, seed=7)
+    sk.update_many(np.asarray(vals))
+    est = sk.quantiles([q], interpolation="lower")[0]
+    arr = np.sort(np.asarray(vals))
+    # rank of the estimate must be within ~3/k * n of the target rank
+    target = int(np.floor(q * (len(arr) - 1)))
+    lo = np.searchsorted(arr, est, side="left")
+    hi = np.searchsorted(arr, est, side="right") - 1
+    tol = max(3, int(0.1 * len(arr)))  # k=200 -> far tighter in practice
+    assert lo - tol <= target <= hi + tol
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e9, max_value=1e9,
+                  allow_nan=False, allow_infinity=False),
+        min_size=2, max_size=600),
+    cut=st.integers(min_value=1, max_value=599),
+)
+def test_kll_merge_deterministic_for_fixed_split(vals, cut):
+    from great_expectations_ray.functions.kll import KLLSketch
+
+    cut = min(cut, len(vals) - 1)
+
+    def build():
+        a = KLLSketch(k=32, seed=1)
+        a.update_many(np.asarray(vals[:cut]))
+        b = KLLSketch(k=32, seed=2)
+        b.update_many(np.asarray(vals[cut:]))
+        a.merge(b)
+        return a.quantiles([0.0, 0.25, 0.5, 0.75, 1.0])
+
+    assert build() == build()  # same split + same seeds -> bit-identical
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=0, max_size=3000),
+       st.integers(min_value=1, max_value=2999))
+def test_theta_sketch_partitioning_invariant_and_exact_under_k(ints, cut):
+    from great_expectations_ray.functions.sketches import ThetaSketch, _splitmix64
+
+    h = _splitmix64(np.asarray(ints, dtype=np.uint64)) if ints else \
+        np.empty(0, dtype=np.uint64)
+    one = ThetaSketch(k=256)
+    one.update_hashes(h)
+
+    cut = min(cut, len(h))
+    a = ThetaSketch(k=256)
+    a.update_hashes(h[:cut])
+    b = ThetaSketch(k=256)
+    b.update_hashes(h[cut:])
+    a.merge(b)
+    # merge of split partials is BIT-identical to the single-pass build
+    assert a.theta == one.theta
+    assert np.array_equal(a.hashes, one.hashes)
+
+    n_distinct = len(np.unique(h))
+    if n_distinct <= 256:
+        assert one.estimate() == float(n_distinct)  # exact under k
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=300))
+def test_poly_hash_strings_deterministic_and_discriminating(strs):
+    import pyarrow as pa
+
+    from great_expectations_ray.functions.bucketed import poly_hash_strings
+
+    arr = pa.array(strs, pa.large_string())
+    h1 = poly_hash_strings(arr)
+    h2 = poly_hash_strings(pa.array(strs, pa.large_string()))
+    assert np.array_equal(h1, h2)
+    # equal strings always hash equal; distinct strings collide at ~2^-64,
+    # so ANY observed collision among a few hundred inputs is a bug
+    uniq_strings = len(set(strs))
+    uniq_hashes = len(set(h1.tolist()))
+    assert uniq_hashes == uniq_strings
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+               min_size=1, max_size=12),
+       st.sets(st.text(alphabet=st.characters(min_codepoint=97,
+                                              max_codepoint=122),
+                       min_size=1, max_size=4), max_size=30))
+def test_encode_word_reconstructs_or_unks(word, pieces):
+    from great_expectations_ray.stages.wordpiece import UNK, encode_word
+
+    # vocab: the given pieces as word-starts plus their ## continuations,
+    # so coverage varies per example
+    vocab = set(pieces) | {"##" + p for p in pieces}
+    out = encode_word(word, vocab)
+    assert out  # never empty
+    if out == [UNK]:
+        return
+    # non-UNK encodings must reconstruct the word exactly, first piece
+    # bare and every later piece ##-prefixed
+    assert not out[0].startswith("##")
+    assert all(p.startswith("##") for p in out[1:])
+    rebuilt = out[0] + "".join(p[2:] for p in out[1:])
+    assert rebuilt == word
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=10_000),
+       st.integers(min_value=0, max_value=10_000),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_mostly_success_matches_exact_ratio(n, bad, mostly):
+    from great_expectations_ray.core.results import mostly_success
+
+    bad = min(bad, n)
+    got = mostly_success(n, bad, mostly)
+    assert got == ((float(n) - float(bad)) / float(n) >= mostly)
+    # boundary: the exact achieved ratio always passes as its own bar
+    assert mostly_success(n, bad, (float(n) - float(bad)) / float(n))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=-1e6, max_value=1e6),
+                min_size=0, max_size=500),
+       st.integers(min_value=2, max_value=7))
+def test_numeric_agg_state_split_merge_equals_whole(ints, parts):
+    import pyarrow as pa
+
+    from great_expectations_ray.functions.aggregates import NumericAggState
+
+    whole = NumericAggState()
+    whole.update(pa.chunked_array([pa.array(ints, pa.int64())]))
+
+    merged = NumericAggState()
+    step = max(1, len(ints) // parts)
+    for i in range(0, max(len(ints), 1), step):
+        s = NumericAggState()
+        s.update(pa.chunked_array([pa.array(ints[i:i + step], pa.int64())]))
+        merged.merge(s)
+
+    assert merged.n == whole.n and merged.total == whole.total
+    assert merged.min == whole.min and merged.max == whole.max
+    if whole.n:
+        assert np.isclose(merged.mean, whole.mean, rtol=1e-12, atol=1e-9)
+        assert np.isclose(merged.sum, whole.sum, rtol=1e-12, atol=1e-9)
+    if whole.n > 1:
+        a = merged.metric("column.standard_deviation")
+        b = whole.metric("column.standard_deviation")
+        assert np.isclose(a, b, rtol=1e-9, atol=1e-9)
