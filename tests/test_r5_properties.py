@@ -171,3 +171,28 @@ def test_numeric_agg_state_split_merge_equals_whole(ints, parts):
         a = merged.metric("column.standard_deviation")
         b = whole.metric("column.standard_deviation")
         assert np.isclose(a, b, rtol=1e-9, atol=1e-9)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    # candidate-heavy alphabet (few separators) so ≥20-char runs — and runs
+    # CROSSING row boundaries — occur in most examples
+    st.text(alphabet="Ab3+/=_- ", min_size=0, max_size=80),
+    min_size=1, max_size=40))
+def test_secret_stats_buffer_scan_equals_per_row_scan(rows):
+    """The one-sweep buffer scan (runs crossing row boundaries split at the
+    offsets) must agree with a naive independent per-row regex scan for
+    ANY row contents — the boundary-splitting math is the risky part."""
+    import re
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.secrets_entropy import (
+        secret_stats_table,
+    )
+
+    pat = re.compile(r"[A-Za-z0-9+/=_-]{20,}")
+    out = secret_stats_table(pa.array(rows, pa.large_string()))
+    got = out["n_secret_candidates"].to_pylist()
+    want = [len(pat.findall(r)) for r in rows]
+    assert got == want, (rows, got, want)
