@@ -196,3 +196,39 @@ def test_secret_stats_buffer_scan_equals_per_row_scan(rows):
     got = out["n_secret_candidates"].to_pylist()
     want = [len(pat.findall(r)) for r in rows]
     assert got == want, (rows, got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdé ", min_size=0, max_size=30),
+                min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=6),
+       st.integers(min_value=1, max_value=5))
+def test_winnow_fingerprints_match_naive_loop(rows, k, w):
+    """The vectorized winnowing (one shingle pass + w shifted gathers over
+    the concatenated byte stream) must equal a per-row python loop for any
+    rows/k/w — byte-level shingles, multibyte chars included."""
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.fingerprint import (
+        winnow_fingerprints_batch,
+    )
+
+    B = 1099511628211
+
+    def naive(row: str):
+        bs = row.encode("utf-8")
+        m = len(bs) - k + 1
+        hs = []
+        for i in range(max(m, 0)):
+            h = 0
+            for j in range(k):
+                h = ((h * B) + bs[i + j]) % (1 << 64)
+            hs.append(h)
+        wins = [min(hs[i:i + w]) for i in range(len(hs) - w + 1)]
+        return sorted(set(wins))
+
+    got, counts = winnow_fingerprints_batch(
+        pa.array(rows, pa.large_string()), k=k, w=w)
+    for i, row in enumerate(rows):
+        assert got[i].tolist() == naive(row), (row, k, w)
+        assert counts[i] == max(len(row.encode("utf-8")) - k + 1, 0)
