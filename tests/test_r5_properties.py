@@ -232,3 +232,45 @@ def test_winnow_fingerprints_match_naive_loop(rows, k, w):
     for i, row in enumerate(rows):
         assert got[i].tolist() == naive(row), (row, k, w)
         assert counts[i] == max(len(row.encode("utf-8")) - k + 1, 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="ab cé\t", min_size=0, max_size=60),
+                min_size=1, max_size=15),
+       st.integers(min_value=0, max_value=100))
+def test_simhash64_matches_naive_loop(rows, seed):
+    """The vectorized SimHash (flattened-buffer token hashing + unpackbits
+    majority vote) must equal a per-row per-token python loop — empty
+    tokens from edge whitespace included, multibyte chars included."""
+    import re
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.neardup import simhash64
+
+    B = 1099511628211
+    M64 = (1 << 64) - 1
+
+    def naive(row: str) -> int:
+        toks = re.split(r"\s+", row)  # Arrow split keeps edge empties too
+        if not toks:
+            return 0
+        mix = (0x9E3779B97F4A7C15 + seed) & M64
+        votes = [0] * 64
+        for t in toks:
+            h = 0
+            for j, byte in enumerate(t.encode("utf-8")):
+                h = (h + byte * pow(B, j, 1 << 64)) & M64
+            h = ((h * mix) & M64) ^ (h >> 13)
+            h = (h * 0xC2B2AE3D27D4EB4F) & M64
+            for b in range(64):
+                votes[b] += (h >> b) & 1
+        out = 0
+        for b in range(64):
+            if 2 * votes[b] > len(toks):
+                out |= 1 << b
+        return out
+
+    got = simhash64(pa.array(rows, pa.string()), seed=seed)
+    for i, row in enumerate(rows):
+        assert int(got[i]) == naive(row), (row, seed)
