@@ -274,3 +274,42 @@ def test_simhash64_matches_naive_loop(rows, seed):
     got = simhash64(pa.array(rows, pa.string()), seed=seed)
     for i, row in enumerate(rows):
         assert int(got[i]) == naive(row), (row, seed)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abcdé ", min_size=0, max_size=40),
+                min_size=1, max_size=10),
+       st.integers(min_value=2, max_value=6))
+def test_minhash_signatures_match_naive_loop(rows, k):
+    """Vectorized MinHash (reduceat per-row minima over the flattened
+    shingle stream) == a naive per-row per-shingle python loop; shingle-free
+    rows get the all-max never-collide signature."""
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.neardup import minhash_signatures
+
+    NUM_PERM, SEED = 8, 17
+    B = 1099511628211
+    M64 = (1 << 64) - 1
+    rng = np.random.default_rng(SEED)
+    MERSENNE = (1 << 61) - 1
+    a = (rng.integers(1, MERSENNE, size=NUM_PERM, dtype=np.uint64)
+         | np.uint64(1))
+    b = rng.integers(0, MERSENNE, size=NUM_PERM, dtype=np.uint64)
+
+    got = minhash_signatures(pa.array(rows, pa.large_string()),
+                             num_perm=NUM_PERM, shingle_k=k, seed=SEED)
+    for i, row in enumerate(rows):
+        bs = row.encode("utf-8")
+        shingles = []
+        for s in range(max(len(bs) - k + 1, 0)):
+            h = 0
+            for j in range(k):
+                h = ((h * B) + bs[s + j]) & M64
+            shingles.append(h)
+        if not shingles:
+            assert (got[i] == np.iinfo(np.uint64).max).all(), row
+            continue
+        for p in range(NUM_PERM):
+            want = min(((h * int(a[p]) + int(b[p])) & M64) for h in shingles)
+            assert int(got[i, p]) == want, (row, k, p)
