@@ -313,3 +313,28 @@ def test_minhash_signatures_match_naive_loop(rows, k):
         for p in range(NUM_PERM):
             want = min(((h * int(a[p]) + int(b[p])) & M64) for h in shingles)
             assert int(got[i, p]) == want, (row, k, p)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="0123456789", min_size=12, max_size=18))
+def test_luhn_accepts_computed_check_digit_rejects_others(prefix):
+    """For any digit prefix, exactly ONE of the ten possible check digits
+    makes a Luhn-valid number — luhn_valid must accept it and reject the
+    other nine (lengths 13-19 only)."""
+    from great_expectations_ray.stages.luhn import luhn_valid
+
+    # standard check-digit computation over prefix + d
+    def check_digit(p: str) -> int:
+        total = 0
+        for i, ch in enumerate(reversed(p)):
+            d = int(ch)
+            if i % 2 == 0:  # rightmost prefix digit doubles (payload pos 2)
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return (10 - total % 10) % 10
+
+    cd = check_digit(prefix)
+    accepted = [d for d in range(10) if luhn_valid(prefix + str(d))]
+    assert accepted == [cd], (prefix, accepted, cd)
