@@ -338,3 +338,49 @@ def test_luhn_accepts_computed_check_digit_rejects_others(prefix):
     cd = check_digit(prefix)
     accepted = [d for d in range(10) if luhn_valid(prefix + str(d))]
     assert accepted == [cd], (prefix, accepted, cd)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.text(alphabet="ab é \t", min_size=0, max_size=60),
+    min_size=1, max_size=12))
+def test_word_repetition_stats_match_naive_loop(rows):
+    """The lexsort/reduceat repetition signals (Gopher top-n / dup-n char
+    fractions) must equal a naive Counter-based per-row loop over REAL
+    gram tuples — hash-free oracle, multibyte + repeated-separator rows."""
+    import re
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.repetition import (
+        _round6,
+        word_repetition_stats,
+    )
+
+    got = word_repetition_stats(pa.array(rows, pa.string()),
+                                top_ns=(2, 3), dup_ns=(2, 3))
+
+    for i, row in enumerate(rows):
+        toks = [t for t in re.split(r"\s+", row) if t]
+        total = max(len(row), 1)
+        assert got["n_words"][i] == len(toks), row
+        mw = (sum(len(t) for t in toks) / len(toks)) if toks else 0.0
+        assert got["mean_word_len"][i] == _round6(np.array([mw]))[0], row
+        for n in (2, 3):
+            grams = [tuple(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+            cnt = Counter(grams)
+            if cnt:
+                # winner: count DESC then char-length DESC
+                def length(g):
+                    return sum(len(t) for t in g) + (n - 1)
+                best = max(cnt, key=lambda g: (cnt[g], length(g)))
+                top = cnt[best] * length(best) / total
+                dup = sum(c * length(g) for g, c in cnt.items()
+                          if c >= 2) / total
+            else:
+                top = dup = 0.0
+            assert got[f"top{n}_char_frac"][i] == _round6(
+                np.array([top]))[0], (row, n)
+            assert got[f"dup{n}_char_frac"][i] == _round6(
+                np.array([dup]))[0], (row, n)
