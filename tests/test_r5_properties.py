@@ -384,3 +384,40 @@ def test_word_repetition_stats_match_naive_loop(rows):
                 np.array([top]))[0], (row, n)
             assert got[f"dup{n}_char_frac"][i] == _round6(
                 np.array([dup]))[0], (row, n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(alphabet="ab c-D_2 ", min_size=0, max_size=60),
+                min_size=1, max_size=10),
+       st.sets(st.sampled_from(["a", "b", "c", "ab", "a b", "b c",
+                                "a b c", "d_2", "c d_2"]),
+               min_size=1, max_size=6))
+def test_dictmatch_counts_match_naive_scan(rows, phrases):
+    """Vectorized token-level phrase matching (dictionary-encode + distinct
+    n-gram verify + scatter) == a naive per-row sliding-window count, for
+    random docs × random phrase dictionaries (normalization contract:
+    lowercase, [^a-z0-9_]+ splits)."""
+    import re
+
+    from great_expectations_ray.stages.dictmatch import (
+        PhraseDict,
+        match_counts,
+    )
+    import pyarrow as pa
+
+    pdict = PhraseDict(tuple(phrases))
+    got = match_counts(pa.array(rows, pa.string()), pdict)
+
+    split = re.compile("[^a-z0-9_]+")
+    norm_phrases = set()
+    for p in phrases:
+        toks = [t for t in split.split(p.lower()) if t]
+        norm_phrases.add(tuple(toks))
+    for i, row in enumerate(rows):
+        toks = [t for t in split.split(row.lower()) if t]
+        want = 0
+        for n in {len(p) for p in norm_phrases}:
+            for j in range(len(toks) - n + 1):
+                if tuple(toks[j:j + n]) in norm_phrases:
+                    want += 1
+        assert int(got[i]) == want, (row, sorted(phrases))
