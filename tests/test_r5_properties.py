@@ -421,3 +421,30 @@ def test_dictmatch_counts_match_naive_scan(rows, phrases):
                 if tuple(toks[j:j + n]) in norm_phrases:
                     want += 1
         assert int(got[i]) == want, (row, sorted(phrases))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet="abcdé", min_size=0, max_size=50),
+                min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=0, max_value=11))
+def test_chunk_table_matches_naive_slicing(rows, chunk_size, overlap):
+    """The ASCII buffer-gather fast path and the python fallback must both
+    equal naive string slicing (chars, not bytes) for any docs × size ×
+    overlap — including the mixed-batch split/recombine path."""
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.chunking import chunk_table
+
+    overlap = min(overlap, chunk_size - 1)
+    step = chunk_size - overlap
+    out = chunk_table(pa.array(rows, pa.string()),
+                      pa.array(range(len(rows)), pa.int64()),
+                      chunk_size=chunk_size, overlap=overlap).to_pandas()
+    want = []
+    for did, t in enumerate(rows):
+        for i, p in enumerate(range(0, len(t), step)):
+            want.append((did, i, p, t[p:p + chunk_size]))
+    got = sorted(zip(out["doc_id"], out["chunk_idx"], out["start"],
+                     out["chunk"]))
+    assert got == sorted(want), (rows, chunk_size, overlap)
