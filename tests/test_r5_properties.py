@@ -448,3 +448,27 @@ def test_chunk_table_matches_naive_slicing(rows, chunk_size, overlap):
     got = sorted(zip(out["doc_id"], out["chunk_idx"], out["start"],
                      out["chunk"]))
     assert got == sorted(want), (rows, chunk_size, overlap)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet="abé€ßñ— ", min_size=1, max_size=30))
+def test_mojibake_repair_roundtrip(clean):
+    """For any text whose UTF-8 bytes all map through cp1252 glyphs, the
+    mis-decoded (UTF-8 → shown as cp1252) form must repair EXACTLY back to
+    the original, and already-clean text must pass through untouched."""
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.normalize import fix_mojibake_array
+
+    # the classic corruption: UTF-8 bytes displayed through cp1252
+    try:
+        garbled = clean.encode("utf-8").decode("cp1252")
+    except UnicodeDecodeError:
+        garbled = None  # some byte sequences aren't cp1252-displayable
+
+    rows, want = [clean], [clean]
+    if garbled is not None and garbled != clean:
+        rows.append(garbled)
+        want.append(clean)
+    got = fix_mojibake_array(pa.array(rows, pa.string())).to_pylist()
+    assert got == want, (clean, garbled, got)
