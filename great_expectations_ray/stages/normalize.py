@@ -138,13 +138,26 @@ def _sloppy_cp1252_bytes(v: str) -> bytes | None:
         return bytes(out)
 
 
+#: mojibake ANCHOR chars — the cp1252 display of UTF-8 lead bytes that are
+#: rare as genuine text: 0xC2 'Â', 0xC3 'Ã', 0xE2 'â' (when followed by C1
+#: glyphs), 0xEF 'ï' (BOM mojibake 'ï»¿'), 0xF0 'ð' (emoji mojibake).
+#: Deliberately EXCLUDES the real-word leads Ä Å Æ Ç È É … ß á à (ftfy's
+#: badness heuristics make the same call): without this guard, plausible
+#: text like 'ß—' — whose cp1252 bytes DF 97 happen to be valid UTF-8 —
+#: would be "repaired" into an unrelated NKO codepoint (found by the
+#: round-5 hypothesis sweep).
+_MOJIBAKE_ANCHORS = frozenset("ÂÃâïð")
+
+
 def _repair_mojibake_value(v: str) -> str:
     """ftfy-style single-step repair: if the string round-trips back to
     bytes (sloppy cp1252) AND those bytes decode as valid UTF-8 to a
     DIFFERENT string, it was UTF-8 shown through a one-byte codec — return
-    the decode.  Genuine accented text fails the UTF-8 decode (e.g. lone
-    0xE9 from 'é'), so it passes through untouched; the guard needs no
-    scoring heuristics."""
+    the decode.  Most genuine accented text fails the UTF-8 decode (e.g.
+    lone 0xE9 from 'é'); the anchor-char guard above covers the residue
+    whose bytes accidentally form valid UTF-8."""
+    if not any(ch in _MOJIBAKE_ANCHORS for ch in v):
+        return v
     b = _sloppy_cp1252_bytes(v)
     if b is None:
         return v

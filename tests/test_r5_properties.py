@@ -472,3 +472,15 @@ def test_mojibake_repair_roundtrip(clean):
         want.append(clean)
     got = fix_mojibake_array(pa.array(rows, pa.string())).to_pylist()
     assert got == want, (clean, garbled, got)
+
+
+def test_mojibake_anchor_guard_keeps_plausible_text():
+    """Regression for the hypothesis-found false positive: 'ß—' (real
+    German-ish text) has cp1252 bytes DF 97 that decode as valid UTF-8 —
+    without the anchor guard it was "repaired" into an NKO codepoint."""
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.normalize import fix_mojibake_array
+
+    vals = ["ß—", "groß—und klein", "Ä–", "naïve résumé"]
+    assert fix_mojibake_array(pa.array(vals)).to_pylist() == vals
