@@ -484,3 +484,40 @@ def test_mojibake_anchor_guard_keeps_plausible_text():
 
     vals = ["ß—", "groß—und klein", "Ä–", "naïve résumé"]
     assert fix_mojibake_array(pa.array(vals)).to_pylist() == vals
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    # alphabet includes the combining acute U+0301 so NFC composition runs
+    st.text(alphabet="ab C\t\n\x07\x1f\x7f“”‘’–—…é́",
+            min_size=0, max_size=40),
+    min_size=1, max_size=8))
+def test_normalize_array_matches_naive_pipeline(rows):
+    """normalize_array's Arrow kernel chain == a naive python re-implementation
+    of the documented steps (strip control, NFC via unicodedata, straighten
+    typographic quotes/dashes/ellipsis, collapse+trim whitespace) — incl.
+    combining characters (NFC composition) and C0/C1 controls."""
+    import re
+    import unicodedata
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.normalize import (
+        NormalizeConfig,
+        normalize_array,
+    )
+
+    got = normalize_array(pa.array(rows, pa.string()),
+                          NormalizeConfig()).to_pylist()
+
+    def naive(s: str) -> str:
+        s = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", s)
+        s = unicodedata.normalize("NFC", s)
+        s = re.sub("[“”„]", '"', s)
+        s = re.sub("[‘’‚]", "'", s)
+        s = re.sub("[–—]", "-", s)
+        s = s.replace("…", "...")
+        s = re.sub(r"\s+", " ", s)
+        return s.strip()
+
+    assert got == [naive(r) for r in rows], rows
