@@ -521,3 +521,112 @@ def test_normalize_array_matches_naive_pipeline(rows):
         return s.strip()
 
     assert got == [naive(r) for r in rows], rows
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sampled_from(["norm", "expon", "uniform", "lognorm", "chi2",
+                        "gamma"]),
+       st.floats(min_value=-5, max_value=5),
+       st.floats(min_value=0.1, max_value=10),
+       st.floats(min_value=0.5, max_value=8))
+def test_make_cdf_is_a_cdf_and_matches_quadrature(dist, loc, scale, shape):
+    """Every supported CDF must be monotone, bounded in [0,1], hit its
+    limits, and agree with numerical quadrature of the analytic density —
+    an oracle independent of the incomplete-gamma/erf implementations."""
+    import math
+
+    from great_expectations_ray.functions.ks import make_cdf
+
+    params = {"loc": loc, "scale": scale}
+    if dist == "lognorm":
+        params["s"] = shape
+    if dist == "chi2":
+        params["df"] = shape * 2  # a = df/2 = shape
+    if dist == "gamma":
+        params["a"] = shape
+    cdf = make_cdf(dist, params)
+
+    xs = loc + scale * np.linspace(-6, 12, 400)
+    vals = np.asarray(cdf(xs), dtype=np.float64)
+    assert ((vals >= -1e-12) & (vals <= 1 + 1e-12)).all()
+    assert (np.diff(vals) >= -1e-12).all()  # monotone
+    assert cdf(np.array([loc - 1e6 * scale]))[0] <= 1e-9
+    far = loc + scale * (math.exp(8 * shape) if dist == "lognorm" else 1e7)
+    assert cdf(np.array([far]))[0] >= 1 - 1e-6
+
+    # quadrature check on one interior point per example
+    def pdf(z):  # standardized density at z = (x - loc)/scale, times 1/scale
+        if dist == "norm":
+            return np.exp(-z * z / 2) / math.sqrt(2 * math.pi)
+        if dist == "expon":
+            return np.where(z >= 0, np.exp(-np.clip(z, 0, 700)), 0.0)
+        if dist == "uniform":
+            return np.where((z >= 0) & (z <= 1), 1.0, 0.0)
+        if dist == "lognorm":
+            out = np.zeros_like(z)
+            p = z > 0
+            out[p] = np.exp(-np.log(z[p]) ** 2 / (2 * shape * shape)) / (
+                z[p] * shape * math.sqrt(2 * math.pi))
+            return out
+        a = shape  # chi2 (a=df/2, z in units of 2*scale) and gamma share form
+        out = np.zeros_like(z)
+        p = z > 0
+        out[p] = z[p] ** (a - 1) * np.exp(-z[p]) / math.gamma(a)
+        return out
+
+    zt = 1.7  # interior standardized point
+    if dist == "lognorm":
+        # u = ln z substitution: the density can spike arbitrarily high
+        # near 0 for large s; in log space it is a plain Gaussian
+        u = np.linspace(-8 * shape, math.log(zt), 200_001)
+        integrand = np.exp(-u * u / (2 * shape * shape)) / (
+            shape * math.sqrt(2 * math.pi))
+        quad = np.trapz(integrand, u)
+    elif dist in ("chi2", "gamma"):
+        # u = sqrt(z) substitution removes the z**(a-1) integrable
+        # singularity at 0 (a < 1), where plain trapezoid under-integrates
+        u = np.linspace(0, math.sqrt(zt), 200_001)
+        integrand = 2 * u ** (2 * shape - 1) * np.exp(-u * u) / math.gamma(
+            shape)
+        quad = np.trapz(integrand, u)
+    else:
+        grid = np.linspace(-8 if dist == "norm" else 0, zt, 200_001)
+        quad = np.trapz(pdf(grid), grid)
+    unit = (2 * scale if dist == "chi2" else scale)
+    got = float(cdf(np.array([loc + zt * unit]))[0])
+    assert abs(got - quad) < 5e-4, (dist, params, got, quad)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=0.01, max_value=10), min_size=1,
+                max_size=8),
+       st.floats(min_value=-3, max_value=3),
+       st.floats(min_value=0.05, max_value=4))
+def test_piecewise_cdf_matches_naive_interpolation(weights, b0, width):
+    from great_expectations_ray.functions.ks import (
+        piecewise_cdf_from_partition,
+    )
+
+    bins = [b0 + i * width for i in range(len(weights) + 1)]
+    po = {"bins": bins, "weights": weights}
+    cdf = piecewise_cdf_from_partition(po)
+    total = sum(weights)
+    cum = [0.0]
+    for w in weights:
+        cum.append(cum[-1] + w / total)
+
+    def naive(x):
+        if x <= bins[0]:
+            return 0.0
+        if x >= bins[-1]:
+            return 1.0
+        for i in range(len(weights)):
+            if bins[i] <= x < bins[i + 1]:
+                frac = (x - bins[i]) / (bins[i + 1] - bins[i])
+                return cum[i] + frac * (cum[i + 1] - cum[i])
+        return 1.0
+
+    xs = np.linspace(bins[0] - width, bins[-1] + width, 97)
+    got = cdf(xs)
+    for x, g in zip(xs, got):
+        assert abs(g - naive(float(x))) < 1e-12, (x, g, naive(float(x)))
