@@ -630,3 +630,32 @@ def test_piecewise_cdf_matches_naive_interpolation(weights, b0, width):
     got = cdf(xs)
     for x, g in zip(xs, got):
         assert abs(g - naive(float(x))) < 1e-12, (x, g, naive(float(x)))
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.text(alphabet="aB3 .\né✓", min_size=0, max_size=60),
+    min_size=1, max_size=15))
+def test_text_stats_match_naive_loop(rows):
+    """TextStats' packed-LUT / reduceat kernels == naive per-row python:
+    n_chars (unicode chars), n_lines (= newlines+1), max_line_len (chars,
+    lines split at \\n), ascii-alnum and whitespace ratios over chars."""
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.text_stats import TextStats
+
+    out = TextStats("content")(pa.table({"content": pa.array(rows)}))
+    for i, row in enumerate(rows):
+        n_chars = len(row)
+        n_lines = row.count("\n") + 1
+        max_line = max((len(l) for l in row.split("\n")), default=0)
+        alnum = sum(1 for c in row if c.isascii() and c.isalnum())
+        ws = sum(1 for c in row if c in " \t\n\r\f\v")
+        denom = max(n_chars, 1)
+        assert out.column("n_chars")[i].as_py() == n_chars, row
+        assert out.column("n_lines")[i].as_py() == n_lines, row
+        assert out.column("max_line_len")[i].as_py() == max_line, repr(row)
+        assert abs(out.column("alnum_ratio")[i].as_py() - alnum / denom) \
+            < 1e-12, row
+        assert abs(out.column("ws_ratio")[i].as_py() - ws / denom) \
+            < 1e-12, row
