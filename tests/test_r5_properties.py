@@ -659,3 +659,41 @@ def test_text_stats_match_naive_loop(rows):
             < 1e-12, row
         assert abs(out.column("ws_ratio")[i].as_py() - ws / denom) \
             < 1e-12, row
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(
+    alphabet="htps:/w.exampleABC?&=utm_source#frag123",
+    min_size=0, max_size=60), min_size=1, max_size=12))
+def test_url_canonicalization_matches_naive_regex_chain(urls):
+    """canonicalize_url_array / extract_domain_array == a python re chain
+    implementing the documented contract step-for-step (strip fragment,
+    lowercase scheme://authority, drop utm_* params, tidy '?', domain minus
+    leading www.) — arbitrary messy crawl strings included."""
+    import re
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.urlops import (
+        canonicalize_url_array,
+        extract_domain_array,
+    )
+
+    got_canon = canonicalize_url_array(pa.array(urls)).to_pylist()
+    got_dom = extract_domain_array(pa.array(got_canon)).to_pylist()
+
+    def canon(u: str) -> str:
+        u = re.sub(r"#.*$", "", u)
+        m = re.match(r"^(https?://[^/?#]*)", u)
+        if m:
+            u = m.group(1).lower() + u[m.end():]
+        u = re.sub(r"utm_[a-z]+=[^&]*&", "", u)
+        u = re.sub(r"[?&]utm_[a-z]+=[^&]*$", "", u)
+        return re.sub(r"\?$", "", u)
+
+    def dom(u: str) -> str:
+        m = re.match(r"^https?://(?:www\.)?([^/:?#]+)", u)
+        return m.group(1) if m else ""
+
+    assert got_canon == [canon(u) for u in urls], urls
+    assert got_dom == [dom(c) for c in got_canon], urls
