@@ -697,3 +697,90 @@ def test_url_canonicalization_matches_naive_regex_chain(urls):
 
     assert got_canon == [canon(u) for u in urls], urls
     assert got_dom == [dom(c) for c in got_canon], urls
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(),
+                       st.integers(min_value=-5, max_value=5)),
+             min_size=1, max_size=40),
+    st.lists(st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),
+             min_size=1, max_size=40),
+    st.lists(st.tuples(
+        st.sampled_from(["num", "cat"]),
+        st.sampled_from([">", ">=", "<", "<=", "==", "!=",
+                         "isnull", "notnull"]),
+        st.integers(min_value=-4, max_value=4),
+        st.sampled_from(["x", "y", "w"])),
+        min_size=1, max_size=4),
+    st.lists(st.sampled_from(["and", "or"]), min_size=3, max_size=3))
+def test_row_condition_dsl_matches_naive_eval(nums, cats, spec, conns):
+    """compile_row_condition (Arrow masks, null→False, left-to-right
+    and/or) == a naive per-row python evaluator, and row_condition_to_sql
+    agrees through DuckDB — three implementations, one semantics."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from great_expectations_ray.core.row_conditions import (
+        compile_row_condition,
+        row_condition_to_sql,
+    )
+
+    n = min(len(nums), len(cats))
+    df = pd.DataFrame({"num": pd.array(nums[:n], dtype="Int64"),
+                       "cat": pd.array(cats[:n], dtype="string")})
+
+    parts = []
+    for col, op, ilit, slit in spec:
+        if op in ("isnull", "notnull"):
+            parts.append(f'col("{col}").{op}()')
+        elif col == "num":
+            parts.append(f'col("num") {op} {ilit}')
+        else:
+            if op not in ("==", "!="):
+                op = "=="  # strings: equality ops only (portable semantics)
+            parts.append(f'col("cat") {op} "{slit}"')
+    cond = parts[0]
+    for c, p in zip(conns, parts[1:]):
+        cond += f" {c} {p}"
+
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    got = compile_row_condition(cond)(tbl)
+
+    def term(row, col, op, ilit, slit):
+        v = row[col]
+        if op == "isnull":
+            return pd.isna(v)
+        if op == "notnull":
+            return not pd.isna(v)
+        if pd.isna(v):
+            return False  # null comparisons are False (fill_null contract)
+        if col == "num":
+            return {"<": v < ilit, "<=": v <= ilit, ">": v > ilit,
+                    ">=": v >= ilit, "==": v == ilit, "!=": v != ilit}[op]
+        return (v == slit) if op == "==" else (v != slit)
+
+    want = []
+    for _, row in df.iterrows():
+        acc = None
+        for i, (col, op, ilit, slit) in enumerate(spec):
+            if col == "cat" and op not in ("==", "!=", "isnull", "notnull"):
+                op = "=="
+            t = term(row, col, op, ilit, slit)
+            if acc is None:
+                acc = t
+            elif conns[i - 1] == "and":
+                acc = acc and t
+            else:
+                acc = acc or t
+        want.append(bool(acc))
+    assert got.tolist() == want, cond
+
+    # SQL mirror through DuckDB (WHERE drops null-predicate rows = False)
+    con = duckdb.connect()
+    con.register("t", df.assign(__rid=range(n)))
+    sql = row_condition_to_sql(cond)
+    kept = set(con.execute(
+        f"SELECT __rid FROM t WHERE {sql}").fetchdf()["__rid"])
+    assert kept == {i for i, w in enumerate(want) if w}, (cond, sql)
