@@ -784,3 +784,44 @@ def test_row_condition_dsl_matches_naive_eval(nums, cats, spec, conns):
     kept = set(con.execute(
         f"SELECT __rid FROM t WHERE {sql}").fetchdf()["__rid"])
     assert kept == {i for i, w in enumerate(want) if w}, (cond, sql)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.text(alphabet="a #/-*\n\té", min_size=0, max_size=80),
+    min_size=1, max_size=12))
+def test_code_metrics_match_naive_loop(rows):
+    """code_metrics_table's flattened-line kernels == a naive per-row
+    python loop (line split, comment-prefix regex, ws/char counts,
+    autogen marker, minified shape)."""
+    import re
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.code_metrics import (
+        AUTOGEN_RE,
+        COMMENT_LINE_RE,
+        MINIFIED_MAX_LINE,
+        MINIFIED_WS_FRAC,
+        code_metrics_table,
+    )
+
+    got = code_metrics_table(pa.array(rows))
+    comment = re.compile(COMMENT_LINE_RE)
+    autogen = re.compile(AUTOGEN_RE)
+    for i, row in enumerate(rows):
+        lines = row.split("\n")
+        n_chars = len(row)
+        ws = sum(1 for c in row if c in " \t\n\r\f\v")
+        cl = sum(1 for l in lines if comment.search(l))
+        mll = max((len(l) for l in lines), default=0)
+        assert got["n_lines"][i].as_py() == len(lines), repr(row)
+        assert got["max_line_len"][i].as_py() == mll, repr(row)
+        assert got["comment_lines"][i].as_py() == cl, repr(row)
+        assert abs(got["comment_frac"][i].as_py() - cl / len(lines)) < 1e-12
+        want_ws = (ws / n_chars) if n_chars else 0.0
+        assert abs(got["ws_frac"][i].as_py() - want_ws) < 1e-12, repr(row)
+        assert got["autogen"][i].as_py() == bool(autogen.search(row))
+        assert got["minified"][i].as_py() == (
+            mll >= MINIFIED_MAX_LINE and want_ws < MINIFIED_WS_FRAC
+            and n_chars > 0)
