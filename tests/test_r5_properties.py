@@ -825,3 +825,47 @@ def test_code_metrics_match_naive_loop(rows):
         assert got["minified"][i].as_py() == (
             mll >= MINIFIED_MAX_LINE and want_ws < MINIFIED_WS_FRAC
             and n_chars > 0)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.text(alphabet="word .!?\n\t{j cookie", min_size=0, max_size=120),
+    min_size=1, max_size=10))
+def test_c4_clean_batch_matches_naive_loop(rows):
+    """C4 line/doc filters (split → trim → word count → punct/boilerplate →
+    rejoin → doc gates) == a naive per-row python pipeline, incl. the
+    trimmed-line contract and the bincount/offsets rebuild."""
+    import re
+
+    import pyarrow as pa
+
+    from great_expectations_ray.stages.c4_filters import C4Config, clean_batch
+
+    cfg = C4Config(min_words_per_line=2, min_lines=1)
+    tbl = pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                    "text": pa.array(rows)})
+    out = clean_batch(tbl, config=cfg)
+
+    boiler = re.compile(cfg.boilerplate_regex)
+    punct = re.compile(cfg.terminal_punct_regex)
+    # python re requires inline flags scoped: RE2's mid-pattern (?i) becomes (?i:)
+    ban = re.compile(cfg.ban_regex.replace("(?i)", "(?i:") + ")"
+                     if "(?i)" in cfg.ban_regex and
+                     not cfg.ban_regex.startswith("(?i)")
+                     else cfg.ban_regex)
+    for i, row in enumerate(rows):
+        kept = []
+        for line in row.split("\n"):
+            t = line.strip()
+            if len(re.findall(r"\S+", t)) < cfg.min_words_per_line:
+                continue
+            if not punct.search(t):
+                continue
+            if boiler.search(t):
+                continue
+            kept.append(t)
+        keep_doc = len(kept) >= cfg.min_lines and not ban.search(row)
+        assert out.column("n_lines_kept")[i].as_py() == len(kept), repr(row)
+        assert out.column("clean_text")[i].as_py() == "\n".join(kept), \
+            repr(row)
+        assert out.column("keep")[i].as_py() == keep_doc, repr(row)
